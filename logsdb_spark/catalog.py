@@ -1,0 +1,48 @@
+"""Table catalog: load the driver's parquet tables for a scale-factor dir.
+
+The reference creates its schema on connect (core.py:26-28,
+``Base.metadata.create_all``); our analogue is idempotent registration of
+the parquet-backed tables as temp views, so both the DataFrame API and
+``spark.sql`` paths see the same catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from . import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/pruning into it.
+
+    events.ts is parquet TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as int64 ns, which
+    we convert to a µs TimestampType via integer division (``div`` —
+    ns epochs ~1.7e18 exceed double's 2^53 exact range, so no float
+    math). Sub-µs truncation is semantically invisible to every query
+    here (see plans/reference_queries.py ordering notes).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (idempotent, like the
+    reference's create_all-on-connect)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

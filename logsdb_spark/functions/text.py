@@ -1,0 +1,105 @@
+"""Text-analysis primitives for the LLM-data-pipeline operators
+(SURVEY §2.12 — *[extension]*, no reference file:line; designed
+Spark-native).
+
+Everything here is a built-in Catalyst expression (JVM-side, codegen'd):
+tokenization via split, hashing via md5+conv (portable across engines
+for the DuckDB oracle), n-grams via slice/transform over sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram-heuristic language ID.
+# Deliberately small and deterministic — the point is the Spark plumbing
+# (scoring N token-set intersections in one pass), not linguistics.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "bu4", "ren2"),
+}
+
+# BPE-ish tokenizer: word pieces OR single non-space symbols. Kept
+# regex-identical between Spark and DuckDB oracles.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|\S"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; trailing empties dropped (split on +)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit integer hash reproducible in DuckDB as
+    ('0x' || substr(md5(x),1,15))::UBIGINT — used wherever an oracle
+    must re-derive the same hash. For Spark-only paths prefer
+    xxhash64 (cheaper, also 64-bit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of character n-grams (the MinHash shingle set).
+    transform over a 1..len-n+1 sequence — no explode, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Array of word n-grams joined with a space."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count via regexp (JVM-side regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Occurrence count (not distinct) of lang's stopwords in toks."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+
+def quality_stats(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: lengths, token stats, ratios."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    return {
+        "n_chars": F.length(c),
+        "n_tokens": n_tok,
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        "avg_token_len": F.round(
+            (F.length(c) - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 4
+        ),
+        "space_ratio": F.round(
+            (n_tok - 1) / F.greatest(F.length(c), F.lit(1)), 4
+        ),
+    }
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key;
+    near-dup handled by MinHash/SimHash in operators.dedup)."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,421 @@
+"""*[extension]* LLM-data-pipeline queries (SURVEY §2.12) over the
+``documents`` and ``embeddings`` tables — dedup, similarity search,
+text analysis, multimodal plumbing. No reference file:line (additive
+scope per BASELINE.json north star); each operator is designed
+Spark-native for 100 TB and verified against a DuckDB oracle where the
+semantics are SQL-expressible.
+
+Oracle-parity notes:
+- jaccard/cosine are integer-ratio or ordered-double-fold computations
+  that produce bit-identical doubles in both engines before ROUND(4).
+- normalization is byte-identical: lower(trim(regexp_replace(\\s+,' '))).
+- where the operator is hash-seeded Spark-side (xxhash64 MinHash bands,
+  SimHash, hyperplane LSH) the *verified output* is hash-free, so the
+  MinHash query still carries a full oracle (LSH recall at the planted
+  jaccard ≈0.99 is 1 − (1−0.99²)³² ≈ 1 − 10⁻⁶⁴ — deterministic hashes,
+  measured exact on this data); SimHash and ANN are genuinely
+  hash-defined outputs → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    fingerprint,
+    normalize_text,
+    token_count_bpe,
+    tokens,
+)
+from ..functions.vectors import cosine
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from ..operators.multimodal import attach_binary_payload, extract_media_metadata
+from ..operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+    pairwise_cosine_dedup,
+)
+from ..registry import register
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS copies
+    FROM documents
+    GROUP BY fp
+    ORDER BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text md5 fingerprint; single shuffle
+    with map-side partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("fp")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(len(t)-2, 1) + 1),
+                                          i -> substr(t, CAST(i AS INTEGER), 3))) AS s
+      FROM norm
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(32 bands × 2) candidate generation, then
+    exact char-3-gram jaccard verify ≥ 0.6. The oracle is the O(n²)
+    ground truth; LSH recall at this data's planted-dup jaccard (≈0.99)
+    is 1 to ~64 decimal places, so outputs coincide exactly. At 100 TB
+    only the LSH path is viable: the shuffle key is (band, band_hash)
+    and bucket sizes stay bounded by true dup-group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash")  # hash-defined output → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).
+    Output depends on xxhash64 bit patterns — not SQL-oracle-expressible;
+    verified in tests/test_dedup.py against the jaccard ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+                   / (a.nrm * b.nrm), 4) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    WHERE cos_sim >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.4 (this corpus has no planted
+    embedding dups; 0.4 keeps the verified tail non-empty). Dot/norm are
+    ordered double folds — bit-identical to the oracle's list_sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pairwise_cosine_dedup(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    ),
+    probes AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT p.probe_id,
+             c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(c.e, p.pe), x -> x[1]*x[2]))
+                   / (c.nrm * p.pn), 4) AS cos_sim
+      FROM n c, probes p
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY probe_id, rank
+"""
+
+
+@register("knn_cosine_bruteforce", oracle=_KNN_ORACLE)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 probe vectors: broadcast probes across
+    the corpus scan (no corpus shuffle), per-probe window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = brute_force_topk(emb, probes, k=10)
+    return out.select(
+        "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    ).orderBy("probe_id", "rank")
+
+
+@register("ann_lsh_bucketed")  # probabilistic recall → rows-only check
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (8 deterministic hyperplanes): candidates only
+    within the probe's bucket. Recall measured against brute force in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = lsh_ann_topk(emb, probes, k=10)
+    return out.select(
+        "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    ).orderBy("probe_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+             AS ttr
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document: char/token counts,
+    type-token ratio. Pure expression pipeline, one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("ttr"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr
+      FROM t
+    )
+    SELECT doc_id, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: N token-set membership counts in one
+    scan, deterministic first-wins tie-break (en > de > es > fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    def _hits(sw: tuple[str, ...]):
+        # 1-arg lambda on purpose: filter() binds 2-arg lambdas as
+        # (element, index).
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = {lang: _hits(sw) for lang, sw in STOPWORDS.items() if lang != "zh"}
+    guess = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), F.lit("de"))
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        guess.alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(len(text) - len(replace(text, ' ', '')) + 1) AS BIGINT)
+             AS total_ws_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (BPE-ish regex + whitespace), aggregated
+    per lang. regexp_count is JVM-side; identical RE semantics both
+    engines for this pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_bpe("text")).cast("bigint").alias("total_tokens"),
+            F.sum(ws_tokens).cast("bigint").alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fp,
+           SUBSTR(md5({_NORM_SQL}), 1, 8) AS fp8
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of canonicalized text (+ 8-hex
+    short form for bucketing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.substring(fingerprint("text"), 1, 8).alias("fp8"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           SUBSTR(sha256(text), 1, 8) AS sha256_8,
+           CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS fake_width,
+           CAST(ascii(SUBSTR(text, 1, 1)) % 256 + 1 AS INTEGER) AS fake_height
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction through Arrow-batched
+    mapInPandas (the real decode is a documented stub — operators/
+    multimodal.py). The oracle recomputes the deterministic features
+    SQL-side, verifying the whole Arrow round-trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_metadata(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "vector_stats",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(nrm), 4) AS avg_norm,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm
+    FROM v
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm stats — F.aggregate double fold over the
+    array column, then a tiny 10-group agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
