@@ -74,11 +74,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                  FROM documents),
     sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, GREATEST(len(t)-2, 1) + 1),
-                                          i -> substr(t, CAST(i AS INTEGER), 3))) AS s
+             list_distinct(list_transform(range(1, GREATEST(len(toks), 2)),
+                                          i -> concat(toks[i], ' ', toks[i+1]))) AS s
       FROM norm
     ),
     pairs AS (
@@ -92,12 +93,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms) + LSH(32 bands × 2) candidate generation, then
-    exact char-3-gram jaccard verify ≥ 0.6. The oracle is the O(n²)
-    ground truth; LSH recall at this data's planted-dup jaccard (≈0.99)
-    is 1 to ~64 decimal places, so outputs coincide exactly. At 100 TB
-    only the LSH path is viable: the shuffle key is (band, band_hash)
-    and bucket sizes stay bounded by true dup-group size."""
+    """MinHash(64 perms) + LSH(32 bands × 2) candidate generation over
+    word-bigram shingles, then exact jaccard verify ≥ 0.6. The oracle
+    is the O(n²) ground truth; on this corpus background similarity is
+    ~0 and planted dups are ≈0.99, where LSH recall is 1 − 10⁻⁶⁴ —
+    outputs coincide exactly. At 100 TB only the LSH path is viable:
+    the shuffle key is (band, band_hash) and bucket sizes stay bounded
+    by true dup-group size."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dups(docs, threshold=0.6).orderBy("id_a", "id_b")
 
