@@ -1,0 +1,111 @@
+"""Structured Streaming ingest pipelines (SURVEY §2.10, K1/K2).
+
+The reference's "streaming" is a Unix pipe: one OS process per log
+source appending one committed row per line (core.py:46-48,
+apache_access.py:94). The Spark-native equivalent is a file-based
+stream per source with a ``foreachBatch`` append sink:
+
+- exactly-once per micro-batch via checkpointing — strictly stronger
+  than the reference's at-least-once re-run semantics;
+- dead letters (K2) appended to a side table inside the same batch
+  function, replacing halt-on-first-error with observable routing
+  (strict mode can still assert emptiness per batch);
+- sink tables partitioned by event date — at 100 TB this is what makes
+  the daily-report predicate (P2) a partition-pruning scan instead of
+  a full scan.
+
+No watermarks/stateful ops are needed for parity: the reference has no
+streaming aggregation — reports run as batch queries at read time
+(SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources import apache_access, authfail
+
+ParseFn = Callable[[DataFrame], DataFrame]
+
+
+def _ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    parse: ParseFn,
+    good: Callable[[DataFrame], DataFrame],
+    dead: Callable[[DataFrame], DataFrame],
+    table_name: str,
+) -> StreamingQuery:
+    """text-file stream → parse → (events, dead_letters) appends."""
+    lines = spark.readStream.format("text").load(source_dir)
+    parsed = parse(lines)
+
+    events_path = os.path.join(out_dir, table_name)
+    dead_path = os.path.join(out_dir, f"{table_name}_dead_letter")
+    checkpoint = os.path.join(out_dir, f"_checkpoints/{table_name}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                good(batch_df)
+                .withColumn("event_date", F.to_date("timestamp"))
+                .write.mode("append")
+                .partitionBy("event_date")
+                .parquet(events_path)
+            )
+            dl = dead(batch_df)
+            if not dl.isEmpty():
+                dl.write.mode("append").parquet(dead_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_apache_access(
+    spark: SparkSession, source_dir: str, out_dir: str
+) -> StreamingQuery:
+    """S1 streaming ingest (reference process: apache_access.py:87-143)."""
+    return _ingest_stream(
+        spark,
+        source_dir,
+        out_dir,
+        apache_access.parse_apache_lines,
+        apache_access.good_events,
+        apache_access.dead_letters,
+        "apache_access",
+    )
+
+
+def ingest_authfail(
+    spark: SparkSession, source_dir: str, out_dir: str
+) -> StreamingQuery:
+    """S2 streaming ingest (reference process: authfail.py:65-97)."""
+    return _ingest_stream(
+        spark,
+        source_dir,
+        out_dir,
+        authfail.parse_authfail_lines,
+        authfail.good_events,
+        authfail.dead_letters,
+        "authfail",
+    )
+
+
+def run_until_drained(query: StreamingQuery, timeout_sec: float = 120.0) -> None:
+    """availableNow triggers stop on their own; wait for completion."""
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()

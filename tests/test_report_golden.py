@@ -1,0 +1,199 @@
+"""Golden-output report tests (SURVEY §5.2): fixed synthetic log lines
+through ingest parsers → daily-report sections with an injected 'now'
+→ byte-compare against goldens. Pins F1/F9/F11 formatting."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Row
+
+from logsdb_spark.operators import upsert
+from logsdb_spark.report.dailyreport import (
+    DailyReport,
+    HostState,
+    apache_daily_report,
+    authfail_daily_report,
+    get_daily_report,
+    maillog_daily_report,
+)
+from logsdb_spark.report.render import longint, text_table
+from logsdb_spark.sources import apache_access, authfail, maillog
+
+NOW = datetime(2026, 8, 13, 0, 0, 0)  # naive UTC to match collected rows
+NOW_TZ = datetime(2026, 8, 13, 0, 0, 0, tzinfo=timezone.utc)
+
+
+def test_longint_golden():
+    # core.py:51-57
+    assert longint(0) == "0"
+    assert longint(999) == "999"
+    assert longint(1234) == "1 234"
+    assert longint(1234567) == "1 234 567"
+    assert longint(1000000000) == "1 000 000 000"
+
+
+def test_text_table_golden():
+    got = text_table(["Hits", "Request"], [(12, "GET / HTTP/1.1"), (3, "x")], ["r", "l"])
+    expected = (
+        "+------+----------------+\n"
+        "| Hits |    Request     |\n"
+        "+------+----------------+\n"
+        "|   12 | GET / HTTP/1.1 |\n"
+        "|    3 | x              |\n"
+        "+------+----------------+"
+    )
+    assert got == expected
+
+
+APACHE_LINES = [
+    # 2 hits on same reqline (tie grouping), 1 on another; one stale row >24h
+    '2026-08-12 10:00:00 +0000|ex.com|443|203.0.113.7|1000000|2500000|100|200|["-", "GET / HTTP/1.1", "GET", "/", "HTTP/1.1", "-", "UA"]',
+    '2026-08-12 11:00:00 +0000|ex.com|443|203.0.113.8|2000000|4500000|100|200|["-", "GET / HTTP/1.1", "GET", "/", "HTTP/1.1", "-", "UA"]',
+    '2026-08-12 12:00:00 +0000|ex.com|443|203.0.113.9|500|800|100|404|["-", "GET /a HTTP/1.1", "GET", "/a", "HTTP/1.1", "-", "UA"]',
+    '2026-08-10 12:00:00 +0000|ex.com|443|203.0.113.9|9|9|9|200|["-", "OLD", "GET", "/old", "HTTP/1.1", "-", "UA"]',
+]
+
+
+def test_apache_daily_report_golden(spark):
+    df = spark.createDataFrame([Row(value=ln) for ln in APACHE_LINES])
+    events = apache_access.good_events(apache_access.parse_apache_lines(df))
+    got = apache_daily_report(events, NOW)
+    expected = (
+        "Website activity in the past 24 hours:\n"
+        "+------+-----------------+\n"
+        "| Hits |     Request     |\n"
+        "+------+-----------------+\n"
+        "|    2 | GET / HTTP/1.1  |\n"
+        "|    1 | GET /a HTTP/1.1 |\n"
+        "+------+-----------------+\n"
+        "Total bytes sent:     7 000 800\n"
+        "Total bytes received: 3 000 500\n"
+    )
+    assert got == expected
+
+
+AUTH_LINES = [
+    "2026-08-12T14:03:11+00:00 h sshd[1]: Failed password for root from 198.51.100.23 port 1 ssh2",
+    "2026-08-12T14:03:12+00:00 h sshd[1]: Failed password for root from 198.51.100.23 port 2 ssh2",
+    "2026-08-12T14:03:13+00:00 h sshd[1]: Invalid user oracle from 203.0.113.99 port 3",
+]
+
+
+def test_authfail_daily_report_golden(spark):
+    df = spark.createDataFrame([Row(value=ln) for ln in AUTH_LINES])
+    events = authfail.good_events(authfail.parse_authfail_lines(df))
+    got = authfail_daily_report(events, NOW)
+    expected = (
+        "Failed SSH login attempts in the past 24 hours:\n"
+        "+----------+---------------+\n"
+        "| Attempts |  IP Address   |\n"
+        "+----------+---------------+\n"
+        "|        2 | 198.51.100.23 |\n"
+        "|        1 | 203.0.113.99  |\n"
+        "+----------+---------------+\n"
+    )
+    assert got == expected
+
+
+RAW_EMAIL = b"""From: "Alice Example" <alice@example.org>
+To: "Bob Local" <bob@mydomain.example>, carol@mydomain.example, out@elsewhere.example
+Subject: =?utf-8?q?Gr=C3=BC=C3=9Fe_aus_Berlin?=
+Date: Tue, 12 Aug 2026 09:15:00 +0200
+
+Body
+"""
+
+
+def test_maillog_daily_report_golden(spark):
+    files = spark.createDataFrame([Row(path="m1.eml", content=bytearray(RAW_EMAIL))])
+    parsed = maillog.parse_email_messages(files, now=NOW_TZ)
+    contacts = upsert.upsert_contacts(None, upsert.extract_batch_contacts(parsed))
+    inbox = upsert.build_inbox_batch(parsed)
+    tocc = upsert.build_tocc_bridge(inbox)
+    resolved = upsert.inbox_with_contacts(inbox, contacts, tocc)
+    got = maillog_daily_report(
+        resolved, NOW, {"mydomain.example", "localhost"}
+    )
+    expected = (
+        "E-mails received in the past 24 hours:\n"
+        "---\n"
+        'From:    Alice Example <alice@example.org>\n'
+        'To:      carol@mydomain.example, Bob Local <bob@mydomain.example>\n'
+        "Subject: Grüße aus Berlin\n"
+        "Date:    2026-08-12T07:15:00Z\n"
+        f"Size:    {len(RAW_EMAIL)}\n"
+        "---\n"
+    )
+    assert got == expected
+
+
+def test_maillog_empty_branch(spark):
+    files = spark.createDataFrame([Row(path="m1.eml", content=bytearray(RAW_EMAIL))])
+    parsed = maillog.parse_email_messages(files, now=NOW_TZ)
+    contacts = upsert.upsert_contacts(None, upsert.extract_batch_contacts(parsed))
+    inbox = upsert.build_inbox_batch(parsed)
+    resolved = upsert.inbox_with_contacts(
+        inbox, contacts, upsert.build_tocc_bridge(inbox)
+    )
+    # a 'now' far in the future → empty window → 'none' branch (maillog.py:115-116)
+    got = maillog_daily_report(resolved, datetime(2030, 1, 1), {"mydomain.example"})
+    assert got == "E-mails received in the past 24 hours: none\n"
+
+
+def test_daily_report_assembly_and_tags():
+    """dailyreport.py:116-142: section order, tag priority, subject."""
+    host = HostState(
+        loadavg=(0.5, 0.6, 0.7),
+        disk_size=100_000_000,
+        disk_used=60_000_000,  # 60% → DISK tag
+        errlog_names=["err.log"],
+        logs_dir="/var/log/errors",
+        reboot_required=True,
+        reboot_pkgs=["libc6"],
+        vnstat_tx=5_000_000,
+        vnstat_rx=12_345_678,
+        mailbox_nonempty=True,
+        hostname="testhost",
+    )
+    rep = get_daily_report(
+        NOW_TZ,
+        host,
+        mail_section=lambda: "MAILSECTION\n",
+        authfail_section=lambda: "AUTHSECTION\n",
+        apache_section=lambda: "APACHESECTION\n",
+    )
+    assert rep.subject == "[DISK] [LOGERR] [REBOOT] [MAIL] Status Report: testhost, 2026-08-13T00:00:00Z"
+    assert rep.body == (
+        "The following files in /var/log/errors are nonempty:\n"
+        "    err.log\n"
+        "\n"
+        "Reboot required by the following packages:\n"
+        "    libc6\n"
+        "\n"
+        "Load: 0.5, 0.6, 0.7\n"
+        "\n"
+        "Space used on root partition:\n"
+        "     60 000 000\n"
+        "  / 100 000 000\n"
+        "   (60.000000%)\n"
+        "\n"
+        "Data sent yesterday:      5 000 000 B\n"
+        "Data received yesterday: 12 345 678 B\n"
+        "\n"
+        "MAILSECTION\n"
+        "\n"
+        "AUTHSECTION\n"
+        "\n"
+        "APACHESECTION\n"
+    )
+
+
+def test_nothing_to_report():
+    host = HostState()
+    rep = get_daily_report(NOW_TZ, host, None, None, None)
+    # load/disk/vnstat sections always render (reference returns str,
+    # not None, for those) — so body is never the fallback unless all
+    # sections empty; emulate the fallback path directly:
+    assert "Load: 0.0, 0.0, 0.0" in rep.body
+    assert rep.subject == f"Status Report: {__import__('socket').gethostname()}, 2026-08-13T00:00:00Z"
