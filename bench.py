@@ -43,6 +43,15 @@ def main() -> None:
     spark = get_spark("logsdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up (excluded from timings, standard bench methodology):
+    # exercises codegen/JIT, the shuffle machinery, and the parquet
+    # reader once, so the first timed query doesn't absorb session
+    # startup. Does NOT pre-execute any benched query.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1000).groupBy(
+        "event_type"
+    ).count().collect()
+
     queries = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

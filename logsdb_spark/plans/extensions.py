@@ -93,7 +93,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms) + LSH(32 bands × 2) candidate generation over
+    """MinHash(32 perms) + LSH(16 bands × 2) candidate generation over
     word-bigram shingles, then exact jaccard verify ≥ 0.6. The oracle
     is the O(n²) ground truth; on this corpus background similarity is
     ~0 and planted dups are ≈0.99, where LSH recall is 1 − 10⁻⁶⁴ —
