@@ -29,7 +29,10 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_orders",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
     "text_quality_stats",
