@@ -114,3 +114,46 @@ def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key;
     near-dup handled by MinHash/SimHash in operators.dedup)."""
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(df, id_col: str, text_col: str,
+                        k: int = 5, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    local algorithm, public literature): hash every char k-gram of the
+    normalized text with the DuckDB-portable 60-bit hash, take the min
+    of each w-length sliding window of hashes → per-doc sorted distinct
+    fingerprint set. Returns (id_col, fps) — a DataFrame-level operator,
+    not a Column.
+
+    DataFrame-level on purpose: higher-order-function lambdas are
+    excluded from Spark's codegen subexpression elimination, so a
+    single-Column formulation re-inlines the k-gram md5 transform once
+    per reference (~12x here — measured 60s for 500 docs). Staging
+    through separate projections pins each expensive array to a column;
+    multiple references to a non-cheap alias also stop CollapseProject
+    from merging the stages back together.
+
+    Window minima use the same shifted-zip_with trick as word_ngrams
+    (elementwise least against w-1 shifted copies — one codegen pass,
+    no slice-per-index). Docs shorter than k+w-1 chars degrade to a
+    single fingerprint: min over whatever hashes exist."""
+    hashed = df.select(
+        id_col,
+        F.transform(
+            char_ngrams(normalize_text(text_col), k), portable_hash64
+        ).alias("_h"),
+    )
+    h = F.col("_h")
+    n = F.size(h)
+    acc = h
+    for s in range(1, w):
+        shifted = F.slice(h, s + 1, F.greatest(n - s, F.lit(1)))
+        # zip_with pads with null; F.least skips nulls, which would
+        # leak partial-window minima — slice the tail off below instead.
+        acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
+    wins = F.when(n < w, F.array(F.array_min(h))).otherwise(
+        F.slice(acc, 1, F.greatest(n - (w - 1), F.lit(1)))
+    )
+    return hashed.select(
+        id_col, F.array_sort(F.array_distinct(wins)).alias("fps")
+    )

@@ -105,3 +105,80 @@ def pairwise_cosine_dedup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells (inverted
+    lists), search only the ``nprobe`` cells nearest each probe.
+
+    The coarse quantizer here is deterministic — the first
+    ``n_centroids`` corpus vectors (by vec_id) serve as centroids, the
+    stand-in for an offline k-means fit (the model is tiny either way:
+    centroids always broadcast). Exactly-SQL-expressible, so unlike the
+    hyperplane LSH path this variant IS oracle-gated.
+
+    Scale shape — the corpus is never shuffled:
+    1. centroids → ONE collected row (array of structs), broadcast;
+       each corpus vector folds over the array to find its argmax-cosine
+       cell: a narrow map stage.
+    2. probe×centroid ranking is |probes|×n_centroids rows — trivial.
+    3. cell membership join is broadcast-hash (probe cells are a list of
+       (cell, probe) pairs), filtering the corpus scan to candidate
+       rows before any cosine against probe vectors is computed.
+    4. the final per-probe top-k window sees only candidate rows.
+    On a real deployment the corpus side would be written bucketed by
+    ``cell`` so step 3 also prunes files (partition pruning), making the
+    scan itself sublinear."""
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    # One row holding all centroids, sorted by cent_id so the argmax
+    # fold's strict-> keeps the lowest cent_id on exact ties.
+    cent_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cent_vec"))).alias("_cents")
+    )
+
+    def argmax_cell(vec: F.Column) -> F.Column:
+        # Score every cell once, then array_max over (cos, -cent_id)
+        # structs: lexicographic struct ordering gives highest cosine,
+        # ties broken toward the LOWEST cent_id (negation) — the same
+        # rule the oracle's ROW_NUMBER(ORDER BY cos DESC, id ASC) uses.
+        scored_cells = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(vec, c["cent_vec"]).alias("cos"),
+                (-c["cent_id"]).alias("negid"),
+            ),
+        )
+        return -F.array_max(scored_cells)["negid"]
+
+    assigned = emb.join(F.broadcast(cent_row)).select(
+        "vec_id", "embedding", argmax_cell(F.col("embedding")).alias("cell")
+    )
+
+    # nprobe nearest cells per probe: |probes| × n_centroids rows.
+    pc = probes.join(F.broadcast(cents)).select(
+        "probe_id",
+        "probe_vec",
+        "cent_id",
+        F.round(cosine(F.col("probe_vec"), F.col("cent_vec")), 4).alias("c_cos"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    probe_cells = (
+        pc.withColumn("cr", F.row_number().over(wp))
+        .filter(F.col("cr") <= nprobe)
+        .select("probe_id", "probe_vec", F.col("cent_id").alias("cell"))
+    )
+
+    scored = assigned.join(F.broadcast(probe_cells), "cell").select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("embedding"), F.col("probe_vec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -42,3 +42,58 @@ def wallclock_last_day(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 def anchored_pred(ts_col: str = "ts", days: int = 1) -> Column:
     return F.col(ts_col) >= F.col("_anchor") - F.expr(f"INTERVAL {days} DAY")
+
+
+# ---------------------------------------------------------------------------
+# *[extension]* analytic window operators (SURVEY §2.9 flags these as
+# extension scope — the reference has no window functions).
+# ---------------------------------------------------------------------------
+
+
+def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_minutes``.
+
+    Classic two-window formulation: lag → boundary flag → running sum
+    as session index → per-session aggregate. All three steps share ONE
+    hash-partitioning on key_col, so Spark plans a single exchange and
+    runs the lag, the cumulative sum, and the final aggregate inside the
+    same partitioning (the groupBy keys are a superset of the window
+    partition key). At 100 TB the per-key ordering is the only sort;
+    skewed power-users are bounded by their own event counts, and AQE
+    skew-split handles the shuffle side.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_sess = df.withColumn("session_id", F.sum(new_sess).over(run))
+    return (
+        with_sess.groupBy(key_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def topk_per_key(df: DataFrame, key_col: str, order_col: str,
+                 tiebreak_col: str, k: int = 3) -> DataFrame:
+    """Top-k rows per key by ``order_col`` desc (deterministic
+    tiebreak asc). row_number + filter: Spark rewrites this to a
+    per-partition top-k (no full sort of each key group's tail)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(order_col), F.asc(tiebreak_col)
+    )
+    return df.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -421,3 +421,191 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window operators — *[extension]* (SURVEY §2.9: the reference
+# has no window functions; these are the standard log-analytics shapes
+# the engine should offer on the events stream).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) of the events
+    stream: lag → boundary flag → running sum → per-session agg, all
+    under ONE hash-partitioning on user_id (single exchange)."""
+    from ..operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30).orderBy("user_id", "session_id")
+
+
+@register(
+    "topk_events_per_type",
+    oracle="""
+    SELECT event_type, event_id, value, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events
+    )
+    WHERE rnk <= 3
+    ORDER BY event_type, rnk
+    """,
+)
+def topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event type — the ranking-window top-k
+    shape. Spark executes row_number+filter as a per-partition top-k
+    (WindowGroupLimit pushes k down before the full sort)."""
+    from ..operators.windows import topk_per_key
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return topk_per_key(ev, "event_type", "value", "event_id", k=3).orderBy(
+        "event_type", "rnk"
+    )
+
+
+@register(
+    "ann_ivf",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    ),
+    cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(c.e, ct.ce), p -> p[1]*p[2]))
+                   / (c.nrm * ct.cnrm) DESC,
+                 ct.cent_id ASC) AS rn
+        FROM n c, cents ct
+      ) WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM n WHERE vec_id < 5),
+    pcell AS (
+      SELECT probe_id, pe, pn, cell FROM (
+        SELECT p.probe_id, p.pe, p.pn, ct.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                 ROUND(list_sum(list_transform(list_zip(p.pe, ct.ce), x -> x[1]*x[2]))
+                       / (p.pn * ct.cnrm), 4) DESC,
+                 ct.cent_id ASC) AS rn
+        FROM probes p, cents ct
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT pc.probe_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(c.e, pc.pe), x -> x[1]*x[2]))
+                   / (c.nrm * pc.pn), 4) AS cos_sim
+      FROM n c
+      JOIN assign a ON c.vec_id = a.vec_id
+      JOIN pcell pc ON a.cell = pc.cell
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM cand
+    )
+    SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16 deterministic centroid cells, nprobe=4): the corpus
+    is assigned to inverted lists by argmax-cosine in a narrow map
+    stage, probes search only their nprobe nearest cells. Fully
+    deterministic → oracle-gated, unlike the hyperplane-LSH variant."""
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = ivf_ann_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    ).orderBy("probe_id", "rank")
+
+
+@register(
+    "winnow_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, GREATEST(len(t) - 3, 2)),
+                              i -> substr(t, i, 5)),
+               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+             ) AS hs
+      FROM norm
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 2),
+                                      j -> list_min(hs[j:j+3]))
+             END AS mins
+      FROM h
+    )
+    SELECT doc_id,
+           len(list_distinct(mins)) AS n_fps,
+           list_min(mins) AS fp_min,
+           list_reduce(list_sort(list_distinct(mins)), (a, b) -> xor(a, b)) AS fp_xor
+    FROM wins
+    ORDER BY doc_id
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5 char-grams, w=4 windows) with the
+    DuckDB-portable md5-based hash; output is the fingerprint-set size,
+    min, and xor-checksum per doc (order-insensitive set equality
+    without comparing raw arrays)."""
+    from ..functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps_df = winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    fps = F.col("fps")
+    xor_all = F.aggregate(
+        fps, F.lit(0).cast("long"), lambda a, b: a.bitwiseXOR(b)
+    )
+    return fps_df.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.array_min(fps).alias("fp_min"),
+        xor_all.alias("fp_xor"),
+    ).orderBy("doc_id")
