@@ -59,3 +59,132 @@ def test_authfail_stream_ingest(spark, tmp_path):
     assert rows[0].src_addr == "198.51.100.23"
     # no dead letters → dir absent
     assert not os.path.exists(str(out / "authfail_dead_letter"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming aggregation (extension): watermarked windows + custom state
+# ---------------------------------------------------------------------------
+
+
+def _write_event_files(spark, src, n_files=3):
+    """Split sf0.001 events into n TIME-ORDERED parquet files (file i =
+    i-th ntile by ts) so maxFilesPerTrigger=1 yields micro-batches in
+    event-time order — the arrival pattern of real log files. A random
+    split would make whole batches arrive behind the watermark and be
+    dropped as late data (correct semantics, wrong test fixture)."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from logsdb_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("tile", F.ntile(n_files).over(Window.orderBy("ts", "event_id")))
+    )
+    src.mkdir(parents=True, exist_ok=True)
+    rows = 0
+    for i in range(1, n_files + 1):
+        part_dir = src.parent / f"_part{i}"
+        tile = ev.filter(F.col("tile") == i).drop("tile")
+        rows += tile.count()
+        tile.coalesce(1).write.mode("overwrite").parquet(str(part_dir))
+        part_file = glob.glob(str(part_dir / "part-*.parquet"))[0]
+        shutil.copy(part_file, str(src / f"{i:02d}.parquet"))
+        time.sleep(0.05)  # distinct mtimes → deterministic pickup order
+    return rows
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Append-mode watermarked windows: every emitted (window, type) row
+    must equal the batch groupBy on the same data, and windows the final
+    watermark hasn't passed are withheld (append-mode finality)."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.streaming.aggregates import start_hourly_counts
+    from logsdb_spark.streaming.ingest import run_until_drained
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    _write_event_files(spark, src, n_files=3)
+
+    run_until_drained(start_hourly_counts(spark, str(src), str(out), 1))
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(out / "hourly_counts")).collect()
+    }
+    assert got, "no windows emitted"
+
+    batch = spark.read.parquet(str(src))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    # emitted rows are final → must match batch exactly
+    for k, v in got.items():
+        assert want[k] == v
+    # withheld rows are exactly the not-yet-finalized tail: the final
+    # watermark trails max(ts) by 1h, so the newest window(s) must be
+    # absent (append-mode finality), everything emitted is a subset
+    assert set(got) <= set(want)
+    assert len(got) < len(want)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState cumulative totals: the LAST changelog row
+    per user must equal the batch count/sum — state survives across
+    micro-batches (3 files, maxFilesPerTrigger=1 → 3 batches)."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.streaming.aggregates import start_running_totals
+    from logsdb_spark.streaming.ingest import run_until_drained
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    _write_event_files(spark, src, n_files=3)
+
+    run_until_drained(start_running_totals(spark, str(src), str(out), 1))
+
+    log = spark.read.parquet(str(out / "user_totals"))
+    assert log.select("batch_id").distinct().count() >= 2, "expected multiple batches"
+    final = (
+        log.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in final.collect()}
+
+    batch = spark.read.parquet(str(src))
+    want = {
+        r.user_id: (r.n, r.v)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
