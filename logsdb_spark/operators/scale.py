@@ -1,0 +1,90 @@
+"""Scale techniques: bucketed co-located joins and skew salting.
+
+These are the two shuffle-control tools the query library leans on when
+the driver testdata becomes a 100 TB deployment:
+
+- **Bucketing** (``write_bucketed`` / ``bucketed_join``): persist both
+  fact tables hash-bucketed (and sorted) by their join key. A
+  subsequent equi-join on that key reads co-located buckets and plans a
+  sort-merge join with NO Exchange on either side — the orderkey
+  shuffle that dominates lineitem⋈orders simply disappears, traded for
+  one-time layout cost at write. This is the Spark-native analogue of
+  the reference delegating join locality to PostgreSQL's storage
+  (SURVEY §4 — the reference has no layout control at all).
+
+- **Salting** (``salted_join``): when one join key carries a
+  disproportionate share of rows, hash-partitioning sends the whole hot
+  key to one task. Salting splits the big side's hot rows across
+  ``n_salts`` sub-keys (deterministically, from full-row content) and
+  replicates the small side per salt, so the hot key's work spreads
+  over n_salts tasks. AQE's skew-join split handles *moderate* skew at
+  runtime; explicit salting is for the pathological case where a single
+  key exceeds what one task can hold at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed and sorted by ``key``. Bucket count
+    should be sized so one bucket of the LARGEST co-bucketed table fits
+    a task comfortably (at 100 TB lineitem and 32 GB target splits,
+    that's thousands of buckets — the catalog cost is trivial)."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables bucketed on ``key``: planned as an exchange-free
+    sort-merge join (both scans report the same HashPartitioning)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side's rows get a deterministic
+    content-derived salt in [0, n_salts); the small side is replicated
+    once per salt; the join key becomes (key, salt), spreading any hot
+    key over n_salts tasks. Output equals ``big.join(small, key)``
+    row-for-row (the salt columns never leave this function).
+
+    The salt derives from xxhash64 over ALL big-side columns — rows of
+    the same hot key differ somewhere, so they spread; identical
+    duplicate rows co-locate, which is harmless (duplicates carry the
+    same join result). Replication cost: |small| × n_salts rows — keep
+    n_salts at the skew factor you need to flatten, not higher."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    big_salted = big.withColumn("_salt", salt)
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_salted.join(small_salted, [key, "_salt"], how).drop("_salt")

@@ -1,0 +1,73 @@
+"""Plan-level verification of the scale techniques (operators/scale.py):
+bucketed joins must eliminate the shuffle, salted joins must partition
+on (key, salt) and return exactly the plain-join result.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsdb_spark.catalog import load_table
+from logsdb_spark.operators.scale import bucketed_join, salted_join, write_bucketed
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle joins so plan assertions see the exchange (or its
+    absence) rather than a broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    if old_aqe is not None:
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    """lineitem⋈orders on orderkey: with both sides bucketed by the key,
+    the physical plan must contain NO Exchange — the co-located buckets
+    are read directly into the sort-merge join."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "orderkey"),
+        "t_li_bucketed", "orderkey", 8, str(tmp_path / "li"),
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "orderkey"),
+        "t_ord_bucketed", "orderkey", 8, str(tmp_path / "ord"),
+    )
+    try:
+        joined = bucketed_join(spark, "t_li_bucketed", "t_ord_bucketed", "orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and it computes the same thing as the plain join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_salted_join_matches_plain_join(spark, no_broadcast):
+    """Salted join result must equal the unsalted join row-for-row, and
+    its exchange must partition on (key, _salt)."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4)
+    plain = li.join(orders, "l_orderkey")
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan and "hashpartitioning(l_orderkey" in plan, plan
+
+    got = sorted(tuple(r) for r in salted.collect())
+    want = sorted(tuple(r) for r in plain.collect())
+    assert got == want
