@@ -714,3 +714,70 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "tpch_q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+           COUNT(*) AS line_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size <= 10
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted — no partsupp): distinct-supplier counts per
+    (brand, size). COUNT(DISTINCT) plans as expand + two-phase agg: the
+    distinct pairs are reduced map-side before the single shuffle, so
+    the exchange carries (group, suppkey) pairs, not lines."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+@register(
+    "rollup_event_totals",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(EXTRACT(year FROM ts) AS VARCHAR), '(all)') AS yr,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, EXTRACT(year FROM ts))
+    ORDER BY event_type, yr
+    """,
+)
+def rollup_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over (event_type, year): per-(type, year)
+    rows, per-type subtotals, and the grand total in ONE pass — Spark
+    plans an Expand (3 grouping sets) feeding a single partial+final
+    aggregation, replacing the reference's client-side re-summation
+    (A2, apache_access.py:71-76) with an engine-side grouping set."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.year("ts").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("(all)")).alias("yr"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "yr")
+    )
