@@ -109,3 +109,77 @@ def run_until_drained(query: StreamingQuery, timeout_sec: float = 120.0) -> None
     query.awaitTermination(timeout_sec)
     if query.isActive:
         query.stop()
+
+
+def ingest_maillog(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    now=None,
+) -> StreamingQuery:
+    """S3 streaming ingest with the upsert choreography (reference
+    process: maillog.py:141-163 → insert_entry 80-104): binaryFile
+    stream (one file per message, the analogue of one stdin read per
+    invocation) → header parse (Arrow-batched mapInPandas) → per batch:
+
+    1. contacts dim: batch's distinct contacts anti-joined against the
+       existing dim, ONLY the new ones appended (J3 parity — the dim is
+       append-only, never rewritten);
+    2. inbox facts: stable ids = row_number within batch + current
+       table count (single-writer, like the reference);
+    3. tocc bridge rows appended per distinct recipient.
+
+    At 100 TB-of-mail scale the count-based id offset would move into
+    checkpoint metadata; the dim stays broadcast-sized by nature
+    (contacts grow sublinearly in messages).
+    """
+    from ..operators import upsert
+    from ..sources import maillog
+
+    # binaryFile's schema is fixed but streaming sources require it
+    # stated explicitly.
+    binary_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    files = (
+        spark.readStream.format("binaryFile").schema(binary_schema).load(source_dir)
+    )
+    parsed = maillog.parse_email_messages(files, now=now)
+
+    contacts_path = os.path.join(out_dir, "inbox_contacts")
+    inbox_path = os.path.join(out_dir, "inbox")
+    tocc_path = os.path.join(out_dir, "inbox_tocc")
+    checkpoint = os.path.join(out_dir, "_checkpoints/maillog")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_contacts = upsert.extract_batch_contacts(batch_df)
+            new_contacts = upsert.upsert_contacts(None, batch_contacts)
+            base_id = 0
+            if os.path.exists(contacts_path):
+                existing = spark.read.parquet(contacts_path)
+                new_contacts = new_contacts.join(
+                    F.broadcast(existing.select("id")), "id", "left_anti"
+                )
+                base_id = spark.read.parquet(inbox_path).count()
+            new_contacts.write.mode("append").parquet(contacts_path)
+
+            inbox_batch = upsert.build_inbox_batch(batch_df, base_id=base_id)
+            inbox_batch.persist()
+            try:
+                inbox_batch.drop("recipients").write.mode("append").parquet(inbox_path)
+                upsert.build_tocc_bridge(inbox_batch).write.mode("append").parquet(
+                    tocc_path
+                )
+            finally:
+                inbox_batch.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -188,3 +188,72 @@ def test_stateful_running_totals(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_maillog_stream_ingest_with_upsert(spark, tmp_path):
+    """S3 streaming ingest: two batches of .eml files; the contacts dim
+    must be append-only (shared contacts not re-inserted), inbox ids
+    must continue across batches, and the bridge must resolve."""
+    from datetime import datetime, timezone
+
+    from logsdb_spark.operators.upsert import inbox_with_contacts
+    from logsdb_spark.streaming.ingest import ingest_maillog, run_until_drained
+
+    now = datetime(2026, 8, 12, 12, 0, 0, tzinfo=timezone.utc)
+    src, out = tmp_path / "mail", tmp_path / "out"
+    src.mkdir()
+    msg_a = (
+        b'From: "Alice A" <alice@example.org>\n'
+        b"To: bob@mydomain.example\n"
+        b"Date: Tue, 12 Aug 2026 09:15:00 +0200\n"
+        b"Subject: one\n\nx\n"
+    )
+    msg_b = (
+        b'From: "Bob B" <bob@mydomain.example>\n'
+        b"To: alice@example.org, carol@mydomain.example\n"
+        b"Date: Tue, 12 Aug 2026 10:15:00 +0200\n"
+        b"Subject: two\n\ny\n"
+    )
+    # msg_c re-uses ONLY batch-1 contact pairs — the cross-batch
+    # anti-join must not re-insert them.
+    msg_c = (
+        b'From: "Alice A" <alice@example.org>\n'
+        b"To: bob@mydomain.example\n"
+        b"Date: Tue, 12 Aug 2026 11:15:00 +0200\n"
+        b"Subject: three\n\nz\n"
+    )
+    (src / "a.eml").write_bytes(msg_a)
+    run_until_drained(ingest_maillog(spark, str(src), str(out), now=now))
+    (src / "b.eml").write_bytes(msg_b)
+    (src / "c.eml").write_bytes(msg_c)
+    run_until_drained(ingest_maillog(spark, str(src), str(out), now=now))
+
+    contacts = spark.read.parquet(str(out / "inbox_contacts"))
+    inbox = spark.read.parquet(str(out / "inbox"))
+    tocc = spark.read.parquet(str(out / "inbox_tocc"))
+
+    # Contact identity is the (realname, email) PAIR (reference
+    # UNIQUE(realname, email_address), maillog.py:16): named and bare
+    # forms of the same address are distinct contacts — alice appears
+    # named (From, batch 1) and bare (To, batch 2), bob bare (To,
+    # batch 1) and named (From, batch 2); carol once. Re-seen pairs are
+    # NOT re-inserted (append-only dim).
+    emails = sorted(r.email_address for r in contacts.collect())
+    assert emails.count("alice@example.org") == 2  # named + bare
+    assert emails.count("bob@mydomain.example") == 2  # bare + named
+    assert emails.count("carol@mydomain.example") == 1
+    assert contacts.count() == 5
+    assert contacts.count() == contacts.select("id").distinct().count()
+
+    # inbox ids continue across batches: batch1 -> 1, batch2 -> 2, 3
+    assert sorted(r.id for r in inbox.collect()) == [1, 2, 3]
+    assert inbox.filter("subject = 'two'").collect()[0].id == 2
+
+    # bridge resolves: message 'two' has 2 recipients
+    resolved = inbox_with_contacts(inbox, contacts, tocc)
+    two = resolved.filter("subject = 'two'").collect()[0]
+    assert [r.email_address for r in two.tocc] == [
+        "alice@example.org",
+        "carol@mydomain.example",
+    ]
+    assert two.sender_realname == "Bob B"
