@@ -242,3 +242,52 @@ def get_daily_report(
     stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", now.utctimetuple())
     subject += f"Status Report: {hostname}, {stamp}"
     return DailyReport(subject, body)
+
+
+def run_daily_report(spark, cfg, host: HostState, now: datetime,
+                     local_domains: set[str] | None = None) -> DailyReport:
+    """Config-driven orchestration (reference dailyreport.py:116-142 +
+    __main__.py:57-61): load the ingested tables from
+    ``cfg.storage.tables_dir`` and assemble the report, with each DB
+    section gated on its feature flag (config.py:19-22 →
+    dailyreport.py:125-130). Missing tables with the flag ON raise —
+    same as the reference querying a table it never created.
+
+    Sections are passed as thunks so a disabled flag means the query is
+    never built, let alone run (the reference skips the SELECT
+    entirely)."""
+    import os
+
+    from ..operators.upsert import inbox_with_contacts
+
+    def _load(name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(cfg.storage.tables_dir, name))
+
+    mail_section = None
+    if cfg.features.maillog:
+        resolved = inbox_with_contacts(
+            _load("inbox"), _load("inbox_contacts"), _load("inbox_tocc")
+        )
+        mail_section = lambda: maillog_daily_report(  # noqa: E731
+            resolved, now, local_domains or set()
+        )
+
+    authfail_section = None
+    if cfg.features.authfail:
+        authfail_section = lambda: authfail_daily_report(  # noqa: E731
+            _load("authfail"), now
+        )
+
+    apache_section = None
+    if cfg.features.apache_access:
+        apache_section = lambda: apache_daily_report(  # noqa: E731
+            _load("apache_access"), now
+        )
+
+    return get_daily_report(
+        now,
+        host,
+        mail_section=mail_section,
+        authfail_section=authfail_section,
+        apache_section=apache_section,
+    )

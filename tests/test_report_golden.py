@@ -197,3 +197,52 @@ def test_nothing_to_report():
     # sections empty; emulate the fallback path directly:
     assert "Load: 0.0, 0.0, 0.0" in rep.body
     assert rep.subject == f"Status Report: {__import__('socket').gethostname()}, 2026-08-13T00:00:00Z"
+
+
+def test_run_daily_report_end_to_end(spark, tmp_path):
+    """Ingest → config-gated report (dailyreport.py:116-142 +
+    __main__.py flow): stream real log lines in, then assemble the
+    report from the written tables with only the authfail flag on —
+    the apache/mail sections must not appear; flip apache on and its
+    table is missing → raises like the reference querying an
+    uncreated table would."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from logsdb_spark.config import Config
+    from logsdb_spark.report.dailyreport import HostState, run_daily_report
+    from logsdb_spark.streaming.ingest import ingest_authfail, run_until_drained
+
+    src = tmp_path / "src"
+    out = tmp_path / "tables"
+    src.mkdir()
+    (src / "auth.log").write_text(
+        "2026-08-12T14:03:11+00:00 h sshd[1]: Failed password for root "
+        "from 198.51.100.23 port 1 ssh2\n"
+    )
+    run_until_drained(ingest_authfail(spark, str(src), str(out)))
+
+    def cfg_with(**flags):
+        return Config.from_dict(
+            {
+                "storage": {"tables_dir": str(out), "checkpoint_dir": str(tmp_path / "ckpt")},
+                "features": flags,
+                "dailyreport": {"recipient": "r@x", "mailbox": "m", "logs_dir": "l"},
+            }
+        )
+
+    now = datetime(2026, 8, 12, 18, 0, 0, tzinfo=timezone.utc)
+    rep = run_daily_report(spark, cfg_with(authfail=True), HostState(), now)
+    assert "Failed SSH login attempts" in rep.body
+    assert "198.51.100.23" in rep.body
+    assert "Website activity" not in rep.body
+    assert "E-mails received" not in rep.body
+
+    # flag off → section (and its query) never built
+    rep2 = run_daily_report(spark, cfg_with(), HostState(), now)
+    assert "Failed SSH login attempts" not in rep2.body
+
+    # flag on but table never ingested → error, like the reference
+    with _pytest.raises(Exception):
+        run_daily_report(spark, cfg_with(apache_access=True), HostState(), now)
