@@ -119,24 +119,24 @@ def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM) -> DataFrame:
 
 
 def lsh_candidate_pairs(signed: DataFrame, n_bands: int = N_BANDS,
-                        rows_per_band: int = ROWS_PER_BAND,
-                        n_perm: int = N_PERM) -> DataFrame:
+                        rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
     """Band the signature, hash each band, group docs by
-    (band_idx, band_hash) bucket, emit all intra-bucket pairs (a < b)
-    with ``est_jac`` = signature-agreement fraction (the unbiased
-    MinHash jaccard estimate), computed in place.
+    (band_idx, band_hash) bucket, emit all intra-bucket pairs (a < b).
 
     Bucket-grouped generation beats the naive self-join two ways at
     scale: (1) the signature pipeline is computed ONCE, not once per
     join side; (2) the single shuffle key is the band hash — the same
     key the join would shuffle on — but the join's probe-side build
-    disappears. Carrying the signature into the bucket lets the caller
-    discard the (measured ~700:1 on the driver corpus) hash-collision
-    noise BEFORE the expensive exact-verify join ever sees it. Skew
-    bound: a bucket of k docs emits k²/2 pairs in one row; true
-    dup-group sizes bound k (collision noise is ~uniform), so no
-    quadratic blowup on non-duplicate corpora. A defensive cap/salt
-    per bucket is the standard guard if a pathological corpus shows up."""
+    disappears. Skew bound: a bucket of k docs emits k²/2 pairs in one
+    row; true dup-group sizes bound k (collision noise is ~uniform), so
+    no quadratic blowup on non-duplicate corpora. A defensive cap/salt
+    per bucket is the standard guard if a pathological corpus shows up.
+
+    Deliberately emits ONLY id pairs: an earlier form carried the
+    signatures into the buckets and computed the jaccard estimate in a
+    nested transform — correct, but the deep HOF tree cost ~2.5s more
+    in Janino compile per cold session than joining the (narrow)
+    signature table back afterwards (see estimate_jaccard)."""
     # Bands generated by one transform over a sequence (tree O(1) in
     # n_bands — same planning-cost rationale as minhash_signatures).
     bands = F.transform(
@@ -148,41 +148,50 @@ def lsh_candidate_pairs(signed: DataFrame, n_bands: int = N_BANDS,
             ).alias("band_hash"),
         ),
     )
-    exploded = signed.select("doc_id", "sig", F.explode(bands).alias("b")).select(
-        "doc_id", "sig", "b.band_idx", "b.band_hash"
+    exploded = signed.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_hash"
     )
-    # array_sort on (doc_id, sig) structs orders by doc_id (struct
-    # ordering is field-ordinal) → pairs come out a < b.
     buckets = (
         exploded.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     pairs = F.flatten(
         F.transform(
-            F.col("ds"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("id_a"),
-                    y["doc_id"].alias("id_b"),
-                    (
-                        F.size(
-                            F.filter(
-                                F.zip_with(x["sig"], y["sig"], lambda u, v: u == v),
-                                lambda eq: eq,
-                            )
-                        )
-                        / F.lit(n_perm)
-                    ).alias("est_jac"),
-                ),
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.est_jac")
+        .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def estimate_jaccard(candidates: DataFrame, signed: DataFrame,
+                     n_perm: int = N_PERM) -> DataFrame:
+    """Attach ``est_jac`` (signature-agreement fraction — the unbiased
+    MinHash jaccard estimate) to candidate pairs by joining the narrow
+    signature table twice. Lets callers discard the (measured ~700:1 on
+    the driver corpus) hash-collision noise BEFORE the expensive
+    exact-verify join — signatures are n_perm ints per doc vs a full
+    shingle set."""
+    sa = signed.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signed.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda u, v: u == v), lambda e: e)
+        )
+        / F.lit(n_perm)
+    )
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jac"))
     )
 
 
@@ -225,7 +234,8 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     removed by the exact verify, so the prefilter only ever affects
     recall through that 1e-8 tail."""
     shingled = shingle_sets(docs, text_col).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(shingled)).filter(
+    signed = minhash_signatures(shingled).persist()
+    cands = estimate_jaccard(lsh_candidate_pairs(signed), signed).filter(
         F.col("est_jac") >= threshold - 0.2
     )
     return verify_pairs(cands, shingled, threshold)
