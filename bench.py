@@ -35,6 +35,9 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
+    "ann_ivf",
+    "sessionize_events",
+    "winnow_fingerprint",
     "text_quality_stats",
 ]
 

@@ -71,3 +71,25 @@ def test_salted_join_matches_plain_join(spark, no_broadcast):
     got = sorted(tuple(r) for r in salted.collect())
     want = sorted(tuple(r) for r in plain.collect())
     assert got == want
+
+
+def test_date_partitioned_sink_prunes(spark, tmp_path):
+    """The ingest sinks partition by event date so the daily-report
+    window (P2) becomes a partition-pruning scan: the plan must show a
+    PartitionFilters entry and read only the matching partition."""
+    from logsdb_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_partitioned")
+    ev.write.partitionBy("event_date").parquet(path)
+
+    pt = spark.read.parquet(path)
+    one_day = pt.filter(F.col("event_date") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan
+    # pruned scan reads exactly the partition's rows
+    want = ev.filter(F.to_date("ts") == "2024-01-02").count()
+    assert want > 0
+    assert one_day.count() == want
