@@ -33,6 +33,12 @@ from ..sources import apache_access, authfail
 ParseFn = Callable[[DataFrame], DataFrame]
 
 
+class StrictIngestError(RuntimeError):
+    """Raised (inside the stream, surfacing via awaitTermination) when
+    strict mode meets an unparsable line — the reference's
+    halt-on-first-error exit(1) (apache_access.py:128-143)."""
+
+
 def _ingest_stream(
     spark: SparkSession,
     source_dir: str,
@@ -41,8 +47,16 @@ def _ingest_stream(
     good: Callable[[DataFrame], DataFrame],
     dead: Callable[[DataFrame], DataFrame],
     table_name: str,
+    strict: bool = False,
 ) -> StreamingQuery:
-    """text-file stream → parse → (events, dead_letters) appends."""
+    """text-file stream → parse → (events, dead_letters) appends.
+
+    ``strict=True`` restores the reference's halt-on-first-error policy
+    (K2, apache_access.py:143): the batch fails before ANY append if it
+    contains unparsable lines, so a re-run after fixing input repeats
+    the whole batch — per-micro-batch atomicity is strictly stronger
+    than the reference's halt-mid-stream (already-committed rows stay
+    there, core.py:46-48)."""
     lines = spark.readStream.format("text").load(source_dir)
     parsed = parse(lines)
 
@@ -53,6 +67,13 @@ def _ingest_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
+            if strict:
+                bad = dead(batch_df).limit(1).collect()
+                if bad:
+                    raise StrictIngestError(
+                        f"{table_name} batch {batch_id}: unparsable line: "
+                        f"{bad[0].asDict()!r}"
+                    )
             (
                 good(batch_df)
                 .withColumn("event_date", F.to_date("timestamp"))
@@ -75,7 +96,7 @@ def _ingest_stream(
 
 
 def ingest_apache_access(
-    spark: SparkSession, source_dir: str, out_dir: str
+    spark: SparkSession, source_dir: str, out_dir: str, strict: bool = False
 ) -> StreamingQuery:
     """S1 streaming ingest (reference process: apache_access.py:87-143)."""
     return _ingest_stream(
@@ -86,11 +107,12 @@ def ingest_apache_access(
         apache_access.good_events,
         apache_access.dead_letters,
         "apache_access",
+        strict=strict,
     )
 
 
 def ingest_authfail(
-    spark: SparkSession, source_dir: str, out_dir: str
+    spark: SparkSession, source_dir: str, out_dir: str, strict: bool = False
 ) -> StreamingQuery:
     """S2 streaming ingest (reference process: authfail.py:65-97)."""
     return _ingest_stream(
@@ -101,6 +123,7 @@ def ingest_authfail(
         authfail.good_events,
         authfail.dead_letters,
         "authfail",
+        strict=strict,
     )
 
 

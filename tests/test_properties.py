@@ -1,0 +1,143 @@
+"""Property-based tests (SURVEY §5 — the reference has none; hypothesis
+generates the adversarial inputs a hand-written corpus misses).
+
+Spark jobs are expensive per-example, so every property runs on LISTS:
+hypothesis generates a batch, one Spark job evaluates all of it.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from logsdb_spark.functions.scalars import longint
+from logsdb_spark.sources.apache_access import parse_apache_lines
+from logsdb_spark.sources.authfail import parse_authfail_lines
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _reference_longint(n: int) -> str:
+    """Verbatim re-implementation of reference core.py:51-57."""
+    ns = str(n)
+    nl = len(ns)
+    triples = [ns[i : i + 3] for i in range(nl % 3, nl, 3)]
+    if nl % 3:
+        triples = [ns[: nl % 3]] + triples
+    return " ".join(triples)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_longint_matches_reference(spark, values):
+    df = spark.createDataFrame([Row(n=v) for v in values])
+    got = {r.n: r.s for r in df.select("n", longint("n").alias("s")).collect()}
+    for v in values:
+        assert got[v] == _reference_longint(v)
+
+
+# Apache tail strings ride inside a JSON-ish literal list (reference
+# parses it with ast.literal_eval, we parse with from_json): quotes,
+# backslashes and control chars don't survive EITHER parser — exclude
+# them, as Apache's own escaping would. Pipes would split the line.
+_tail_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), blacklist_characters='"\\|'
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+_apache_fields = st.tuples(
+    st.integers(0, 2**31 - 1),  # port
+    st.integers(0, 2**40),      # bytesin
+    st.integers(0, 2**40),      # bytesout
+    st.integers(0, 2**40),      # microsecs
+    st.integers(100, 599),      # status
+    _tail_text,                 # authuser
+    _tail_text,                 # reqline
+    _tail_text,                 # user_agent
+)
+
+
+@given(st.lists(_apache_fields, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_apache_parse_roundtrip(spark, field_rows):
+    """Build log lines exactly as Apache would (including the latin-1
+    mangling of utf-8 header bytes — reference reencode,
+    apache_access.py:146-147), parse, and demand every field back."""
+    ts = datetime(2026, 8, 12, 10, 0, 0, tzinfo=timezone.utc)
+
+    def mangle(s: str) -> str:
+        return s.encode("utf-8").decode("iso-8859-1")
+
+    lines, want = [], []
+    for i, (port, bin_, bout, micro, status, authuser, reqline, ua) in enumerate(
+        field_rows
+    ):
+        t = ts + timedelta(seconds=i)
+        tail = ", ".join(
+            f'"{mangle(s)}"'
+            for s in (authuser, reqline, "GET", "/x", "HTTP/1.1", "-", ua)
+        )
+        lines.append(
+            f"{t:%Y-%m-%d %H:%M:%S +0000}|host.example|{port}|198.51.100.7|"
+            f"{bin_}|{bout}|{micro}|{status}|[{tail}]"
+        )
+        want.append((port, bin_, bout, micro, status, authuser, reqline, ua))
+
+    parsed = parse_apache_lines(spark.createDataFrame([Row(value=ln) for ln in lines]))
+    assert parsed.filter("_corrupt").count() == 0
+    got = [
+        (r.port, r.bytesin, r.bytesout, r.microsecs, r.status, r.authuser,
+         r.reqline, r.user_agent)
+        for r in parsed.orderBy("timestamp").collect()
+    ]
+    assert got == want
+
+
+_username = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=16,
+)
+_ip = st.tuples(*[st.integers(1, 254)] * 4).map(lambda t: ".".join(map(str, t)))
+
+
+@given(
+    st.lists(
+        st.tuples(_username, _ip, st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_authfail_parse_roundtrip(spark, rows):
+    """Both reference regex shapes (authfail.py:48-62), with and without
+    the 'invalid user' marker, must yield (username, src_addr) back."""
+    lines, want = [], []
+    for i, (user, ip, invalid_user, second_shape) in enumerate(rows):
+        ts = f"2026-08-12T14:03:{i % 60:02d}+00:00"
+        if second_shape:
+            lines.append(f"{ts} host sshd[7]: Invalid user {user} from {ip} port 4242")
+        else:
+            marker = "invalid user " if invalid_user else ""
+            lines.append(
+                f"{ts} host sshd[7]: Failed password for {marker}{user} "
+                f"from {ip} port 4242 ssh2"
+            )
+        want.append((user, ip))
+
+    parsed = parse_authfail_lines(
+        spark.createDataFrame([Row(value=ln) for ln in lines])
+    )
+    assert parsed.filter("_corrupt").count() == 0
+    got = [(r.username, r.src_addr) for r in parsed.collect()]
+    assert sorted(got) == sorted(want)

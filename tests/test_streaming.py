@@ -152,6 +152,7 @@ def test_stateful_running_totals(spark, tmp_path):
     per user must equal the batch count/sum — state survives across
     micro-batches (3 files, maxFilesPerTrigger=1 → 3 batches)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from logsdb_spark.streaming.aggregates import start_running_totals
     from logsdb_spark.streaming.ingest import run_until_drained
@@ -167,9 +168,7 @@ def test_stateful_running_totals(spark, tmp_path):
         log.withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("user_id")
-                .orderBy(F.desc("batch_id"))
+                Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
             ),
         )
         .filter(F.col("rn") == 1)
@@ -257,3 +256,21 @@ def test_maillog_stream_ingest_with_upsert(spark, tmp_path):
         "carol@mydomain.example",
     ]
     assert two.sender_realname == "Bob B"
+
+
+def test_strict_ingest_halts_on_bad_line(spark, tmp_path):
+    """strict=True restores the reference's halt-on-first-error policy
+    (apache_access.py:143): the query fails, and the batch's good rows
+    are NOT committed (per-batch atomicity)."""
+    import pytest
+
+    from logsdb_spark.streaming.ingest import ingest_apache_access
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    (src / "a.log").write_text(APACHE_OK + "\ngarbage\n")
+
+    q = ingest_apache_access(spark, str(src), str(out), strict=True)
+    with pytest.raises(Exception, match="StrictIngestError|unparsable"):
+        q.awaitTermination(120)
+    assert not (out / "apache_access").exists()
