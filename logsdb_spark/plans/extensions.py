@@ -609,3 +609,37 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("fp_min"),
         xor_all.alias("fp_xor"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len({_NORM_SQL}) - 1, 2)),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    )
+    SELECT id_a, id_b, jac FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    WHERE jac >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram Jaccard near-dup pairs >= 0.8 — the tokenizer-free
+    dedup variant (works on unsegmented languages). Char trigrams carry
+    ~0.45 median background similarity on this corpus (vs ~0 for word
+    bigrams), so the threshold sits above the background tail (empty
+    (0.7, 0.9) gap; planted dups >= 0.9). Spark intersects
+    xxhash64-hashed shingle sets (jaccard is hash-invariant; the oracle
+    intersects the raw strings and must agree to 4 decimals)."""
+    from ..operators.dedup import char_ngram_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_ngram_near_dups(docs, n=3, threshold=0.8).orderBy("id_a", "id_b")
