@@ -33,6 +33,7 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
     "ann_ivf",

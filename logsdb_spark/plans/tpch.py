@@ -781,3 +781,305 @@ def rollup_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "yr")
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT ps.l_partkey, ps.unit_cost, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT ROUND(e.s_acctbal, 4) AS acctbal, e.s_name AS sname,
+           e.n_name AS nation, p.p_partkey AS partkey,
+           ROUND(e.unit_cost, 4) AS supplycost
+    FROM eu e JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                         WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY acctbal DESC, nation, sname, partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted — no partsupp table in the testdata, so the
+    part↔supplier cost relation is derived from lineitem: unit cost =
+    min observed l_extendedprice/l_quantity per (part, supplier)).
+
+    Spark-first shape for the classic correlated-MIN subquery: instead
+    of a self-joining subquery per row, the per-part minimum rides a
+    window over the ALREADY-AGGREGATED (part, supplier) cost table —
+    the window input is |parts × suppliers-per-part| rows, orders of
+    magnitude smaller than lineitem. The filtered part dim broadcasts
+    into the scan side BEFORE the heavy groupBy, so at 100 TB the agg
+    only touches lineitems of qualifying parts (the per-part min is
+    unchanged by restricting to those parts — correlation is per-part).
+    Dims (supplier⋈nation⋈region) broadcast. Mirrors reference query
+    style only in spirit; no reference analogue (SURVEY §2.12 scope)."""
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup_eu = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu = ps.join(F.broadcast(sup_eu), ps.l_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            F.round("s_acctbal", 4).alias("acctbal"),
+            F.col("s_name").alias("sname"),
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("partkey"),
+            F.round("unit_cost", 4).alias("supplycost"),
+        )
+        .orderBy(F.desc("acctbal"), "nation", "sname", "partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_part_values",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey AS partkey,
+             SUM(l.l_extendedprice * l.l_quantity) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, ROUND(val, 4) AS val
+    FROM v WHERE val > (SELECT SUM(val) * 0.001 FROM v)
+    ORDER BY val DESC, partkey
+    """,
+)
+def tpch_q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted — part "inventory value" proxied by shipped
+    extendedprice×quantity per part for ASIA-nation suppliers).
+
+    The HAVING-against-global-total pattern: per-part values and the
+    grand total both hang off the SAME aggregate subtree, so Catalyst
+    materializes the shuffle once and the total branch reads it as a
+    ReusedExchange — one pass over lineitem at any scale. The scalar
+    total then broadcasts into the filter. No window-over-everything
+    (a no-partition window would serialize on one task at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup_asia = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(sup_asia), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("_val"))
+    )
+    thr = v.agg((F.sum("_val") * F.lit(0.001)).alias("_thr"))
+    return (
+        v.join(F.broadcast(thr))
+        .filter(F.col("_val") > F.col("_thr"))
+        .select("partkey", F.round("_val", 4).alias("val"))
+        .orderBy(F.desc("val"), "partkey")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders. The classic
+    correlated per-part AVG is decorrelated into a groupBy over ONLY
+    the lineitems of qualifying parts (the broadcast part filter prunes
+    the scan first; per-part AVG is invariant under that pruning), then
+    broadcast back — no lineitem self-join ever materializes. At 100 TB
+    both passes read a partkey-pruned sliver of the fact table."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    cutoff = pruned.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cut")
+    ).withColumnRenamed("l_partkey", "_ck")
+    return (
+        pruned.join(F.broadcast(cutoff), pruned.l_partkey == F.col("_ck"))
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+    WITH cut AS (SELECT MAX(l_shipdate) - INTERVAL 365 DAY AS d FROM lineitem),
+    q AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+      FROM lineitem WHERE l_shipdate > (SELECT d FROM cut)
+      GROUP BY l_partkey, l_suppkey
+    ),
+    t AS (SELECT l_partkey, SUM(sq) AS tq FROM q GROUP BY l_partkey)
+    SELECT s.s_name AS sname, n.n_name AS nation
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT q.l_suppkey
+      FROM q JOIN t ON t.l_partkey = q.l_partkey
+      JOIN part p ON p.p_partkey = q.l_partkey
+      WHERE p.p_name LIKE 'small%' AND q.sq > 0.5 * t.tq
+    )
+    ORDER BY sname
+    """,
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted — no ps_availqty, so "holds excess stock"
+    becomes "dominant supplier": shipped >50% of a small%-part's total
+    quantity in the trailing year).
+
+    The nested-aggregate IN-subquery decorrelates into: one
+    (part, supplier) agg → per-part total via a SECOND agg over the
+    first (tiny input, ReusedExchange on the shared subtree) → ratio
+    filter → left-semi join into supplier. The year cut and the part
+    name filter both push into the parquet scan; the semi join
+    broadcasts the qualifying suppkey set (bounded by |supplier|)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cut = li.agg((F.max("l_shipdate") - F.expr("INTERVAL 365 DAY")).alias("_d"))
+    q = (
+        li.join(F.broadcast(cut))
+        .filter(F.col("l_shipdate") > F.col("_d"))
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    t = q.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("sq").alias("tq"))
+    dominant = (
+        q.join(F.broadcast(t), q.l_partkey == F.col("_pk"))
+        .filter(F.col("sq") > F.lit(0.5) * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(dominant), sup.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select(F.col("s_name").alias("sname"), F.col("n_name").alias("nation"))
+        .orderBy("sname")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    st AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM l1 GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS sname, COUNT(*) AS numwait
+    FROM l1 JOIN st ON st.l_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late AND st.n_supp > 1 AND st.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, sname
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted — no l_commitdate/l_receiptdate in the
+    testdata, so "late" = shipped >60 days after the order date):
+    suppliers who were the SOLE late supplier on a multi-supplier
+    finalized order.
+
+    The classic EXISTS + NOT-EXISTS pair of lineitem self-joins
+    collapses into ONE groupBy(l_orderkey) computing n_supp and n_late
+    per order — late-row ⇒ own supplier is late, so "no OTHER late
+    supplier" ≡ n_late = 1 and "some other supplier" ≡ n_supp > 1.
+    The two COUNT(DISTINCT)s are computed as a two-level aggregation
+    ((order, supplier) partial → order final) instead of Spark's
+    default multi-distinct Expand plan, which would double every
+    shuffled row; both levels map-side combine. Supplier dim
+    broadcasts at the end. At 100 TB this is the difference between
+    1 and 3 fact-fact joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias(
+            "late"
+        ),
+    )
+    per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("_is_late")
+    )
+    st = per_supp.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("_is_late").alias("n_late"),
+    )
+    return (
+        l1.filter(F.col("late"))
+        .join(st, l1.l_orderkey == F.col("_ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("sname"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "sname")
+    )
