@@ -1,0 +1,138 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do) and executes an
+inequality-only join as BroadcastNestedLoop — quadratic and
+single-minded at scale. Both operators here re-express the semantics
+as ONE hash shuffle each, the way a 100 TB deployment needs:
+
+- ``asof_join``: union the two sides tagged, one window per key
+  ordered by (ts, side) carrying the right payload forward with
+  ``last(ignorenulls)`` — every left row picks up the latest right row
+  with right_ts <= left_ts in a single pass. No reference analogue
+  (SURVEY §2.4 notes the reference has no as-of/range joins —
+  *[extension]* scope per §2.12).
+
+- ``range_count_join``: bound the join range by bucketing both sides
+  into range-width time buckets; a candidate right row is then always
+  in the left row's bucket or the one before, so the inequality
+  becomes an equi-join on (key, bucket) ∈ {b, b-1} plus a cheap exact
+  filter. Fan-out is bounded at 2 candidate buckets per row
+  regardless of data size — the standard interval-join strategy of
+  stream processors (Flink's interval join uses the same keyed
+  bucketing idea).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the LATEST right row
+    with ``right_ts <= left_ts`` for the same key (backward as-of,
+    inclusive); left rows with no prior right row keep nulls.
+
+    Plan shape: unionByName of the two tagged sides → ONE shuffle on
+    ``key`` → running ``last(payload, ignorenulls=True)`` over
+    (ts, side) order (side 0 = right sorts before side 1 = left at
+    equal ts, which is what makes the match inclusive) → keep left
+    rows. The window frame is rows-unbounded-preceding..current — a
+    streaming-friendly running state, no per-row lookback join. At
+    100 TB both sides shuffle once on the key and nothing else."""
+    lcols = [c for c in left.columns]
+    rtypes = dict(right.dtypes)
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"_p_{c}") for c in payload],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r)
+    carried = u.select(
+        "_side",
+        *lcols,
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_a_{c}")
+            for c in payload
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    for c in payload:
+        out = out.withColumnRenamed(f"_a_{c}", c)
+    return out
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    range_seconds: int,
+    left_id: str,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """For each left row, count right rows with the same key whose
+    timestamp falls in ``[left_ts - range_seconds, left_ts]`` —
+    a bounded-lookback interval join + aggregate.
+
+    The inequality predicate alone would force a nested-loop join;
+    bucketing both sides by ``floor(epoch / range_seconds)`` makes
+    every qualifying right row land in the left row's bucket or the
+    previous one, so the plan is: explode the left side to its 2
+    candidate buckets → hash equi-join on (key, bucket) → exact range
+    filter → count per left row → left-join the counts back (absent ⇒
+    0). Each right row is examined by at most the left rows of 2
+    buckets — fan-out bounded by bucket occupancy, not corpus size.
+
+    ``left_id`` must uniquely identify left rows (it keys the count-back
+    join); using a real column keeps the two uses of the left side
+    consistent — monotonically_increasing_id would be lineage-dependent."""
+    bucket_l = F.floor(F.unix_timestamp(F.col(left_ts)) / range_seconds)
+    bucket_r = F.floor(F.unix_timestamp(F.col(right_ts)) / range_seconds)
+    lk = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        F.col(left_id).alias("_lid"),
+        F.explode(F.array(bucket_l, bucket_l - 1)).alias("_b"),
+    )
+    rk = right.select(
+        F.col(key).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        bucket_r.alias("_rb"),
+    )
+    hits = (
+        lk.join(rk, (lk._k == rk._rk) & (lk._b == rk._rb))
+        .filter(
+            (F.col("_rts") <= F.col("_lts"))
+            & (F.col("_rts") >= F.col("_lts") - F.expr(f"INTERVAL {range_seconds} SECOND"))
+        )
+        .groupBy("_lid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        left.join(hits, left[left_id] == hits._lid, "left")
+        .select(*left.columns, F.coalesce(F.col("_n"), F.lit(0)).alias(count_alias))
+    )

@@ -643,3 +643,87 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_ngram_near_dups(docs, n=3, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "asof_join_purchase_view",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.ts AS view_ts, ROUND(v.value, 4) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the latest preceding
+    view (inclusive) by the same user — the attribution-join shape.
+    Spark has no ASOF JOIN; operators/temporal.asof_join re-expresses
+    it as union + one per-user running-last window (single shuffle),
+    checked here against DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.round("value", 4).alias("view_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        payload=["view_ts", "view_value"],
+    ).orderBy("purchase_id")
+
+
+@register(
+    "range_join_error_clicks",
+    oracle="""
+    SELECT e.event_id AS error_id, e.user_id, e.ts,
+           COUNT(c.event_id) AS n_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id, e.ts
+    ORDER BY error_id
+    """,
+)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks by the same user in the 10 minutes
+    before each error. The inequality join that DuckDB runs directly
+    would plan as a nested loop in Spark; operators/temporal
+    .range_count_join buckets both sides by the range width so it
+    becomes a hash equi-join on (user, bucket) with fan-out bounded at
+    2 buckets per row — the Flink-interval-join strategy."""
+    from ..operators.temporal import range_count_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return (
+        range_count_join(
+            errors,
+            clicks,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            range_seconds=600,
+            left_id="event_id",
+            count_alias="n_clicks",
+        )
+        .select(F.col("event_id").alias("error_id"), "user_id", "ts", "n_clicks")
+        .orderBy("error_id")
+    )
