@@ -727,3 +727,37 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_id").alias("error_id"), "user_id", "ts", "n_clicks")
         .orderBy("error_id")
     )
+
+
+@register(
+    "event_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact value quantiles (linear interpolation — Spark's
+    percentile() and DuckDB's quantile_cont share the definition).
+
+    Exact percentile is a sort-based aggregate that buffers each
+    group's values — fine for low-cardinality groups at any row count
+    (5 event types here), since per-group state lives on one reducer.
+    For high-cardinality groups or 100 TB inputs, the scale path is
+    approx_percentile(value, p, accuracy) — a mergeable KLL-style
+    sketch with bounded state; swap-in is one function name."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -274,3 +274,31 @@ def test_strict_ingest_halts_on_bad_line(spark, tmp_path):
     with pytest.raises(Exception, match="StrictIngestError|unparsable"):
         q.awaitTermination(120)
     assert not (out / "apache_access").exists()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once upstream → exactly-once downstream: re-delivered
+    event_ids (duplicates planted within the same and the neighboring
+    micro-batch) are dropped; the output is exactly the distinct set."""
+    import glob
+    import shutil
+
+    from logsdb_spark.streaming.dedup import start_dedup_stream
+    from logsdb_spark.streaming.ingest import run_until_drained
+
+    src, out = tmp_path / "dsrc", tmp_path / "dout"
+    _write_event_files(spark, src, n_files=2)
+
+    # replay file 0 in full as a third file: every row is a duplicate
+    files = sorted(glob.glob(str(src / "*.parquet")))
+    dup = spark.read.parquet(files[0])
+    dup.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_dup"))
+    part = glob.glob(str(tmp_path / "_dup" / "part-*.parquet"))[0]
+    shutil.copy(part, str(src / "99_replay.parquet"))
+
+    run_until_drained(start_dedup_stream(spark, str(src), str(out), 1))
+
+    got = spark.read.parquet(str(out / "deduped"))
+    n_distinct = spark.read.parquet(str(src)).select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
