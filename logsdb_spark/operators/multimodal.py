@@ -90,3 +90,28 @@ def frame_sample_plan(blobs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     return blobs.select(
         "doc_id", F.posexplode(offsets).alias("frame_idx", "byte_offset")
     )
+
+def resize_media(blobs: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize/transcode plumbing: binary in → binary out through an
+    Arrow-batched pandas UDF — the signature and batch shape a real
+    thumbnailer (PIL resize / ffmpeg -s) plugs into.
+
+    The transform itself is a deterministic STUB (truncate or
+    zero-pad to ``target_bytes``; real decode libs aren't in this
+    container). What this pins down for production is the part that
+    is hard to retrofit: payloads stay executor-side end-to-end, the
+    UDF sees pandas Series of bytes (one Arrow batch per ~10k rows,
+    not per row), and the output column is again ``binary`` so
+    downstream stages (metadata extract, frame sampling) compose."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _resize(payloads: pd.Series) -> pd.Series:
+        def fake_resize(p: bytes) -> bytes:
+            b = bytes(p)
+            return b[:target_bytes].ljust(target_bytes, b"\x00")
+
+        return payloads.map(fake_resize)
+
+    return blobs.withColumn("payload", _resize(F.col("payload")))

@@ -761,3 +761,37 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             GREATEST(octet_length(CAST(text AS BLOB)) - 1, 0) AS mx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(off / 1024 AS BIGINT) AS frame_idx,
+           CAST(off AS BIGINT) AS byte_offset
+    FROM (SELECT doc_id, unnest(range(0, mx + 1, 1024)) AS off FROM b)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over binary payloads: one row per 1 KiB
+    offset (where a video pipeline would seek+decode). Pure expression
+    (sequence + posexplode) — no Python in the hot path; the oracle
+    regenerates the offset lattice with DuckDB range/unnest."""
+    from ..operators.multimodal import attach_binary_payload, frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        frame_sample_plan(attach_binary_payload(docs))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("byte_offset").cast("long").alias("byte_offset"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
