@@ -38,6 +38,8 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "ann_ivf",
     "sessionize_events",
+    "asof_join_purchase_view",
+    "range_join_error_clicks",
     "winnow_fingerprint",
     "text_quality_stats",
 ]

@@ -86,3 +86,39 @@ def test_range_count_join_zero_when_no_match(spark):
         left, right, "user", "ts", "ts", 600, left_id="eid", count_alias="n"
     ).collect()
     assert len(out) == 1 and out[0]["n"] == 0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_plans_one_window_no_join(spark):
+    """The as-of join must compile to a window over a union — ONE hash
+    exchange on the key, zero join operators (the naive formulation is
+    a per-row lookback join; the nested-loop plan it would get is the
+    regression this pins against)."""
+    from logsdb_spark.plans.extensions import asof_join_purchase_view
+
+    from conftest import SF_DIR
+
+    df = asof_join_purchase_view(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan          # no join operator at all
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_plans_hash_join_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash-partitioned
+    equi-join (SMJ or SHJ) — never the BroadcastNestedLoopJoin that a
+    raw inequality join degenerates to."""
+    from logsdb_spark.plans.extensions import range_join_error_clicks
+
+    from conftest import SF_DIR
+
+    plan = _plan(range_join_error_clicks(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
