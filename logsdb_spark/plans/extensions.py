@@ -795,3 +795,66 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@register(
+    "set_ops_user_segments",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY user_id
+    """,
+)
+def set_ops_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation segmentation: users who clicked AND purchased but
+    never errored (INTERSECT then EXCEPT, both distinct-set semantics).
+    The reference has no set operations (SURVEY §2.7) — *[extension]*.
+    Each set op hash-shuffles on the full row; with single-column
+    inputs that is one narrow exchange per op, and Catalyst rewrites
+    INTERSECT/EXCEPT into semi/anti aggregates (no naive row compare)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_of(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    return (
+        users_of("click")
+        .intersect(users_of("purchase"))
+        .subtract(users_of("error"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "pivot_event_counts_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
+           COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+           COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+           COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+           COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY yr
+    """,
+)
+def pivot_event_counts_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) event counts per year. The pivot value list is
+    EXPLICIT — with it, Spark plans a single pass (each value becomes a
+    conditional partial agg, same shape as the oracle's CASE sums);
+    without it, Spark first runs a distinct-values job, an extra scan
+    worth avoiding at 100 TB. Unmatched cells coalesce to 0."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy(F.year("ts").cast("long").alias("yr"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return pivoted.select(
+        "yr", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("yr")
