@@ -93,3 +93,37 @@ def test_date_partitioned_sink_prunes(spark, tmp_path):
     want = ev.filter(F.to_date("ts") == "2024-01-02").count()
     assert want > 0
     assert one_day.count() == want
+
+
+def test_q21_aggregates_without_expand(spark):
+    """The double COUNT(DISTINCT) in q21 is hand-lowered to a two-level
+    aggregation; Spark's default multi-distinct plan inserts an Expand
+    that doubles every shuffled row — this pins that it stays gone."""
+    from logsdb_spark.plans.tpch import tpch_q21_waiting_suppliers
+
+    plan = (
+        tpch_q21_waiting_suppliers(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, plan
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HyperLogLog++ is the 100 TB distinct-count path (mergeable
+    fixed-size sketch vs a full shuffle of distinct values). Pin that
+    at the default rsd=5% the estimate lands within 5% of exact on a
+    real column, and that a tightened rsd never does worse."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.select("user_id").distinct().count()
+    approx_default, approx_tight = ev.agg(
+        F.approx_count_distinct("user_id").alias("a"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("t"),
+    ).first()
+    assert abs(approx_default - exact) <= 0.05 * exact
+    assert abs(approx_tight - exact) <= 0.02 * exact
