@@ -858,3 +858,71 @@ def pivot_event_counts_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "yr", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
     ).orderBy("yr")
+
+
+@register(
+    "moving_window_user_values",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mavg5,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 4) AS rsum,
+           FLOOR(EXTRACT(epoch FROM ts - LAG(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def moving_window_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window analytics per user: 5-row moving average,
+    running sum, and lag-based inter-event gap in one pass — ONE
+    shuffle on user_id serves all three frames (Spark computes sibling
+    windows over the same (partition, order) without re-exchanging).
+    Order keys include event_id so ties are deterministic (SURVEY §4
+    trap 1). Gaps use microsecond arithmetic, floored in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 4).alias("mavg5"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("rsum"),
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    ).orderBy("event_id")
+
+
+@register(
+    "customer_balance_ranking",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey), 4)
+             AS pct_rank
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def customer_balance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking (ntile quartiles + percent_rank) over the
+    customer dim. An UNPARTITIONED window is a deliberate choice here:
+    the dim is small at every sf. At fact-table scale a global ntile
+    would serialize on one task — the 100 TB path is approx quantile
+    cutoffs (percentile_approx) broadcast back as bucket boundaries,
+    which this library already exercises in event_value_quantiles."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+    ).orderBy("c_custkey")
