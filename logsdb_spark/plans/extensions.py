@@ -926,3 +926,90 @@ def customer_balance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "cube_event_type_month",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(EXTRACT(month FROM ts) AS VARCHAR), '(all)') AS mon,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, EXTRACT(month FROM ts))
+    ORDER BY event_type, mon
+    """,
+)
+def cube_event_type_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, month): all four grouping sets — cells,
+    both one-dimension margins, and the grand total — in ONE pass
+    (Expand ×4 feeding a single partial+final agg). Complements
+    rollup_event_totals, which only walks the hierarchy. The Expand
+    multiplies map-side rows by the number of grouping sets — the
+    100 TB note is that cube cost is linear in sets, so prefer rollup
+    when the margins you need are hierarchical."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.month("ts").alias("mon"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("mon").cast("string"), F.lit("(all)")).alias("mon"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "mon")
+    )
+
+
+@register(
+    "full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT n.n_name AS nation,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
+    ORDER BY nation
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier counts —
+    nations with only one side present keep a zero on the other. The
+    outer join runs over two PRE-AGGREGATED inputs (≤ |nation| rows
+    each), never over the raw dims: aggregate-then-join is the scale
+    rule whenever the join's purpose is comparing group totals. Note a
+    full-outer cannot broadcast either side (both must be complete) —
+    it plans sort-merge; keeping its inputs pre-shrunk is what makes
+    that cheap."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(sup, cust.c_nk == sup.s_nk, "full_outer")
+    return (
+        joined.join(
+            F.broadcast(nation),
+            F.coalesce(joined.c_nk, joined.s_nk) == nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nation")
+    )
