@@ -1013,3 +1013,34 @@ def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "dedup_keep_latest_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, ROUND(value, 4) AS value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def dedup_keep_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup: one row per user — the newest event, with
+    event_id as the deterministic tiebreaker. Implemented as an
+    AGGREGATE argmax (max_by over a struct ordering key), not a window
+    row_number: the aggregate form partial-combines map-side, so the
+    shuffle carries one candidate row per (user, map partition) and no
+    per-group sort ever runs — at 100 TB that is the difference
+    between a combine-friendly agg and sorting every group to rank it.
+    The oracle states the same semantics in row_number form."""
+    ev = load_table(spark, sf_dir, "events")
+    full = F.struct("event_id", "user_id", "ts", "event_type", "value")
+    order_key = F.struct("ts", "event_id")
+    latest = (
+        ev.groupBy("user_id")
+        .agg(F.max_by(full, order_key).alias("r"))
+        .select("r.event_id", "r.user_id", "r.ts", "r.event_type",
+                F.round("r.value", 4).alias("value"))
+    )
+    return latest.orderBy("user_id")
