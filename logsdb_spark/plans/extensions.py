@@ -1044,3 +1044,66 @@ def dedup_keep_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("r.value", 4).alias("value"))
     )
     return latest.orderBy("user_id")
+
+
+@register(
+    "stats_aggregates_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(STDDEV_SAMP(value), 4) AS sd,
+           ROUND(VAR_SAMP(value), 4) AS var,
+           ROUND(COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 4) AS cov_uid,
+           ROUND(CORR(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stats_aggregates_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per group: sample stddev/variance,
+    covariance, and Pearson correlation — all single-pass mergeable
+    aggregates (sum/sum-of-squares/cross-moments combine map-side), so
+    the shuffle carries O(groups) state at any scale. Definitions are
+    the textbook sample forms in both engines; rounded at the edge
+    because the merge order of partial moments differs."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+            F.round(F.covar_samp(F.col("value"), uid), 4).alias("cov_uid"),
+            F.round(F.corr(F.col("value"), uid), 4).alias("corr_uid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS bin_min,
+           ROUND(MAX(value), 4) AS bin_max
+    FROM events
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bin = floor(v/50)) with
+    per-bin min/max — the one-pass binned profile a pipeline runs
+    before choosing quantile cutoffs. Pure hash-agg on a computed key;
+    bins are data-independent so the plan is identical at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("bin_min"),
+            F.round(F.max("value"), 4).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
