@@ -141,3 +141,74 @@ def test_authfail_parse_roundtrip(spark, rows):
     assert parsed.filter("_corrupt").count() == 0
     got = [(r.username, r.src_addr) for r in parsed.collect()]
     assert sorted(got) == sorted(want)
+
+
+_ts_strategy = st.integers(min_value=0, max_value=100_000)
+_asof_events = st.tuples(
+    # left: (key, ts) pairs; right: (key, ts, payload) triples — tiny key
+    # space on purpose, to force same-key collisions and ties
+    st.lists(
+        st.tuples(st.integers(0, 3), _ts_strategy), min_size=1, max_size=30
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), _ts_strategy, st.integers(-1000, 1000)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+
+
+@given(_asof_events)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """operators/temporal.asof_join vs pandas.merge_asof (an
+    independent reference implementation): backward inclusive match on
+    the latest right row per key. Right-side (key, ts) duplicates are
+    collapsed to the max payload first — both implementations then
+    have a unique answer, so the property is exact."""
+    import pandas as pd
+
+    from logsdb_spark.operators.temporal import asof_join
+
+    left_rows, right_rows = data
+    left_pdf = pd.DataFrame(
+        [(i, k, pd.Timestamp(t, unit="s")) for i, (k, t) in enumerate(left_rows)],
+        columns=["lid", "k", "lts"],
+    )
+    right_pdf = (
+        pd.DataFrame(
+            [(k, pd.Timestamp(t, unit="s"), p) for k, t, p in right_rows],
+            columns=["k", "rts", "pay"],
+        )
+        .groupby(["k", "rts"], as_index=False)["pay"]
+        .max()
+        .astype({"k": "int64", "rts": "datetime64[ns]", "pay": "int64"})
+    )
+
+    left = spark.createDataFrame(left_pdf)
+    right = (
+        spark.createDataFrame(right_pdf)
+        if len(right_pdf)
+        else spark.createDataFrame([], "k long, rts timestamp, pay long")
+    )
+    got = {
+        r["lid"]: r["pay"]
+        for r in asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts", payload=["pay"]
+        ).collect()
+    }
+
+    want_pdf = pd.merge_asof(
+        left_pdf.sort_values(["lts", "lid"]),
+        right_pdf.sort_values("rts"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.pay) else int(r.pay))
+        for r in want_pdf.itertuples()
+    }
+    assert got == want
