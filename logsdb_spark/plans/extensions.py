@@ -1107,3 +1107,39 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "unpivot_nation_presence",
+    oracle="""
+    WITH w AS (
+      SELECT n.n_name AS nation,
+             COALESCE(c.n_cust, 0) AS n_cust,
+             COALESCE(s.n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+            FROM customer GROUP BY c_nationkey) c
+      FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                       FROM supplier GROUP BY s_nationkey) s ON c.nk = s.nk
+      JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
+    )
+    SELECT nation, 'n_cust' AS side, n_cust AS n FROM w
+    UNION ALL
+    SELECT nation, 'n_supp' AS side, n_supp AS n FROM w
+    ORDER BY nation, side
+    """,
+)
+def unpivot_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of the pivot query): the
+    two count columns melt into (side, n) rows via DataFrame.unpivot —
+    a pure Expand projection, no shuffle and no Python; the oracle
+    states the same reshape as UNION ALL of column selects."""
+    wide = full_outer_nation_presence(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["nation"],
+            values=["n_cust", "n_supp"],
+            variableColumnName="side",
+            valueColumnName="n",
+        )
+        .orderBy("nation", "side")
+    )
