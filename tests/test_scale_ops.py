@@ -127,3 +127,26 @@ def test_approx_count_distinct_within_tolerance(spark):
     ).first()
     assert abs(approx_default - exact) <= 0.05 * exact
     assert abs(approx_tight - exact) <= 0.02 * exact
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """percentile_approx is the 100 TB quantile path (mergeable
+    bounded-state sketch vs buffering each group - the trade the
+    event_value_quantiles docstring promises). Pin its value inside
+    the exact-percentile band at p +/- 5*(1/accuracy): the sketch's
+    rank guarantee is ~1/accuracy, widened 5x because the sketch
+    returns sample values while exact percentile interpolates
+    between ranks."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    eps = 5 / 1000
+    for p in (0.5, 0.9, 0.99):
+        approx, lo, hi = ev.agg(
+            F.percentile_approx("value", p, 1000).alias("a"),
+            F.expr(f"percentile(value, {max(p - eps, 0.0)})").alias("lo"),
+            F.expr(f"percentile(value, {min(p + eps, 1.0)})").alias("hi"),
+        ).first()
+        assert lo <= approx <= hi, (p, lo, approx, hi)
