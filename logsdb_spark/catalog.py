@@ -29,6 +29,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     math). Sub-µs truncation is semantically invisible to every query
     here (see plans/reference_queries.py ordering notes).
     """
+    # The conf is runtime-settable, so set it here rather than relying on
+    # the session having been built by our own get_spark() — an external
+    # caller's vanilla session must also be able to read events.parquet.
+    # Idempotent; guarded in case a future Spark drops the legacy knob.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -832,11 +832,11 @@ def set_ops_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_counts_by_year",
     oracle="""
     SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
-           COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-           COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
-           COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-           COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-           COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
     FROM events
     GROUP BY 1
     ORDER BY yr
@@ -868,8 +868,8 @@ def pivot_event_counts_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mavg5,
            ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING), 4) AS rsum,
-           FLOOR(EXTRACT(epoch FROM ts - LAG(ts) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+           CAST(FLOOR(EXTRACT(epoch FROM ts - LAG(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
     FROM events
     ORDER BY event_id
     """,

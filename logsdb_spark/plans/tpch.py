@@ -439,8 +439,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_shipments",
     oracle="""
     SELECT o.o_orderpriority,
-           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-                    THEN 1 ELSE 0 END) AS late_lines,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
            COUNT(*) AS total_lines
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority

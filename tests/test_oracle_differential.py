@@ -34,6 +34,32 @@ def _canon(v):
     return str(v)
 
 
+def _spark_kind(dt) -> str:
+    """Collapse a Spark type to the numeric kind the driver's hasher sees."""
+    name = dt.typeName()
+    if name in ("byte", "short", "integer", "long"):
+        return "int"
+    if name in ("float", "double"):
+        return "float"
+    if name.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
+def _arrow_kind(t) -> str:
+    """Same collapse for a DuckDB-arrow type (HUGEINT arrives as decimal —
+    exactly the q12 artifact that hashed differently in the driver)."""
+    import pyarrow.types as pat
+
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_decimal(t):
+        return "decimal"
+    return "other"
+
+
 def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -61,6 +87,21 @@ def test_query_matches_oracle(spark, name):
 
     assert spark_cols == duck_cols, f"{name}: column mismatch"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+
+    # Numeric-kind parity: the driver serializes both sides through Arrow
+    # before hashing, so an int column on one side vs decimal/float on the
+    # other hash-mismatches even when values are numerically equal
+    # (round-1 tpch_q12: DuckDB SUM(CASE)→HUGEINT vs Spark BIGINT). Compare
+    # type *kinds* here so the local gate fails where the driver would.
+    duck_arrow = con.execute(q.oracle).arrow().schema
+    duck_kinds = {f.name: _arrow_kind(f.type) for f in duck_arrow}
+    spark_kinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    kind_diffs = {
+        c: (spark_kinds[c], duck_kinds[c])
+        for c in spark_kinds
+        if c in duck_kinds and spark_kinds[c] != duck_kinds[c]
+    }
+    assert not kind_diffs, f"{name}: numeric-kind mismatch {kind_diffs}"
 
     # order-insensitive: canonicalize each row as a dict keyed by column
     def row_key(row, cols_in_order):
