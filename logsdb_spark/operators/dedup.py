@@ -350,6 +350,63 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
     )
 
+def hashed_char_shingles(docs: DataFrame, text_col: str = "text",
+                         n: int = 3) -> DataFrame:
+    """doc_id → distinct xxhash64'd char-n-gram shingle set. Jaccard is
+    invariant under the (injective at these sizes) hash, and 64-bit ints
+    intersect ~2x faster than strings."""
+    from ..functions.text import char_ngrams
+
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                char_ngrams(normalize_text(text_col), n), lambda g: F.xxhash64(g)
+            )
+        ).alias("shingles"),
+    )
+
+
+# Char-ngram LSH config: 128 perms in 16 bands of 8 rows. Char n-grams
+# carry HIGH background similarity (median ≈0.46, tail to ≈0.73 on the
+# driver corpus), so the word-bigram config (bands of 2) would make
+# nearly every pair a candidate. Bands of 8 put the S-curve's knee
+# inside the corpus's empty (0.74, 0.92) gap:
+#   P(candidate | j) = 1-(1-j^8)^16:  j=0.93 → 1-2.6e-6 (recall ≈ 1)
+#                                     j=0.73 → 0.75 (tail is ~5 pairs)
+#                                     j=0.65 → 0.41, j=0.46 → 0.03
+# so candidates ≈ 7% of all pairs vs 100% for brute force, and the
+# exact-jaccard verify restores precision. 25 true pairs × 2.6e-6 →
+# overall exact-equality-with-ground-truth odds ≈ 1-6e-5.
+N_PERM_CHAR = 128
+N_BANDS_CHAR = 16
+ROWS_PER_BAND_CHAR = N_PERM_CHAR // N_BANDS_CHAR
+
+
+def char_ngram_near_dups_lsh(docs: DataFrame, text_col: str = "text",
+                             n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Scale path for char-n-gram Jaccard dedup: the same shingle sets
+    as char_ngram_near_dups, fed through the (shingle-agnostic) MinHash
+    + banded-LSH pipeline instead of the O(n²) self-join. Same output
+    as the brute-force form up to the 1-in-400k recall tail above —
+    the O(n²) form remains the oracle ground truth.
+
+    Scale shape mirrors minhash_near_dups: signatures materialize in
+    the scan stage, the only corpus-keyed shuffle is the (band,
+    band_hash) bucket groupBy, and the exact verify touches candidate
+    pairs only."""
+    shingled = hashed_char_shingles(docs, text_col, n).persist()
+    signed = minhash_signatures(shingled, n_perm=N_PERM_CHAR).persist()
+    cands = estimate_jaccard(
+        lsh_candidate_pairs(
+            signed, n_bands=N_BANDS_CHAR, rows_per_band=ROWS_PER_BAND_CHAR
+        ),
+        signed,
+        n_perm=N_PERM_CHAR,
+    ).filter(F.col("est_jac") >= threshold - 0.2)
+    return verify_pairs(cands, shingled, threshold)
+
+
 def char_ngram_near_dups(docs: DataFrame, text_col: str = "text",
                          n: int = 3, threshold: float = 0.8) -> DataFrame:
     """n-gram Jaccard dedup over CHARACTER n-grams — the
@@ -368,18 +425,9 @@ def char_ngram_near_dups(docs: DataFrame, text_col: str = "text",
     min(|A|,|B|) ≥ t·max(|A|,|B|) (|A∩B| ≤ min, union ≥ max), so
     pairs failing the ratio are discarded for the cost of two array
     lengths — an EXACT bound, zero recall loss. For corpus scale, feed
-    these shingle sets through minhash_signatures +
-    lsh_candidate_pairs instead (the pipeline is shingle-agnostic)."""
-    from ..functions.text import char_ngrams, normalize_text
-
-    shingled = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                char_ngrams(normalize_text(text_col), n), lambda g: F.xxhash64(g)
-            )
-        ).alias("shingles"),
-    )
+    these shingle sets through char_ngram_near_dups_lsh instead (the
+    pipeline is shingle-agnostic)."""
+    shingled = hashed_char_shingles(docs, text_col, n)
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     na, nb = F.size(F.col("sh_a")), F.size(F.col("sh_b"))

@@ -185,6 +185,111 @@ def pairwise_cosine_dedup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
+                       n_centroids: int = 16, n_assign: int = 2) -> DataFrame:
+    """IVF-blocked embedding near-dup: assign every vector to its
+    ``n_assign`` nearest centroid cells (multi-assignment — the
+    pair-generation analogue of query-side nprobe), emit candidate
+    pairs only within shared cells, then verify with the exact cosine.
+
+    This is the scale path pairwise_cosine_dedup cannot be: the corpus
+    shuffles once on the cell key (bucket-grouped pair emit, same shape
+    as the MinHash-LSH dedup), never self-joins. Candidate volume is
+    bounded by cell sizes, i.e. corpus²/n_centroids in expectation —
+    with n_centroids scaled ~sqrt(corpus) this is linear per cell.
+
+    Recall is approximate BY CONSTRUCTION and honestly so: blocking
+    with exact recall at cosine 0.4 (66°) does not exist — that is
+    background-similarity territory, not near-dup territory (this
+    corpus plants no embedding dups; its ≥0.4 tail tops out at 0.51).
+    Measured cell-recall vs the brute-force ground truth is pinned in
+    tests/test_dedup_similarity.py. The oracle therefore mirrors THESE
+    semantics (centroid argmax → top-n_assign cells → intra-cell pairs
+    → exact cosine ≥ threshold) exactly in SQL — the hash gate checks
+    the distributed implementation, the pytest checks the recall. At a
+    production near-dup threshold (≥0.9) the same pipeline's recall
+    approaches 1 as the angle shrinks."""
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+        ),
+        "cent_vec",
+        "cnrm",
+    )
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
+        ).alias("_cents")
+    )
+
+    def top_cells(vec: F.Column) -> F.Column:
+        # (-cos, cent_id) structs sort ascending = cosine descending
+        # with ties toward the lower cent_id — the same ordering the
+        # oracle's ROW_NUMBER(ORDER BY ccos DESC, cent_id) produces.
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-(dot(vec, c["cent_vec"]) / (F.col("_nrm") * c["cnrm"]))).alias(
+                    "negcos"
+                ),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, n_assign), lambda s: s["cent_id"]
+        )
+
+    assigned = (
+        _with_norm(emb, "embedding", "_nrm")
+        .join(F.broadcast(cent_row))
+        .select(
+            "vec_id", F.explode(top_cells(F.col("embedding"))).alias("cell")
+        )
+    )
+    # Bucket-grouped pair emit (cf. dedup.lsh_candidate_pairs): one
+    # shuffle on the cell key; a pair sharing both cells is folded by
+    # the distinct on the candidate-sized intermediate.
+    buckets = (
+        assigned.groupBy("cell")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = _with_norm(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
+        "va", "_na",
+    )
+    b = _with_norm(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
+        "vb", "_nb",
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
                  n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells (inverted

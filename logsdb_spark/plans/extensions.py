@@ -141,6 +141,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cosine_dedup(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_embedding_ann",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16
+    ),
+    scored AS (
+      SELECT n.vec_id, c.cent_id,
+             list_sum(list_transform(list_zip(n.e, c.ce), z -> z[1]*z[2]))
+               / (n.nrm * c.cnrm) AS ccos
+      FROM n CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT id_a, id_b,
+             ROUND(list_sum(list_transform(list_zip(na.e, nb.e),
+                                           z -> z[1]*z[2]))
+                   / (na.nrm * nb.nrm), 4) AS cos_sim
+      FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+    )
+    WHERE cos_sim >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on the SCALE path: IVF multi-assignment
+    blocking (each vector → its 2 nearest of 16 centroid cells),
+    intra-cell candidate pairs, exact-cosine verify ≥ 0.4 — the corpus
+    shuffles once on the cell key and never self-joins, unlike the
+    O(n²) dedup_embedding_cosine baseline.
+
+    The oracle mirrors the IVF semantics exactly (assignment is
+    deterministic and SQL-expressible), so the hash gate checks the
+    distributed implementation end-to-end. Recall vs the brute-force
+    ground truth is approximate by construction — cosine 0.4 is
+    background-overlap territory where no blocking scheme has exact
+    recall — and is measured/pinned in tests/test_dedup_similarity.py;
+    see operators/similarity.py:ivf_cell_near_dups for the analysis."""
+    from ..operators.similarity import ivf_cell_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cell_near_dups(
+        emb, threshold=0.4, n_centroids=16, n_assign=2
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -643,6 +708,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_ngram_near_dups(docs, n=3, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len({_NORM_SQL}) - 1, 2)),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    )
+    SELECT id_a, id_b, jac FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    WHERE jac >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram Jaccard dedup on the SCALE path: the same shingle
+    sets as dedup_ngram_jaccard routed through MinHash(128) + banded
+    LSH(16×8) + exact verify instead of the O(n²) self-join. The
+    oracle is the O(n²) ground truth; the band shape puts the LSH
+    S-curve knee inside this corpus's empty (0.74, 0.92) similarity
+    gap, so per-true-pair recall is 1−2.6e-6 and the outputs coincide
+    (see operators/dedup.py:N_PERM_CHAR). The only corpus-keyed
+    shuffle is the (band, band_hash) bucket groupBy — the plan test
+    asserts no inequality self-join survives."""
+    from ..operators.dedup import char_ngram_near_dups_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_ngram_near_dups_lsh(docs, n=3, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(

@@ -110,3 +110,75 @@ def test_ivf_ann_recall(spark):
     ex = {(r.probe_id, r.neighbor_id) for r in brute_force_topk(emb, probes, k=10).collect()}
     ap = {(r.probe_id, r.neighbor_id) for r in ivf_ann_topk(emb, probes, k=10).collect()}
     assert len(ap & ex) / len(ex) >= 0.75
+
+
+def test_ngram_lsh_equals_bruteforce(spark):
+    """The char-ngram LSH path must reproduce the O(n²) ground truth
+    exactly on this corpus: the 16×8 band shape's S-curve knee sits in
+    the empty (0.74, 0.92) gap, so per-pair recall is 1-2.6e-6 and the
+    exact verify removes every false candidate."""
+    from logsdb_spark.operators.dedup import (
+        char_ngram_near_dups,
+        char_ngram_near_dups_lsh,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        (r.id_a, r.id_b, r.jac)
+        for r in char_ngram_near_dups(docs, n=3, threshold=0.8).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.jac)
+        for r in char_ngram_near_dups_lsh(docs, n=3, threshold=0.8).collect()
+    }
+    assert want, "corpus should contain planted char-ngram near-dups"
+    assert got == want
+
+
+def test_ivf_cell_dedup_recall_and_exactness(spark):
+    """IVF-cell-blocked embedding dedup: every reported pair must carry
+    the exact cosine and be present in the brute-force ground truth
+    (precision 1 — verify is exact); recall vs ground truth measured
+    0.61 at sf0.001 (cos 0.4 pairs are background-similarity, not
+    plantable dups — see ivf_cell_near_dups docstring); floor 0.4."""
+    from logsdb_spark.operators.similarity import (
+        ivf_cell_near_dups,
+        pairwise_cosine_dedup,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    truth = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in pairwise_cosine_dedup(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in ivf_cell_near_dups(emb, threshold=0.4).collect()
+    }
+    assert truth
+    assert got, "IVF blocking found nothing"
+    for pair, cs in got.items():
+        assert truth.get(pair) == cs, f"{pair}: not exact vs ground truth"
+    assert len(got) / len(truth) >= 0.4, "IVF cell recall regressed"
+
+
+def test_scale_dedup_plans_have_no_quadratic_join(spark):
+    """The registered scale-path dedup queries must not contain a
+    cartesian product or (broadcast) nested-loop join on the corpus —
+    the whole point vs their brute-force baselines."""
+    from logsdb_spark.plans.extensions import dedup_embedding_ann, dedup_ngram_lsh
+
+    for fn in (dedup_ngram_lsh, dedup_embedding_ann):
+        plan = (
+            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, f"{fn.__name__}: {plan}"
+        # A conditionless BroadcastNestedLoopJoin is the 1-row centroid
+        # broadcast (corpus × 1 = corpus — linear, intended). The O(n²)
+        # signature is a nested loop WITH an inequality condition
+        # (id_a < id_b), which must never appear on the scale path.
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert line.rstrip().endswith("Inner"), (
+                    f"{fn.__name__}: conditional nested-loop join\n{line}"
+                )
