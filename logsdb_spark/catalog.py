@@ -48,9 +48,13 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every table as a temp view (idempotent, like the
-    reference's create_all-on-connect)."""
-    dfs = load_all(spark, sf_dir)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+    """Register every PRESENT table as a temp view (idempotent, like
+    the reference's create_all-on-connect — absent tables are simply
+    not there yet; a CLI ingest dir starts empty and grows sinks as
+    sources run)."""
+    dfs = {}
+    for name in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            dfs[name] = load_table(spark, sf_dir, name)
+            dfs[name].createOrReplaceTempView(name)
     return dfs
