@@ -42,27 +42,40 @@ def asof_join(
     inclusive); left rows with no prior right row keep nulls.
 
     Plan shape: unionByName of the two tagged sides → ONE shuffle on
-    ``key`` → running ``last(payload, ignorenulls=True)`` over
+    ``key`` → running ``last(payload-struct, ignorenulls=True)`` over
     (ts, side) order (side 0 = right sorts before side 1 = left at
     equal ts, which is what makes the match inclusive) → keep left
     rows. The window frame is rows-unbounded-preceding..current — a
     streaming-friendly running state, no per-row lookback join. At
-    100 TB both sides shuffle once on the key and nothing else."""
+    100 TB both sides shuffle once on the key and nothing else.
+
+    The payload travels as ONE struct that is NULL exactly for left
+    rows: row-level recency wins even when a matched right row carries
+    NULL in some payload field (per-column last(ignorenulls) would
+    skip past it to an older non-null value — pandas merge_asof
+    attaches the latest ROW, nulls included)."""
+    from pyspark.sql.types import StructType
+
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join payload columns collide with left side: {sorted(overlap)}"
+        )
     lcols = [c for c in left.columns]
-    rtypes = dict(right.dtypes)
+    ptype = StructType([right.schema[c] for c in payload])
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(ptype).alias("_p"),
     )
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("_p"),
     )
     w = (
         Window.partitionBy("_k")
@@ -73,15 +86,11 @@ def asof_join(
     carried = u.select(
         "_side",
         *lcols,
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_a_{c}")
-            for c in payload
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_a"),
     )
-    out = carried.filter(F.col("_side") == 1).drop("_side")
-    for c in payload:
-        out = out.withColumnRenamed(f"_a_{c}", c)
-    return out
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col("_a")[c].alias(c) for c in payload]
+    )
 
 
 def range_count_join(

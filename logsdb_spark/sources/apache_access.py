@@ -93,17 +93,31 @@ def parse_apache_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         return reencode(F.try_element_at(tail, F.lit(i)))
 
     ts = F.try_to_timestamp(_field(parts, 1), F.lit("yyyy-MM-dd HH:mm:ss XX"))
+    # Numeric fields: the source format ALWAYS supplies them, so a
+    # try_cast that comes back NULL means a malformed value — the
+    # reference's int() would raise there (apache_access.py:95-127);
+    # flag it corrupt rather than silently appending a NULL metric.
+    numerics = {
+        "port": _field(parts, 3).try_cast("long"),
+        "bytesin": _field(parts, 5).try_cast("long"),
+        "bytesout": _field(parts, 6).try_cast("long"),
+        "microsecs": _field(parts, 7).try_cast("long"),
+        "status": _field(parts, 8).try_cast("long"),
+    }
+    bad_numeric = F.lit(False)
+    for c in numerics.values():
+        bad_numeric = bad_numeric | c.isNull()
     parsed = lines.select(
         v.alias("_raw"),
         ts.alias("timestamp"),
         reencode(_field(parts, 2)).alias("host"),
-        _field(parts, 3).try_cast("long").alias("port"),
+        numerics["port"].alias("port"),
         _field(parts, 4).alias("src_addr"),
         F.substring(tail_str(1), 1, 255).alias("authuser"),
-        _field(parts, 5).try_cast("long").alias("bytesin"),
-        _field(parts, 6).try_cast("long").alias("bytesout"),
-        _field(parts, 7).try_cast("long").alias("microsecs"),
-        _field(parts, 8).try_cast("long").alias("status"),
+        numerics["bytesin"].alias("bytesin"),
+        numerics["bytesout"].alias("bytesout"),
+        numerics["microsecs"].alias("microsecs"),
+        numerics["status"].alias("status"),
         F.substring(tail_str(2), 1, 2048).alias("reqline"),
         F.substring(tail_str(3), 1, 255).alias("method"),
         F.substring(tail_str(4), 1, 2048).alias("path"),
@@ -115,6 +129,7 @@ def parse_apache_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
             | ts.isNull()
             | tail.isNull()
             | (F.size(tail) != 7)
+            | bad_numeric
         ).alias("_corrupt"),
     )
     return parsed

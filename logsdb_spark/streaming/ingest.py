@@ -5,8 +5,12 @@ source appending one committed row per line (core.py:46-48,
 apache_access.py:94). The Spark-native equivalent is a file-based
 stream per source with a ``foreachBatch`` append sink:
 
-- exactly-once per micro-batch via checkpointing — strictly stronger
-  than the reference's at-least-once re-run semantics;
+- effectively-once per micro-batch: checkpointing dedupes *inputs*,
+  and the sinks make replays idempotent — every batch writes into its
+  own (…, _batch_id) partition with dynamic partition overwrite, so a
+  crash between append and checkpoint commit rewrites that partition
+  on replay instead of duplicating it (plain foreachBatch+append would
+  only be at-least-once);
 - dead letters (K2) appended to a side table inside the same batch
   function, replacing halt-on-first-error with observable routing
   (strict mode can still assert emptiness per batch);
@@ -74,16 +78,33 @@ def _ingest_stream(
                         f"{table_name} batch {batch_id}: unparsable line: "
                         f"{bad[0].asDict()!r}"
                     )
+            # Idempotent sink: every row lands in a (event_date,
+            # _batch_id) partition and the write is a DYNAMIC partition
+            # overwrite — a replay of batch N (crash after append,
+            # before checkpoint commit) rewrites exactly its own
+            # partitions instead of appending duplicates. This is what
+            # upgrades foreachBatch's native at-least-once to
+            # effectively-once per micro-batch with plain parquet.
+            # event_date stays the leading partition key, so the daily
+            # report's date predicate still prunes.
             (
                 good(batch_df)
                 .withColumn("event_date", F.to_date("timestamp"))
-                .write.mode("append")
-                .partitionBy("event_date")
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("event_date", "_batch_id")
                 .parquet(events_path)
             )
             dl = dead(batch_df)
             if not dl.isEmpty():
-                dl.write.mode("append").parquet(dead_path)
+                (
+                    dl.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(dead_path)
+                )
         finally:
             batch_df.unpersist()
 
@@ -188,12 +209,33 @@ def ingest_maillog(
                 base_id = spark.read.parquet(inbox_path).count()
             new_contacts.write.mode("append").parquet(contacts_path)
 
+            # Facts are replay-idempotent the same way as _ingest_stream:
+            # dynamic overwrite of this batch's own _batch_id partition.
+            # On a replay base_id (count of ALL rows, incl. the crashed
+            # attempt's) yields different — but still unique — ids; the
+            # tocc bridge is rebuilt in the same batch so fact/bridge
+            # stay consistent, and id gaps are harmless (the reference's
+            # serial PK also gaps on rollback). Contacts are protected
+            # by the anti-join instead: replayed contacts already exist
+            # and drop out.
             inbox_batch = upsert.build_inbox_batch(batch_df, base_id=base_id)
             inbox_batch.persist()
             try:
-                inbox_batch.drop("recipients").write.mode("append").parquet(inbox_path)
-                upsert.build_tocc_bridge(inbox_batch).write.mode("append").parquet(
-                    tocc_path
+                (
+                    inbox_batch.drop("recipients")
+                    .withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(inbox_path)
+                )
+                (
+                    upsert.build_tocc_bridge(inbox_batch)
+                    .withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(tocc_path)
                 )
             finally:
                 inbox_batch.unpersist()

@@ -137,3 +137,17 @@ def test_maillog_parse(spark):
     m2 = out["m2.eml"]
     assert m2.subject == "NO SUBJECT"  # maillog.py:153
     assert m2.sender.realname == ""
+
+
+def test_apache_bad_numeric_goes_dead(spark):
+    """A non-numeric value in an always-present numeric field (port,
+    bytes, status...) must flag the line corrupt — the reference's
+    int() raises there; a silent NULL metric would be data corruption
+    (sources/apache_access.py numerics block)."""
+    bad = APACHE_LINE.replace("|443|", "|not_a_port|")
+    df = spark.createDataFrame([Row(value=bad), Row(value=APACHE_LINE)])
+    parsed = apache_access.parse_apache_lines(df)
+    assert apache_access.good_events(parsed).count() == 1
+    dead = apache_access.dead_letters(parsed).collect()
+    assert len(dead) == 1
+    assert "not_a_port" in dead[0].error_json

@@ -302,3 +302,27 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_distinct = spark.read.parquet(str(src)).select("event_id").distinct().count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Effectively-once: replaying a committed batch (simulated by
+    wiping the checkpoint so availableNow re-reads the same files as
+    batch 0 again) must overwrite its own (_batch_id) partition, not
+    append duplicates — the crash-between-append-and-commit case."""
+    import shutil
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    (src / "a.log").write_text(APACHE_OK + "\n" + "garbage\n")
+
+    run_until_drained(ingest_apache_access(spark, str(src), str(out)))
+    events = spark.read.parquet(str(out / "apache_access"))
+    assert events.count() == 1
+    assert "_batch_id" in events.columns
+
+    shutil.rmtree(out / "_checkpoints")
+    run_until_drained(ingest_apache_access(spark, str(src), str(out)))
+    assert spark.read.parquet(str(out / "apache_access")).count() == 1
+    dead = spark.read.parquet(str(out / "apache_access_dead_letter"))
+    assert dead.count() == 1

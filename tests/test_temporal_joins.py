@@ -122,3 +122,29 @@ def test_range_join_plans_hash_join_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_asof_attaches_latest_row_even_with_null_payload(spark):
+    """A matched right row whose payload value is NULL must win over an
+    older non-null one (merge_asof attaches the latest ROW, nulls
+    included) — the per-column last(ignorenulls) regression."""
+    from logsdb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 10, 7.0), (1, 50, None)], "k int, rts int, v double"
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
+    assert len(out) == 1
+    assert out[0].v is None  # latest row (rts=50) wins, its NULL and all
+
+
+def test_asof_rejects_colliding_payload_names(spark):
+    import pytest as _pytest
+
+    from logsdb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100, 1.0)], "k int, lts int, v double")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k int, rts int, v double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "lts", "rts", ["v"])
