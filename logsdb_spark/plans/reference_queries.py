@@ -377,6 +377,37 @@ def o2_stable_chronological(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(F.row_number().over(w).alias("rn"), "event_id").orderBy("rn")
 
 
+@register(
+    "o2_total_order_ranged",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY date_trunc('second', ts) ASC,
+                                   event_id ASC) AS BIGINT) AS rn,
+           event_id
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+    ORDER BY rn
+    """,
+)
+def o2_total_order_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 on the SCALE path: identical total order to
+    o2_stable_chronological, produced by range-repartition +
+    per-partition rank + broadcast prefix-sum offsets
+    (operators/ordering.global_row_number) instead of one
+    single-partition window over the fact table — this is the
+    demonstrated 100 TB total-order plan the o2 docstring promises.
+    The plan test pins that the only Exchange SinglePartition feeds
+    the #partitions-row offset aggregate, never the events scan."""
+    from ..operators.ordering import global_row_number
+
+    ev = last_day(load_table(spark, sf_dir, "events")).select(
+        F.date_trunc("second", F.col("ts")).alias("_ts_s"), "event_id"
+    )
+    ranked = global_row_number(
+        ev, [F.asc("_ts_s"), F.asc("event_id")], rn_alias="rn"
+    )
+    return ranked.select("rn", "event_id").orderBy("rn")
+
+
 # ---------------------------------------------------------------------------
 # F1 — longint digit grouping (core.py:51-57)
 # ---------------------------------------------------------------------------

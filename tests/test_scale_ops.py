@@ -150,3 +150,29 @@ def test_approx_percentile_within_tolerance(spark):
             F.expr(f"percentile(value, {min(p + eps, 1.0)})").alias("hi"),
         ).first()
         assert lo <= approx <= hi, (p, lo, approx, hi)
+
+
+def test_total_order_ranged_avoids_single_partition_fact_window(spark):
+    """o2_total_order_ranged must rank via range partitions: the ONLY
+    Exchange SinglePartition allowed in its plan is the one feeding
+    the #partitions-row offset prefix-sum; the events-side window must
+    be partitioned (by _pid), never global."""
+    from logsdb_spark.plans.reference_queries import o2_total_order_ranged
+
+    df = o2_total_order_ranged(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Every ranking window must be partition-keyed (_pid). The plan's
+    # remaining SinglePartition exchanges feed 1-row/#partitions-row
+    # aggregates (max-ts anchor, offset prefix sum) — bounded by
+    # construction, not by data size. The baseline o2 plan, by
+    # contrast, ranks the fact through an unpartitioned window.
+    ranking = [
+        ln for ln in plan.splitlines()
+        if "Window " in ln and "row_number()" in ln
+    ]
+    assert ranking, plan
+    assert all("_pid" in ln for ln in ranking), (
+        "fact-side row_number window is not partition-keyed:\n" + "\n".join(ranking)
+    )
+    # and the fact scan feeds a rangepartitioning repartition
+    assert "rangepartitioning(_ts_s" in plan, plan
