@@ -42,6 +42,10 @@ HEADLINE = [
     "range_join_error_clicks",
     "winnow_fingerprint",
     "text_quality_stats",
+    # round-2 scale-path additions: ranged total order (no global
+    # window) and IVF-blocked embedding dedup (no O(n^2) self-join)
+    "o2_total_order_ranged",
+    "dedup_embedding_ann",
 ]
 
 

@@ -1032,6 +1032,58 @@ def customer_balance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_balance_ranking_ranged",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey), 4)
+             AS pct_rank
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def customer_balance_ranking_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking on the SCALE path: identical output to
+    customer_balance_ranking with NO unpartitioned window — ranks come
+    from operators/ordering.global_row_number (range partitions +
+    offsets), and ntile/percent_rank are then pure arithmetic on
+    (rank, total):
+
+    - PERCENT_RANK = (rank-1)/(n-1) — exact, because the ordering
+      tuple ends in the unique key so rank == row_number (no ties);
+    - NTILE(k): the first n%k tiles hold n//k+1 rows, the rest n//k —
+      closed-form from the rank, matching SQL semantics exactly (when
+      n%k = 0 every tile is n//k and the first branch covers all rows,
+      so no division by zero in the second).
+
+    ``n`` rides in as a broadcast 1-row aggregate, same as the window
+    anchor pattern — no driver collect."""
+    from ..operators.ordering import global_row_number
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_row_number(
+        cust, [F.desc("c_acctbal"), F.asc("c_custkey")], rn_alias="_rn"
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    k = F.lit(4)
+    base = F.floor(F.col("_n") / k)
+    rem = F.col("_n") % k
+    boundary = (base + 1) * rem
+    quartile = F.when(
+        F.col("_rn") <= boundary, F.ceil(F.col("_rn") / (base + 1))
+    ).otherwise(rem + F.ceil((F.col("_rn") - boundary) / base))
+    return (
+        ranked.join(F.broadcast(total))
+        .select(
+            "c_custkey",
+            quartile.alias("quartile"),
+            F.round((F.col("_rn") - 1) / (F.col("_n") - 1), 4).alias("pct_rank"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "cube_event_type_month",
     oracle="""
     SELECT COALESCE(event_type, '(all)') AS event_type,

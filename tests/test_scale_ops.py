@@ -157,22 +157,27 @@ def test_total_order_ranged_avoids_single_partition_fact_window(spark):
     Exchange SinglePartition allowed in its plan is the one feeding
     the #partitions-row offset prefix-sum; the events-side window must
     be partitioned (by _pid), never global."""
+    from logsdb_spark.plans.extensions import customer_balance_ranking_ranged
     from logsdb_spark.plans.reference_queries import o2_total_order_ranged
 
-    df = o2_total_order_ranged(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # Every ranking window must be partition-keyed (_pid). The plan's
-    # remaining SinglePartition exchanges feed 1-row/#partitions-row
-    # aggregates (max-ts anchor, offset prefix sum) — bounded by
-    # construction, not by data size. The baseline o2 plan, by
-    # contrast, ranks the fact through an unpartitioned window.
-    ranking = [
-        ln for ln in plan.splitlines()
-        if "Window " in ln and "row_number()" in ln
-    ]
-    assert ranking, plan
-    assert all("_pid" in ln for ln in ranking), (
-        "fact-side row_number window is not partition-keyed:\n" + "\n".join(ranking)
-    )
-    # and the fact scan feeds a rangepartitioning repartition
-    assert "rangepartitioning(_ts_s" in plan, plan
+    for fn in (o2_total_order_ranged, customer_balance_ranking_ranged):
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # Every ranking window must be partition-keyed (_pid). The
+        # plan's remaining SinglePartition exchanges feed
+        # 1-row/#partitions-row aggregates (max-ts anchor, offset
+        # prefix sum, total count) — bounded by construction, not by
+        # data size. The baseline queries, by contrast, rank through
+        # an unpartitioned window.
+        ranking = [
+            ln for ln in plan.splitlines()
+            if "Window " in ln and "row_number()" in ln
+        ]
+        assert ranking, f"{fn.__name__}: {plan}"
+        assert all("_pid" in ln for ln in ranking), (
+            f"{fn.__name__}: fact-side row_number window is not "
+            "partition-keyed:\n" + "\n".join(ranking)
+        )
+        # and the big side feeds a rangepartitioning repartition
+        assert "rangepartitioning(" in plan, f"{fn.__name__}: {plan}"
+        assert "REPARTITION_BY_COL" in plan, f"{fn.__name__}: {plan}"
