@@ -246,26 +246,21 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
             "vec_id", F.explode(top_cells(F.col("embedding"))).alias("cell")
         )
     )
-    # Bucket-grouped pair emit (cf. dedup.lsh_candidate_pairs): one
-    # shuffle on the cell key; a pair sharing both cells is folded by
-    # the distinct on the candidate-sized intermediate.
-    buckets = (
-        assigned.groupBy("cell")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Intra-cell pair generation by cell-keyed EQUI-join, not the
+    # collect_list pair-emit the LSH dedup uses: LSH buckets are
+    # bounded by true dup-group size, but an IVF cell holds
+    # ~corpus/n_centroids vectors — collecting one and emitting k²/2
+    # pair structs in a single row would concentrate a cell's whole
+    # quadratic output in one task's one row. The equi-join shuffles
+    # on the same cell key but streams the pair space through normal
+    # join machinery (AQE can split a skewed cell). A pair sharing
+    # both assigned cells is folded by the distinct.
+    a_ids = assigned.select("cell", F.col("vec_id").alias("id_a"))
+    b_ids = assigned.select("cell", F.col("vec_id").alias("id_b"))
     cands = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        a_ids.join(b_ids, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
     a = _with_norm(
