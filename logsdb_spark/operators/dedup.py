@@ -254,6 +254,55 @@ def brute_force_near_dups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Connected components over an undirected pair-edge list →
+    (doc_id, cluster) where cluster is the component's minimum id —
+    the step that turns near-dup PAIRS into dedup GROUPS with a
+    canonical representative (keep min-id, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels (one equi-join
+    + one map-side-combinable min aggregate per round). Rounds needed
+    = graph diameter — near-dup clusters are tiny cliques, so this
+    converges in 2-3 rounds; the label SUM is monotonically
+    non-increasing and strictly decreases until fixpoint, so an
+    unchanged sum is an exact O(1)-row convergence test. Each round is
+    localCheckpoint'ed: without lineage truncation an iterative plan
+    re-derives every prior round per action (at production scale use
+    reliable checkpointing to cluster storage instead; GraphX/GraphFrames'
+    large-star/small-star does the same job in O(log n) rounds if
+    diameters ever get large)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels, edges.u == labels.node)
+            .select(F.col("v").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -104,6 +104,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(docs, threshold=0.6).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(len(toks), 2)),
+                                          i -> concat(toks[i], ' ', toks[i+1]))) AS s
+      FROM norm
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the MinHash-LSH verified pairs resolved into
+    connected components with the component-minimum doc as canonical
+    representative — the groups a production dedup actually keeps/drops
+    by, not just the pairwise evidence. Spark side is iterative
+    min-label propagation (operators/dedup.connected_components); the
+    oracle computes the identical transitive closure with a recursive
+    CTE — a genuinely iterative algorithm hash-gated end-to-end."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.6)
+    return connected_components(pairs).orderBy("doc_id")
+
+
 @register("dedup_simhash")  # hash-defined output → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).

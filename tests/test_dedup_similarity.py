@@ -182,3 +182,19 @@ def test_scale_dedup_plans_have_no_quadratic_join(spark):
                 assert line.rstrip().endswith("Inner"), (
                     f"{fn.__name__}: conditional nested-loop join\n{line}"
                 )
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation must traverse chains (diameter > 1), merge
+    cliques, and keep disjoint components apart."""
+    from logsdb_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.cluster for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
