@@ -152,6 +152,114 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc_id")
 
 
+@register(
+    "corpus_retention",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             md5({_NORM_SQL}) AS fp
+      FROM documents
+    ),
+    qual AS (
+      SELECT doc_id, fp, len(toks) AS n_tokens,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+      FROM t
+    ),
+    reps AS (SELECT fp, MIN(doc_id) AS exact_rep FROM qual GROUP BY fp),
+    norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(len(toks), 2)),
+                                          i -> concat(toks[i], ' ', toks[i+1]))) AS s
+      FROM norm
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
+    )
+    SELECT q.doc_id,
+           CASE WHEN q.n_tokens < 15 OR q.ttr < 0.30 THEN 'low_quality'
+                WHEN q.doc_id != r.exact_rep THEN 'exact_dup'
+                WHEN c.cluster IS NOT NULL AND q.doc_id != c.cluster
+                  THEN 'near_dup'
+                ELSE 'ok' END AS reason,
+           (q.n_tokens >= 15 AND q.ttr >= 0.30 AND q.doc_id = r.exact_rep
+            AND (c.cluster IS NULL OR q.doc_id = c.cluster)) AS keep
+    FROM qual q
+    JOIN reps r ON q.fp = r.fp
+    LEFT JOIN clusters c ON q.doc_id = c.doc_id
+    ORDER BY q.doc_id
+    """,
+)
+def corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data retention decision, one plan:
+    quality gates (token count ≥ 15, type-token ratio ≥ 0.30) →
+    exact-dedup keep-min-of-fingerprint → near-dup keep-min-of-cluster
+    (MinHash-LSH pairs → connected components). Emits (doc_id, reason,
+    keep) — reason is the FIRST failing rule, so the same doc never
+    flaps between reasons as other rules change.
+
+    Composition cost at scale: quality is scan-local; exact reps are
+    one map-side-combinable shuffle on the fingerprint; near-dup reuses
+    the LSH pipeline (the only corpus-keyed shuffle is the band
+    bucket); the final assembly is two joins on doc_id — broadcastable
+    cluster side (near-dup membership is a tiny fraction of any real
+    corpus)."""
+    from ..functions.text import fingerprint, tokens
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    qual = docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+    )
+    reps = qual.groupBy("fp").agg(F.min("doc_id").alias("exact_rep"))
+    clusters = connected_components(
+        minhash_near_dups(docs, threshold=0.6)
+    ).withColumnRenamed("cluster", "_cluster")
+    q = (
+        qual.join(reps, "fp")
+        .join(F.broadcast(clusters), "doc_id", "left")
+    )
+    low_quality = (F.col("n_tokens") < 15) | (F.col("ttr") < 0.30)
+    exact_dup = F.col("doc_id") != F.col("exact_rep")
+    near_dup = F.col("_cluster").isNotNull() & (
+        F.col("doc_id") != F.col("_cluster")
+    )
+    return q.select(
+        "doc_id",
+        F.when(low_quality, "low_quality")
+        .when(exact_dup, "exact_dup")
+        .when(near_dup, "near_dup")
+        .otherwise("ok")
+        .alias("reason"),
+        (~low_quality & ~exact_dup & ~near_dup).alias("keep"),
+    ).orderBy("doc_id")
+
+
 @register("dedup_simhash")  # hash-defined output → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).
