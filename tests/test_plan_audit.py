@@ -1,0 +1,65 @@
+"""Global physical-plan audit: NO registered query may plan a
+cartesian product or a conditional nested-loop join on corpus-sized
+data unless it is one of the documented brute-force oracle baselines.
+This is the repo-wide guard behind the per-query plan tests — a new
+query that accidentally joins on an inequality (Spark silently plans
+BroadcastNestedLoopJoin) fails here instead of surfacing at 100 TB.
+
+Conditionless BroadcastNestedLoopJoin is allowed: that is the 1-row
+broadcast pattern (window anchor, centroid array, grand-total count) —
+corpus × 1 row is linear. A CONDITION on the nested loop means the
+join key couldn't hash — the quadratic signature.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from logsdb_spark.registry import REGISTRY, all_queries
+
+from conftest import SF_DIR
+
+all_queries()  # populate REGISTRY (plan modules register on import)
+
+# Documented O(n²)/O(probes×corpus) baselines: their docstrings label
+# them oracle ground truth or broadcast-probe scans, and each has a
+# registered scale-path counterpart (see COVERAGE.md §2.12).
+BRUTE_FORCE_BASELINES = {
+    "dedup_ngram_jaccard",      # ground truth for dedup_ngram_lsh
+    "dedup_embedding_cosine",   # ground truth for dedup_embedding_ann
+    "knn_cosine_bruteforce",    # exact baseline for ann_lsh/ann_ivf
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_accidental_quadratic_join(spark, name):
+    if name in BRUTE_FORCE_BASELINES:
+        pytest.skip("documented brute-force baseline")
+    plan = (
+        REGISTRY[name]
+        .spark_fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    import re
+
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            # Allowed nested-loop forms — both are corpus × 1 row:
+            #  (a) conditionless: the bare 1-row broadcast cross join;
+            #  (b) conditional, but the condition references an
+            #      engineered 1-row column (underscore-prefixed:
+            #      _anchor, _cents, _n...) — Catalyst pushed a filter
+            #      into the anchor join. A condition over only REAL
+            #      columns (e.g. id_a < id_b) means two corpus-sized
+            #      sides nested-looping: the quadratic signature.
+            bare = re.search(
+                r"BroadcastNestedLoopJoin Build(Left|Right), \w+$", line.rstrip()
+            )
+            cond = line.split(",", 2)[2] if line.count(",") >= 2 else ""
+            anchored = re.search(r"(?<![\w])_\w+#", cond)
+            assert bare or anchored, (
+                f"{name}: corpus-sized nested-loop join\n{line}"
+            )
