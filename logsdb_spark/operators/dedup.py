@@ -119,7 +119,8 @@ def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM) -> DataFrame:
 
 
 def lsh_candidate_pairs(signed: DataFrame, n_bands: int = N_BANDS,
-                        rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+                        rows_per_band: int = ROWS_PER_BAND,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature, hash each band, group docs by
     (band_idx, band_hash) bucket, emit all intra-bucket pairs (a < b).
 
@@ -136,7 +137,15 @@ def lsh_candidate_pairs(signed: DataFrame, n_bands: int = N_BANDS,
     signatures into the buckets and computed the jaccard estimate in a
     nested transform — correct, but the deep HOF tree cost ~2.5s more
     in Janino compile per cold session than joining the (narrow)
-    signature table back afterwards (see estimate_jaccard)."""
+    signature table back afterwards (see estimate_jaccard).
+
+    ``max_bucket`` is the defensive guard for pathological corpora
+    (boilerplate-heavy crawls where one band value captures a huge
+    fraction of documents): buckets above the cap are DROPPED rather
+    than exploded into k²/2 pairs. Recall loss is confined to pairs
+    whose every shared band is oversized — for boilerplate buckets
+    those are overwhelmingly false candidates anyway (the standard
+    production trade; leave None to keep exact behavior)."""
     # Bands generated by one transform over a sequence (tree O(1) in
     # n_bands — same planning-cost rationale as minhash_signatures).
     bands = F.transform(
@@ -156,6 +165,8 @@ def lsh_candidate_pairs(signed: DataFrame, n_bands: int = N_BANDS,
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),

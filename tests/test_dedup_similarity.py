@@ -198,3 +198,26 @@ def test_connected_components_chain_and_cliques(spark):
         r.doc_id: r.cluster for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_lsh_bucket_cap_guard(spark):
+    """max_bucket drops oversized buckets (the boilerplate-corpus
+    guard) without touching small-bucket candidates: capping at the
+    corpus size changes nothing; capping at 1 yields no candidates."""
+    from logsdb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    signed = minhash_signatures(shingle_sets(docs)).persist()
+    uncapped = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(signed).collect()
+    }
+    big_cap = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(signed, max_bucket=10**6).collect()
+    }
+    assert big_cap == uncapped and uncapped
+    assert lsh_candidate_pairs(signed, max_bucket=1).count() == 0
