@@ -181,3 +181,99 @@ def test_total_order_ranged_avoids_single_partition_fact_window(spark):
         # and the big side feeds a rangepartitioning repartition
         assert "rangepartitioning(" in plan, f"{fn.__name__}: {plan}"
         assert "REPARTITION_BY_COL" in plan, f"{fn.__name__}: {plan}"
+
+
+def test_ivf_cell_partitioned_layout_prunes(spark, tmp_path):
+    """The production IVF layout promised by ivf_ann_topk's docstring:
+    corpus written partitioned by its assigned cell, so an nprobe cell
+    lookup is a file-pruning scan (PartitionFilters on cell), not a
+    full corpus read — the step that makes ANN search sublinear in
+    files touched, not just rows scored."""
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.functions.vectors import dot, norm
+    from logsdb_spark.operators.similarity import _with_norm
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # same deterministic coarse quantizer as ivf_ann_topk / the
+    # dedup_embedding_ann oracle: first 16 vectors are centroids
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        ),
+        "cent_vec",
+        "cnrm",
+    )
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
+        ).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-(dot(F.col("embedding"), c["cent_vec"]) / (F.col("_nrm") * c["cnrm"]))).alias("negcos"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    assigned = (
+        _with_norm(emb, "embedding", "_nrm")
+        .join(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "embedding",
+            F.element_at(F.array_sort(scored), 1)["cent_id"].alias("cell"),
+        )
+    )
+    path = str(tmp_path / "embeddings_ivf")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    pt = spark.read.parquet(path)
+    probe_cells = pt.filter(F.col("cell").isin(3, 7))
+    plan = probe_cells._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    want = assigned.filter(F.col("cell").isin(3, 7)).count()
+    assert want > 0
+    assert probe_cells.count() == want
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, no_broadcast):
+    """Runtime Bloom-filter join pruning — the AQE-era fact⋈filtered-dim
+    optimization: the selective side builds a bloom_filter_agg that is
+    pushed into the big side's scan as might_contain, so most fact rows
+    drop BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice.
+    Thresholds are lowered to make the tiny local tables eligible; on a
+    real cluster the size stats qualify on their own."""
+    from logsdb_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # and the filter is semantically free: same rows as without it
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert joined.count() == plain
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
