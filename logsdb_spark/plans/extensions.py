@@ -260,6 +260,53 @@ def corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM h
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hash-mod of
+    the document id — the reproducible-split idiom of training-data
+    pipelines (NOT rand(): re-runs, retries, and engine changes must
+    assign every doc to the same split; a seeded sampler is
+    engine-private, a content hash is portable — the oracle reproduces
+    it bit-for-bit in DuckDB). Emits per-(lang, split) counts so the
+    gate checks the whole assignment, and scan-local assignment means
+    zero extra shuffles beyond the counting agg."""
+    from ..functions.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 @register("dedup_simhash")  # hash-defined output → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).
