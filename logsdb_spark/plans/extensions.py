@@ -307,6 +307,199 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 4, 2)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS g
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id < 25
+    ),
+    hits AS (
+      SELECT gr.doc_id, COUNT(*) AS n_hits
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id >= 25) gr
+      JOIN bench b ON gr.gram = b.gram
+      GROUP BY gr.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.g) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(h.n_hits, 0) >= 3 AS flagged
+    FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    WHERE g.doc_id >= 25
+    ORDER BY g.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥ 3
+    distinct word 5-grams with a benchmark set (stand-in: docs with
+    id < 25 — in production, the eval suites). The canonical
+    contamination check shape: explode docs to distinct n-grams, hash
+    semi-join against the benchmark gram set, count hits per doc.
+
+    Scale: the benchmark gram set is eval-suite-sized → broadcast, so
+    the training corpus never shuffles — the join is a map-side
+    broadcast-hash probe on the exploded gram stream, then one
+    map-side-combinable count per doc."""
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(toks) - 5, F.lit(1)) - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(5)]
+                ),
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < 25)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") >= 25)
+    hits = (
+        train.select("doc_id", F.explode("g").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("g").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+      FROM t
+    )
+    SELECT lang,
+           CAST(FLOOR(COALESCE(prior, 0) / 512) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM c
+    GROUP BY lang, seq_id
+    ORDER BY lang, seq_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: per language,
+    documents (in stable doc_id order) are assigned to the sequence
+    whose 512-token budget their EXCLUSIVE cumulative token count
+    falls in — the standard single-pass approximation (a doc may
+    straddle its bin boundary; the trainer truncates/continues).
+
+    Scale: ONE window partitioned by lang (running sum — in a real
+    corpus, partition by (lang, shard) to bound partition width), then
+    a map-side-combinable per-sequence aggregate. No global order, no
+    driver loop — packing is usually written as exactly such a
+    sequential fold; the prefix-sum form distributes it."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    t = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        c.select(
+            "lang",
+            F.floor(F.col("prior") / 512).alias("seq_id"),
+            "n_tokens",
+            "doc_id",
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) != '')
+               AS all_lines
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(all_lines) AS BIGINT) AS n_lines,
+           CAST(len(list_distinct(all_lines)) AS BIGINT) AS n_distinct_lines,
+           ROUND(1.0 - CAST(len(list_distinct(all_lines)) AS DOUBLE)
+                     / GREATEST(len(all_lines), 1), 4) AS dup_line_frac
+    FROM l
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher/RefinedWeb-style quality rule):
+    the fraction of non-empty lines that are duplicates of an earlier
+    line — boilerplate and scraped-menu pages score high and get
+    filtered. Pure expression pipeline: split on newline, drop blank
+    lines, distinct-vs-total ratio. Scan-local, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    all_lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda x: F.trim(x) != ""
+    )
+    n = F.size(all_lines)
+    nd = F.size(F.array_distinct(all_lines))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_lines"),
+        nd.cast("long").alias("n_distinct_lines"),
+        F.round(
+            F.lit(1.0) - nd.cast("double") / F.greatest(n, F.lit(1)), 4
+        ).alias("dup_line_frac"),
+    ).orderBy("doc_id")
+
+
 @register("dedup_simhash")  # hash-defined output → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).
