@@ -168,3 +168,33 @@ def start_running_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_events(events: DataFrame, dim: DataFrame, key: str = "user_id",
+                  dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment: left-join the event stream with a
+    static dimension (user attributes, experiment assignments, model
+    versions...). The static side broadcasts, so enrichment is a
+    per-batch map-side hash probe — the stream is never shuffled and
+    no state is kept (stream-static joins are stateless by
+    definition; Spark re-resolves the static relation per micro-batch,
+    so a dim refresh lands on the next batch)."""
+    return events.join(F.broadcast(dim), events[key] == dim[dim_key], "left")
+
+
+def start_enriched_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    dim: DataFrame,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    events = read_events_stream(spark, source_dir, max_files_per_trigger)
+    enriched = enrich_events(events, dim)
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "enriched_events"))
+        .option("checkpointLocation", os.path.join(out_dir, "_ck/enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )

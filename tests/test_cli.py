@@ -152,3 +152,41 @@ def test_render_email_golden():
     assert msg.startswith("Subject: [DISK] Status Report: h, 2026-08-12T00:00:00Z")
     assert "To: ops@example.com" in msg
     assert msg.rstrip().endswith("Load: 0.1, 0.2, 0.3")
+
+
+def test_authfail_stdin_spool(tmp_path):
+    """The reference reads log lines from stdin; our CLI spools stdin
+    into the file stream — pipe two lines in, expect one event and one
+    dead letter (lenient mode)."""
+    cfg = tmp_path / "cfg.toml"
+    tables = tmp_path / "tables"
+    cfg.write_text(
+        f"[storage]\ntables_dir='{tables}'\ncheckpoint_dir='{tmp_path}/c'\n"
+        "[dailyreport]\nrecipient='r@e.com'\n"
+        f"mailbox='{tmp_path}/mb'\nlogs_dir='{tmp_path}/el'\n"
+    )
+    auth_line = (
+        "2026-08-12T14:03:11+00:00 h sshd[1]: Failed password for root "
+        "from 198.51.100.23 port 1 ssh2"
+    )
+    out = _cli(
+        "-c", str(cfg), "authfail", "--lenient",
+        input=auth_line + "\nnot an authfail line\n",
+    )
+    assert out.returncode == 0, out.stderr
+    import pyarrow.parquet as pq
+
+    import glob
+
+    events = sum(
+        pq.read_table(f).num_rows
+        for f in glob.glob(str(tables / "authfail" / "**" / "*.parquet"), recursive=True)
+    )
+    dead = sum(
+        pq.read_table(f).num_rows
+        for f in glob.glob(
+            str(tables / "authfail_dead_letter" / "**" / "*.parquet"), recursive=True
+        )
+    )
+    assert events == 1
+    assert dead == 1

@@ -326,3 +326,31 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(str(out / "apache_access")).count() == 1
     dead = spark.read.parquet(str(out / "apache_access_dead_letter"))
     assert dead.count() == 1
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    """Stream-static left join with a broadcast dim must produce
+    exactly the batch left-join rows — stateless per-batch probes,
+    unmatched events keep NULL attributes."""
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.streaming.aggregates import start_enriched_stream
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    _write_event_files(spark, src, n_files=3)
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+    run_until_drained(start_enriched_stream(spark, str(src), str(out), dim))
+
+    got = {
+        (r.event_id, r.c_name)
+        for r in spark.read.parquet(str(out / "enriched_events")).collect()
+    }
+    ev = spark.read.parquet(str(src))
+    want = {
+        (r.event_id, r.c_name)
+        for r in ev.join(dim, ev.user_id == dim.c_custkey, "left").collect()
+    }
+    assert got == want
+    assert any(name is not None for _, name in got), "no dim matches at all"
