@@ -253,3 +253,34 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {r.doc_id: r.cluster for r in connected_components(pairs).collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    )
+)
+@settings(**SETTINGS)
+def test_global_row_number_matches_sorted_enumerate(spark, rows):
+    """Range-partitioned ranking must equal plain sorted enumeration for
+    arbitrary (key, unique-tiebreaker) data, including heavy ties on
+    the leading key and single-row inputs."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.ordering import global_row_number
+
+    df = spark.createDataFrame(rows, "k long, tb long")
+    got = {
+        r.tb: r.rn
+        for r in global_row_number(
+            df, [F.asc("k"), F.asc("tb")], rn_alias="rn", num_partitions=4
+        ).collect()
+    }
+    want = {
+        tb: i + 1
+        for i, (k, tb) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    assert got == want
