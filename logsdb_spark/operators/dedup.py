@@ -362,10 +362,12 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
     """SimHash near-dup: block on any shared 16-bit chunk (pigeonhole:
     hamming ≤ 3 ⇒ at least one of 4 chunks identical), verify with
-    bit_count(xor) ≤ max_hamming."""
+    bit_count(xor) ≤ max_hamming. ``max_bucket`` drops oversized chunk
+    buckets — same boilerplate-corpus guard as lsh_candidate_pairs."""
     sh = simhash64(docs, text_col).select("doc_id", "simhash")
     chunks = F.array(
         *[
@@ -390,6 +392,8 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
     pairs = F.flatten(
         F.transform(
             F.col("ds"),

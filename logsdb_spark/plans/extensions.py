@@ -500,6 +500,48 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT)
+             AS n_ips,
+           md5(regexp_replace(
+                 regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact e-mail addresses and IPv4 literals, report
+    per-doc match counts plus the md5 of the redacted text — the hash
+    proves the replacement output is byte-identical between engines,
+    not just the counts. Scan-local regexp work, zero shuffles; the
+    patterns are deliberately in the common Java-regex/RE2 subset so
+    the oracle is a true differential check."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 @register("dedup_simhash")  # hash-defined output → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).

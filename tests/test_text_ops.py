@@ -1,0 +1,57 @@
+"""Direct unit tests for text-pipeline expressions whose corpus
+exercise is trivial (the driver documents plant no PII), so the
+oracle-differential gate alone would not prove the patterns work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_pii_patterns_on_synthetic_text(spark):
+    from logsdb_spark.plans.extensions import _EMAIL_RE, _IPV4_RE
+
+    text = (
+        "Contact ops@example.com or j.doe+x@sub.example.org; "
+        "server 192.168.0.1 proxied via 10.0.0.255. No match: user@local, 1.2.3"
+    )
+    df = spark.createDataFrame([Row(text=text)])
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    r = df.select(
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias("e"),
+        F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), F.lit(0))).alias("i"),
+        redacted.alias("red"),
+    ).collect()[0]
+    assert r.e == 2
+    assert r.i == 2
+    assert r.red == (
+        "Contact <EMAIL> or <EMAIL>; "
+        "server <IP> proxied via <IP>. No match: user@local, 1.2.3"
+    )
+
+
+def test_pii_patterns_agree_with_duckdb_on_synthetic_text(spark):
+    """The real differential: same synthetic text through both engines'
+    regex implementations (Java regex vs RE2) must redact identically."""
+    import duckdb
+
+    from logsdb_spark.plans.extensions import _EMAIL_RE, _IPV4_RE
+
+    text = (
+        "a@b.co, weird.-name@x.org 999.999.999.999 "
+        "0.0.0.0 trailing a@b.comma"
+    )
+    df = spark.createDataFrame([Row(text=text)])
+    spark_red = df.select(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+        ).alias("red")
+    ).collect()[0].red
+    duck_red = duckdb.sql(
+        f"""SELECT regexp_replace(regexp_replace('{text}', '{_EMAIL_RE}',
+        '<EMAIL>', 'g'), '{_IPV4_RE}', '<IP>', 'g')"""
+    ).fetchone()[0]
+    assert spark_red == duck_red
