@@ -500,6 +500,122 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "funnel_daily_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS mv
+      FROM events WHERE event_type = 'view' GROUP BY user_id, day
+    ),
+    c AS (
+      SELECT e.user_id, v.day, MIN(e.ts) AS mc
+      FROM events e JOIN v
+        ON e.user_id = v.user_id AND CAST(e.ts AS DATE) = v.day
+      WHERE e.event_type = 'click' AND e.ts >= v.mv
+      GROUP BY e.user_id, v.day
+    ),
+    p AS (
+      SELECT e.user_id, c.day
+      FROM events e JOIN c
+        ON e.user_id = c.user_id AND CAST(e.ts AS DATE) = c.day
+      WHERE e.event_type = 'purchase' AND e.ts >= c.mc
+      GROUP BY e.user_id, c.day
+    )
+    SELECT v.day,
+           COUNT(*) AS n_viewed,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_clicked_after,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_purchased_after
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id AND v.day = c.day
+    LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day
+    GROUP BY v.day
+    ORDER BY v.day
+    """,
+)
+def funnel_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel per user-day: first view → first click AT
+    OR AFTER that view → any purchase at or after that click. The
+    ordering constraint is what distinguishes a funnel from three
+    independent counts — each stage's timestamps are joined back so
+    the next stage only counts events after the previous stage fired.
+
+    Scale: every aggregate and join is keyed on (user_id, day) — one
+    hash partitioning reused across all stages (Catalyst collapses the
+    co-partitioned joins), and the final per-day rollup is map-side
+    combinable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.to_date("ts").alias("day"), "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("mv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, ["user_id", "day"])
+        .filter(F.col("ts") >= F.col("mv"))
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("mc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, ["user_id", "day"])
+        .filter(F.col("ts") >= F.col("mc"))
+        .select("user_id", "day")
+        .distinct()
+    )
+    return (
+        v.join(c.select("user_id", "day", F.lit(1).alias("_c")), ["user_id", "day"], "left")
+        .join(p.select("user_id", "day", F.lit(1).alias("_p")), ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("_c").alias("n_clicked_after"),
+            F.count("_p").alias("n_purchased_after"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort,
+           CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort, day_offset
+    ORDER BY f.cohort, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, counted on
+    each later active day as an offset from their cohort date — the
+    standard retention-curve input. Three keyed operations (first-date
+    agg, distinct activity, join + rollup), all on user_id or its
+    superset; the firsts side is user-dim-sized and broadcastable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    activity = ev.distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .select("cohort", F.datediff("day", "cohort").cast("long").alias("day_offset"))
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 
