@@ -91,6 +91,42 @@ def frame_sample_plan(blobs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "doc_id", F.posexplode(offsets).alias("frame_idx", "byte_offset")
     )
 
+def extract_features(blobs: DataFrame, n_bins: int = 64) -> DataFrame:
+    """Feature extraction: binary payload → dense ``array<float>``
+    embedding, here a normalized byte histogram (the deterministic
+    stand-in for a real image/audio encoder — CLIP, wav2vec, … — whose
+    output shape this matches: fixed-dim float vector per blob).
+
+    mapInPandas so the vectorized numpy histogram runs once per Arrow
+    batch; the output column is exactly the embedding shape the
+    similarity operators consume, so blobs → features → ANN/dedup
+    composes without leaving the executor."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                feats.append((hist / arr.size).astype("float32").tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return blobs.mapInPandas(extract, schema)
+
+
 def resize_media(blobs: DataFrame, target_bytes: int = 256) -> DataFrame:
     """Resize/transcode plumbing: binary in → binary out through an
     Arrow-batched pandas UDF — the signature and batch shape a real
