@@ -46,6 +46,11 @@ HEADLINE = [
     # window) and IVF-blocked embedding dedup (no O(n^2) self-join)
     "o2_total_order_ranged",
     "dedup_embedding_ann",
+    # round-2 pipeline analytics: ordered funnel, cohort curves,
+    # PII scrub (scan-local regex)
+    "funnel_daily_conversion",
+    "cohort_retention",
+    "text_pii_redact",
 ]
 
 
