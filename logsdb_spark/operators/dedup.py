@@ -265,6 +265,65 @@ def brute_force_near_dups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
+                                  text_col: str = "text",
+                                  threshold: float = 0.6) -> DataFrame:
+    """Incremental-ingest dedup: near-dup pairs (corpus_id, new_id)
+    between the EXISTING corpus and a NEW batch only — the shape every
+    production ingest runs, where re-pairing the corpus against itself
+    per shard would be quadratic in shards.
+
+    Asymmetry is the scale lever: the corpus side computes signatures
+    and (band, hash) keys in its scan stage exactly as the batch path
+    does, but the new-batch side is shard-sized → its banded keys
+    BROADCAST, so candidate generation is a map-side hash probe on the
+    corpus stream — no corpus shuffle at all (vs one bucket shuffle
+    for the full self-dedup). Exact-jaccard verify joins only the
+    candidate ids back to both shingle sets. In steady state the
+    corpus side's signatures would be precomputed and stored columnar
+    alongside the documents, making this a pure scan+probe."""
+    c_sh = shingle_sets(corpus, text_col)
+    n_sh = shingle_sets(new_docs, text_col).persist()
+    c_sig = minhash_signatures(c_sh)
+    n_sig = minhash_signatures(n_sh)
+
+    def banded(signed: DataFrame, id_alias: str) -> DataFrame:
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.struct(
+                b.alias("band_idx"),
+                F.xxhash64(
+                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1,
+                            F.lit(ROWS_PER_BAND))
+                ).alias("band_hash"),
+            ),
+        )
+        return signed.select(
+            F.col("doc_id").alias(id_alias), F.explode(bands).alias("b")
+        ).select(id_alias, "b.band_idx", "b.band_hash")
+
+    cands = (
+        banded(c_sig, "corpus_id")
+        .join(F.broadcast(banded(n_sig, "new_id")), ["band_idx", "band_hash"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    ca = c_sh.select(F.col("doc_id").alias("corpus_id"),
+                     F.col("shingles").alias("sh_a"))
+    nb = n_sh.select(F.col("doc_id").alias("new_id"),
+                     F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(ca, "corpus_id")
+        .join(F.broadcast(nb), "new_id")
+        .select(
+            "corpus_id",
+            "new_id",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 25) -> DataFrame:

@@ -804,6 +804,44 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                  FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(len(toks), 2)),
+                                          i -> concat(toks[i], ' ', toks[i+1]))) AS s
+      FROM norm
+    )
+    SELECT a.doc_id AS corpus_id, b.doc_id AS new_id,
+           ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+    FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ORDER BY corpus_id, new_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup check: the documents table split
+    into an existing corpus (doc_id < 400) and a new shard (≥ 400),
+    deduped cross-side only via the asymmetric broadcast-LSH join
+    (operators/dedup.minhash_near_dups_incremental) — the corpus is
+    never shuffled and never self-paired. Oracle is the cross-side
+    O(n·m) ground truth; LSH recall at the planted similarity levels
+    is 1 − 1e-64, so outputs coincide."""
+    from ..operators.dedup import minhash_near_dups_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new_docs = docs.filter(F.col("doc_id") >= 400)
+    return minhash_near_dups_incremental(corpus, new_docs).orderBy(
+        "corpus_id", "new_id"
+    )
+
+
 @register("dedup_simhash")  # hash-defined output → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).

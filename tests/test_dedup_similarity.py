@@ -221,3 +221,20 @@ def test_lsh_bucket_cap_guard(spark):
     }
     assert big_cap == uncapped and uncapped
     assert lsh_candidate_pairs(signed, max_bucket=1).count() == 0
+
+
+def test_incremental_dedup_no_corpus_shuffle(spark):
+    """The asymmetric ingest-dedup plan must broadcast the new-batch
+    side: no Exchange may sit between the corpus documents scan and
+    the candidate join (the corpus is probed map-side, not shuffled)."""
+    from logsdb_spark.plans.extensions import dedup_incremental_batch
+
+    plan = (
+        dedup_incremental_batch(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin [band_idx" in plan or (
+        "BroadcastHashJoin" in plan and "band_hash" in plan
+    ), plan
