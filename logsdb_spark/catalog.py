@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from . import TABLES
 
@@ -22,24 +22,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/pruning into it.
 
-    events.ts is parquet TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it arrives as int64 ns, which
-    we convert to a µs TimestampType via integer division (``div`` —
-    ns epochs ~1.7e18 exceed double's 2^53 exact range, so no float
-    math). Sub-µs truncation is semantically invisible to every query
-    here (see plans/reference_queries.py ordering notes).
+    events.ts is parquet TIMESTAMP(NANOS), which Spark surfaces
+    differently by version: older releases need
+    spark.sql.legacy.parquet.nanosAsLong and deliver int64 ns (which we
+    convert via ``ts div 1000`` — integer division, since ns epochs
+    ~1.7e18 exceed double's 2^53 exact range); Spark >= 4.1 reads it
+    natively as TIMESTAMP_NTZ truncated to µs. Either way we normalize
+    to a session-tz TimestampType so every downstream expression
+    (unix_micros, windows, watermarks) sees one type. Sub-µs truncation
+    is semantically invisible to every query here (see
+    plans/reference_queries.py ordering notes).
     """
-    # The conf is runtime-settable, so set it here rather than relying on
-    # the session having been built by our own get_spark() — an external
-    # caller's vanilla session must also be able to read events.parquet.
-    # Idempotent; guarded in case a future Spark drops the legacy knob.
+    # Runtime-settable legacy knob for older Sparks where TIMESTAMP(NANOS)
+    # is otherwise PARQUET_TYPE_ILLEGAL — set here rather than relying on
+    # the session having been built by our own get_spark(), so an external
+    # caller's vanilla session can also read events.parquet. On Spark
+    # >= 4.1 the conf is ignored (native NTZ read); harmless either way.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Naive µs wall-clock -> session-tz instant. The engine pins
+            # session tz to UTC (session.py) and the oracle (DuckDB) also
+            # treats the column as naive-UTC, so the cast is value-exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
