@@ -13,3 +13,4 @@ def load_all_plans() -> None:
     from . import reference_queries  # noqa: F401
     from . import tpch  # noqa: F401
     from . import extensions  # noqa: F401
+    from . import timeseries  # noqa: F401

@@ -2036,3 +2036,171 @@ def unpivot_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "side")
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS ret_flag,
+           COALESCE(l_linestatus, 'ALL') AS line_status,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_ret,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_line,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_ret, g_line, ret_flag, line_status
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of the cube/rollup
+    queries): revenue at (flag, status), per-flag subtotals, and a
+    grand total in ONE pass — Spark plans a single Expand + one
+    map-side-combinable aggregate, exactly one fact shuffle for all
+    three granularities (vs three scans if issued separately).
+    GROUPING() flags disambiguate a genuine NULL key from a subtotal
+    row; display keys coalesce to 'ALL' on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(revenue, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping("l_returnflag").cast("long").alias("g_ret"),
+            F.grouping("l_linestatus").cast("long").alias("g_line"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("ret_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "g_ret",
+            "g_line",
+            "revenue",
+            "n_lines",
+        )
+        .orderBy("g_ret", "g_line", "ret_flag", "line_status")
+    )
+
+
+@register(
+    "fuzzy_match_part_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching (entity resolution): near-
+    duplicate names in the part-name VOCABULARY by edit distance <= 3,
+    with candidate pairs restricted to a shared blocking key (first
+    token) — the standard way to avoid the O(n^2) all-pairs
+    levenshtein at scale. Matching the distinct vocabulary rather
+    than raw rows is itself the scale move: catalogs repeat a small
+    name set millions of times, so dedupe the names once and join the
+    verdict back by equality.
+
+    Scale shape: one distinct (map-side combinable) on the name
+    column, a hash join on the block key (pairs only form inside a
+    block), and the levenshtein verify runs on candidate pairs only.
+    Recall is bounded by the blocking choice (a typo in the FIRST
+    token escapes the block — production systems union several keys,
+    e.g. first token + soundex + length band)."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split("p_name", " ").getItem(0))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, event_type,
+             CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT) AS BIGINT) % 1000 AS bucket
+      FROM events
+    )
+    SELECT event_id, event_type, bucket
+    FROM h
+    WHERE bucket < (CASE event_type
+                      WHEN 'view' THEN 20
+                      WHEN 'click' THEN 50
+                      ELSE 1000 END)
+    ORDER BY event_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: per-stratum keep rates
+    (views 2 percent, clicks 5 percent, everything rarer kept whole) via a
+    content hash threshold — the class-rebalancing sample a training
+    pipeline takes of heavily skewed interaction logs. Hash-threshold
+    sampling (vs rand()) is reproducible across runs, engines, and
+    retries, and composes with incremental ingest: a row's verdict
+    never changes. Pure scan-local projection + filter — no shuffle,
+    no RNG state; the filter pushes to the parquet scan."""
+    from ..functions.text import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(
+        portable_hash64(F.col("event_id").cast("string")), F.lit(1000)
+    )
+    rate = (
+        F.when(F.col("event_type") == "view", 20)
+        .when(F.col("event_type") == "click", 50)
+        .otherwise(1000)
+    )
+    return (
+        ev.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("event_id", "event_type", "bucket")
+        .orderBy("event_id")
+    )
+
+
+@register("approx_distinct_users")  # no oracle: estimator outputs are
+# engine-specific by design (Spark HLL++ vs DuckDB's sketch) — gated by
+# the error-bound pytest against exact counts instead (driver runs the
+# rows-only check).
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based cardinality: approximate distinct users per
+    event_type at 2 percent target relative error, plus the overall
+    sketch. At 100 TB this is THE way to count uniques: HLL++ state is
+    a few KB per group, merged map-side, one shuffle of sketches —
+    no shuffle of user ids and no exact-distinct expansion. The
+    companion exact query (stats_aggregates_by_type) is the
+    small-scale cross-check; the pytest asserts the estimate lands
+    within 5 percent of exact on the test corpora."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

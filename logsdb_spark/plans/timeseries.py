@@ -1,0 +1,224 @@
+"""*[extension]* Time-series conditioning queries over ``events`` —
+gap filling, last-observation-carried-forward interpolation, and
+OHLC-style bar aggregation (SURVEY §2.12 additive scope).
+
+These are the resample/align primitives a telemetry or market-data
+pipeline runs before modeling: a dense calendar grid with explicit
+zeros, forward-filled values across silent days, and per-bucket
+open/high/low/close bars. All pure built-in expressions; the calendar
+spine is derived from the data's own min/max (one 1-row aggregate that
+broadcasts), so no query hard-codes dates.
+
+Oracle-parity notes: day spines are built with sequence()/
+generate_series() on both engines; doubles are rounded at the same
+algebraic position on both sides; bar open/close use a zero-padded
+``(epoch_us, event_id)`` string sort key because DuckDB's arg_min/max
+take only scalar keys (lexicographic on the padded string == numeric
+order on the pair, and event_id uniqueness makes it total).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+# Zero-padded "(epoch_us, event_id)" composite sort key, identical in
+# both engines: 20 digits hold any positive epoch-µs, 12 digits any
+# testdata event_id; '|' keeps the fields visually separable.
+_BAR_KEY_SPARK = lambda: F.format_string(  # noqa: E731
+    "%020d|%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+)
+_BAR_KEY_SQL = "printf('%020d|%012d', epoch_us(ts), event_id)"
+
+
+def _daily_grid(ev: DataFrame) -> DataFrame:
+    """Dense (day x event_type) calendar grid spanning the data's own
+    date range. The bounds aggregate is ONE row (computed with a
+    map-side-combinable min/max, broadcast implicitly); the distinct
+    type list is dimension-sized. Their cross join is days x types —
+    thousands of rows at any corpus scale — so the grid side of every
+    downstream join broadcasts and the fact table never reshuffles for
+    the spine."""
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return spine.crossJoin(types)
+
+
+@register(
+    "gap_fill_daily_counts",
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+               FROM events),
+    spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+              FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    c AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+                 SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sv
+          FROM events GROUP BY day, event_type)
+    SELECT s.day, t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+           COALESCE(c.sv, 0.0) AS total_value
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN c ON c.day = s.day AND c.event_type = t.event_type
+    ORDER BY s.day, t.event_type
+    """,
+)
+def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily activity: every (day, event_type) cell of the
+    data's own calendar range, with explicit zeros where no events
+    occurred — the dense-grid resample every downstream window/trend
+    computation needs (a missing day must read as 0, not as absent).
+    Daily totals are summed in fixed point (values are exactly
+    1e-4-quantized here — see locf_daily_values), so the double
+    emitted by sum/10000.0 is bit-identical in both engines with no
+    ROUND needed.
+
+    Scale shape: the fact table is touched exactly once, by the daily
+    count aggregate (map-side combinable, one shuffle on the agg key);
+    the spine x types grid is tiny and stays broadcast-side in the
+    left join, so scaling the corpus 100x changes only the first
+    aggregate's input."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = _daily_grid(ev)
+    vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    c = (
+        ev.select(F.to_date("ts").alias("day"), "event_type", vi.alias("vi"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("vi") / F.lit(10000.0)).alias("sv"),
+        )
+    )
+    return (
+        grid.join(c, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "locf_daily_values",
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+               FROM events),
+    spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+              FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    a AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                 ((SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) * 10)
+                    // COUNT(*)) / 100000.0 AS av
+          FROM events GROUP BY day, event_type)
+    SELECT day, event_type,
+           LAST_VALUE(av IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM (SELECT s.day, t.event_type, a.av
+          FROM spine s CROSS JOIN types t
+          LEFT JOIN a ON a.day = s.day AND a.event_type = t.event_type)
+    ORDER BY event_type, day
+    """,
+)
+def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward interpolation: the daily mean
+    value per event_type on a dense calendar, with silent days filled
+    by the most recent observed day's mean (days before the first
+    observation stay NULL — LOCF never invents a past).
+
+    The daily mean is computed in FIXED POINT: values are exactly
+    1e-4-quantized in this corpus, so ``floor(v*10000 + 0.5)`` recovers
+    the integer ten-thousandths exactly (the true product sits within
+    ~5e-10 of an integer — nowhere near the .5 boundary), the per-cell
+    sum is exact 64-bit arithmetic in ANY order, and one integer
+    division floors the mean to 1e-5. That sidesteps the cross-engine
+    trap where ROUND(avg_of_doubles, 4) straddles a half-boundary and
+    Spark (HALF_UP on the decimal string) disagrees with DuckDB
+    (scaled round on the raw double) by one final digit.
+
+    Scale shape: fact touched once by the daily-avg aggregate; the
+    LOCF window partitions by event_type over a days-long frame —
+    thousands of rows per partition at any corpus size, so the window
+    state is bounded by the calendar, not the data. (For a per-user
+    LOCF at 100 TB the same plan applies with user_id in the partition
+    key: state stays one row per partition via last(ignorenulls).)"""
+    ev = load_table(spark, sf_dir, "events")
+    grid = _daily_grid(ev)
+    vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    a = (
+        ev.select(F.to_date("ts").alias("day"), "event_type", vi.alias("vi"))
+        .groupBy("day", "event_type")
+        .agg(
+            (
+                F.expr("(sum(vi) * 10) div count(*)") / F.lit(100000.0)
+            ).alias("av")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(a, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.last("av", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "daily_ohlc_bars",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           arg_min(value, {_BAR_KEY_SQL}) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, {_BAR_KEY_SQL}) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation: per (day, event_type), the first (open)
+    and last (close) event value in chronological order plus the max
+    (high) / min (low) — the canonical downsample for numeric
+    time-series. first/last are expressed as min_by/max_by over a
+    total (ts, event_id) key, so the whole bar is ONE map-side-
+    combinable aggregate — no window, no per-group sort, one shuffle
+    on the bar key. That is the property that keeps this linear at
+    100 TB where a row_number()-then-filter plan would sort every
+    group.
+
+    Values pass through untouched (no arithmetic), so no rounding is
+    needed for cross-engine parity."""
+    ev = load_table(spark, sf_dir, "events")
+    key = _BAR_KEY_SPARK()
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -277,3 +277,29 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, no_broadcast):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_approx_distinct_users_query_within_tolerance(spark):
+    """The registered approx_distinct_users query (rows-only at the
+    driver by design — sketches are engine-specific) is gated here:
+    every per-type estimate at rsd=2% lands within 5% of the exact
+    per-type distinct count."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.registry import all_queries
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["approx_distinct_users"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert abs(est - exact[t]) <= max(1, 0.05 * exact[t]), (t, est, exact[t])
