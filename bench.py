@@ -51,6 +51,11 @@ HEADLINE = [
     "funnel_daily_conversion",
     "cohort_retention",
     "text_pii_redact",
+    # time-series conditioning: dense-grid resample and single-pass
+    # OHLC bars (aggregate form, no window sort)
+    "gap_fill_daily_counts",
+    "daily_ohlc_bars",
+    "grouping_sets_revenue",
 ]
 
 

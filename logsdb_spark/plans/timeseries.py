@@ -201,11 +201,13 @@ def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     and last (close) event value in chronological order plus the max
     (high) / min (low) — the canonical downsample for numeric
     time-series. first/last are expressed as min_by/max_by over a
-    total (ts, event_id) key, so the whole bar is ONE map-side-
-    combinable aggregate — no window, no per-group sort, one shuffle
-    on the bar key. That is the property that keeps this linear at
-    100 TB where a row_number()-then-filter plan would sort every
-    group.
+    total (ts, event_id) key, so the whole bar is ONE aggregate with
+    map-side partial combine and a single shuffle on the bar key.
+    (Spark plans SortAggregate here — min_by's struct buffer isn't
+    hash-aggregable — but the sort is per-partition and the partial
+    still combines before the exchange; the alternative
+    row_number()-then-filter plan would shuffle EVERY row and sort
+    every group, which is what this form avoids at 100 TB.)
 
     Values pass through untouched (no arithmetic), so no rounding is
     needed for cross-engine parity."""

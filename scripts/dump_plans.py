@@ -43,6 +43,16 @@ PICKS = {
         "shuffle for exact reps, LSH pipeline for near-dups, broadcast "
         "cluster join-back."
     ),
+    "daily_ohlc_bars": (
+        "Bar aggregation as ONE map-side-combinable aggregate: open/close "
+        "are min_by/max_by over a composite (epoch, id) key — no window, "
+        "no per-group sort, one shuffle on the bar key."
+    ),
+    "gap_fill_daily_counts": (
+        "Dense-grid resample: fact scanned once by the daily aggregate; "
+        "the days-by-types spine stays broadcast-side, so the corpus never "
+        "reshuffles for the calendar."
+    ),
 }
 
 
