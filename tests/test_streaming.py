@@ -354,3 +354,89 @@ def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
     }
     assert got == want
     assert any(name is not None for _, name in got), "no dim matches at all"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: inner joins emit
+    eagerly on match, so a drained availableNow run must contain
+    EXACTLY the batch interval join's matches on the same data."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.streaming.ingest import run_until_drained
+    from logsdb_spark.streaming.joins import start_attribution_stream
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    _write_event_files(spark, src, n_files=3)
+
+    run_until_drained(start_attribution_stream(spark, str(src), str(out), 1))
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(str(out / "attributed")).collect()
+    }
+
+    ev = spark.read.parquet(str(src))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert want, "test data produced no click->purchase matches"
+    assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Append-mode session windows: every emitted session must equal
+    the batch session_window aggregation row-for-row, and sessions the
+    final watermark hasn't closed are withheld (emitted is a subset)."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.streaming.ingest import run_until_drained
+    from logsdb_spark.streaming.joins import start_session_stream
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    _write_event_files(spark, src, n_files=3)
+
+    run_until_drained(start_session_stream(spark, str(src), str(out), 1))
+
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(str(out / "sessions")).collect()
+    }
+    assert got, "no sessions emitted"
+
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(str(src))
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    for key, v in got.items():
+        assert key in want and want[key] == v, (key, v, want.get(key))
+    # the drained run should have closed nearly every session
+    assert len(got) >= 0.5 * len(want)
