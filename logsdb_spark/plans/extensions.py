@@ -2204,3 +2204,48 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle="""
+    SELECT doc_id,
+           CAST((start - 1) / 150 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_pos,
+           substr(text, start, 200) AS chunk
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text), 150)) AS start
+          FROM documents)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking: 200-char chunks on a
+    150-char stride (50-char overlap so no boundary-spanning content is
+    lost to truncation) — the segmentation step that turns variable-
+    length documents into model-sized training pieces while preserving
+    doc_id/offset lineage for provenance and decontamination joins.
+
+    Pure scan-local: sequence() builds the start-offset lattice and
+    explodes in the projection — no shuffle, no UDF; at 100 TB chunking
+    rides the ingest scan and the output is written partitioned by the
+    same key layout as the input. (A token-aligned variant swaps the
+    char lattice for token offsets from text_token_count's tokenizer —
+    same plan shape.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(150))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 150).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_pos"),
+            F.substring(F.col("text"), F.col("start"), F.lit(200)).alias("chunk"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -224,3 +224,43 @@ def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "trailing_hour_user_stats",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS trailing_n,
+           SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER w / 10000.0
+             AS trailing_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def trailing_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-INTERVAL window frame: for every event, the count and value
+    total of the same user's events in the trailing hour — a RANGE
+    frame over event-time microseconds, the frame type ROWS-based
+    moving windows (moving_window_user_values) cannot express when
+    events are irregularly spaced. One shuffle on user_id serves both
+    aggregates; per-row state is the frame's sliding buffer, bounded by
+    per-user event rate x 1 hour. Sums run in fixed point (values are
+    1e-4-quantized) for bit-exact cross-engine parity."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", vi.alias("vi"))
+        .select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("trailing_n"),
+            (F.sum("vi").over(w) / F.lit(10000.0)).alias("trailing_sum"),
+        )
+        .orderBy("event_id")
+    )
