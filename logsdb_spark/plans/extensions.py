@@ -2249,3 +2249,148 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "dq_violation_counts",
+    oracle="""
+    SELECT 'events_null_user' AS rule,
+           (SELECT COUNT(*) FROM events WHERE user_id IS NULL) AS violations
+    UNION ALL
+    SELECT 'events_nonpositive_value',
+           (SELECT COUNT(*) FROM events WHERE value IS NOT NULL AND value <= 0)
+    UNION ALL
+    SELECT 'events_unknown_type',
+           (SELECT COUNT(*) FROM events
+            WHERE event_type NOT IN
+                  ('view', 'click', 'purchase', 'signup', 'error'))
+    UNION ALL
+    SELECT 'orders_orphan_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_orphan_order',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    ORDER BY rule
+    """,
+)
+def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one (rule, violations) row per invariant —
+    null keys, value-domain breaks, enum drift, and referential
+    integrity (orphan FKs via LEFT ANTI joins). The audit a pipeline
+    runs as a gate before promoting a batch.
+
+    Scale shape: each column rule is a scan-local conditional count
+    folded into ONE pass over events (a single aggregate computes all
+    three — no per-rule scans); the two FK rules are anti-joins that
+    broadcast the smaller key side. Counts union into a tiny summary.
+    At 100 TB the audit costs one events scan + two keyed joins, and
+    each anti-join's probe side is the FK column only (pruned scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    known = ["view", "click", "purchase", "signup", "error"]
+    col_rules = ev.agg(
+        F.sum(F.col("user_id").isNull().cast("long")).alias("events_null_user"),
+        F.sum(
+            (F.col("value").isNotNull() & (F.col("value") <= 0)).cast("long")
+        ).alias("events_nonpositive_value"),
+        F.sum((~F.col("event_type").isin(known)).cast("long")).alias(
+            "events_unknown_type"
+        ),
+    ).unpivot([], None, "rule", "violations")
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    orphan_orders = (
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_orphan_customer").alias("rule"), "violations")
+    )
+    orphan_lines = (
+        li.join(
+            F.broadcast(orders.select(F.col("o_orderkey").alias("l_orderkey"))),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orphan_order").alias("rule"), "violations")
+    )
+    return (
+        col_rules.unionByName(orphan_orders)
+        .unionByName(orphan_lines)
+        .orderBy("rule")
+    )
+
+
+@register(
+    "profile_events_columns",
+    oracle="""
+    SELECT 'event_id' AS col,
+           (SELECT COUNT(*) FROM events WHERE event_id IS NULL) AS n_null,
+           (SELECT COUNT(DISTINCT event_id) FROM events) AS n_distinct,
+           (SELECT CAST(MIN(event_id) AS VARCHAR) FROM events) AS min_val,
+           (SELECT CAST(MAX(event_id) AS VARCHAR) FROM events) AS max_val
+    UNION ALL
+    SELECT 'user_id',
+           (SELECT COUNT(*) FROM events WHERE user_id IS NULL),
+           (SELECT COUNT(DISTINCT user_id) FROM events),
+           (SELECT CAST(MIN(user_id) AS VARCHAR) FROM events),
+           (SELECT CAST(MAX(user_id) AS VARCHAR) FROM events)
+    UNION ALL
+    SELECT 'event_type',
+           (SELECT COUNT(*) FROM events WHERE event_type IS NULL),
+           (SELECT COUNT(DISTINCT event_type) FROM events),
+           (SELECT MIN(event_type) FROM events),
+           (SELECT MAX(event_type) FROM events)
+    ORDER BY col
+    """,
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiling: per-column null count, distinct cardinality,
+    and min/max (stringified so heterogenous column types share one
+    summary schema) — the table-health snapshot an ingest run records
+    alongside the data.
+
+    All columns profile in ONE aggregate pass: count_distinct entries
+    are planned by Spark as a single multi-distinct Expand aggregate
+    (one scan, one shuffle). At 100 TB swap count_distinct for
+    approx_count_distinct (HLL++) — same plan minus the Expand; the
+    exact form here is what makes the oracle equality checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    specs = ["event_id", "user_id", "event_type"]
+    agg = ev.agg(
+        *[
+            a
+            for c in specs
+            for a in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            )
+        ]
+    )
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in specs
+        ]
+    )
+    return (
+        agg.select(F.explode(profile).alias("p"))
+        .select("p.col", "p.n_null", "p.n_distinct", "p.min_val", "p.max_val")
+        .orderBy("col")
+    )
