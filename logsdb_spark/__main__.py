@@ -134,6 +134,17 @@ def authfail_cmd(cfg: Config, input_path: str | None, strict: bool) -> None:
     _run_ingest(cfg, ingest_authfail, input_path, strict)
 
 
+@main.command("jsonl")
+@_INPUT_OPT
+@_STRICT_OPT
+@click.pass_obj
+def jsonl_cmd(cfg: Config, input_path: str | None, strict: bool) -> None:
+    """Ingest JSONL event dumps (extension format; one object/line)."""
+    from .streaming.ingest import ingest_jsonl
+
+    _run_ingest(cfg, ingest_jsonl, input_path, strict, suffix=".jsonl")
+
+
 @main.command("maillog")
 @_INPUT_OPT
 @click.pass_obj

@@ -88,3 +88,46 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return big_salted.join(small_salted, [key, "_salt"], how).drop("_salt")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized for scan efficiency. Streaming ingest (one sink write per
+    micro-batch partition) inevitably accretes small files; scans then
+    pay per-file open/footer costs and lose row-group-sized reads.
+
+    The target partition count derives from the SOURCE's on-disk bytes
+    (footer-inclusive listing via the filesystem, no data read), so the
+    rewrite is one shuffle-free coalesce when shrinking, or a
+    round-robin repartition when the source is a single oversized file.
+    Returns the file count written. At 100 TB run per partition
+    directory (event_date=...) so compaction parallelizes across
+    partitions and never rewrites the whole table at once."""
+    import glob as _glob
+    import os as _os
+
+    files = [
+        f
+        for f in _glob.glob(_os.path.join(src_dir, "**", "*.parquet"),
+                            recursive=True)
+        if _os.path.isfile(f)
+    ]
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(src_dir)
+    writer = (
+        df.coalesce(n_out) if n_out < max(1, len(files)) else df.repartition(n_out)
+    )
+    writer.write.mode("overwrite").parquet(dst_dir)
+    return len(
+        [
+            f
+            for f in _glob.glob(_os.path.join(dst_dir, "*.parquet"))
+            if _os.path.isfile(f)
+        ]
+    )

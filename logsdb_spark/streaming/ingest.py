@@ -148,6 +148,27 @@ def ingest_authfail(
     )
 
 
+def ingest_jsonl(
+    spark: SparkSession, source_dir: str, out_dir: str, strict: bool = False
+) -> StreamingQuery:
+    """JSONL event-dump ingest *[extension source format]* — same
+    checkpointed, dead-lettered, idempotent-partition sink as the log
+    sources; the parse is a schema'd from_json (sources/jsonl.py), so
+    schema drift dead-letters instead of widening columns."""
+    from ..sources import jsonl
+
+    return _ingest_stream(
+        spark,
+        source_dir,
+        out_dir,
+        lambda lines: lines,  # raw value:string; jsonl.* parse per-split
+        lambda df: jsonl.good_events(df).withColumnRenamed("ts", "timestamp"),
+        jsonl.dead_letters,
+        "jsonl_events",
+        strict=strict,
+    )
+
+
 def run_until_drained(query: StreamingQuery, timeout_sec: float = 120.0) -> None:
     """availableNow triggers stop on their own; wait for completion."""
     query.awaitTermination(timeout_sec)

@@ -33,12 +33,12 @@ def _cli(*args, **kw):
 def test_help_smoke():
     out = _cli("--help")
     assert out.returncode == 0
-    for sub in ("apache-access", "authfail", "maillog", "dailyreport"):
+    for sub in ("apache-access", "authfail", "jsonl", "maillog", "dailyreport"):
         assert sub in out.stdout
 
 
 @pytest.mark.parametrize(
-    "sub", ["apache-access", "authfail", "maillog", "dailyreport"]
+    "sub", ["apache-access", "authfail", "jsonl", "maillog", "dailyreport"]
 )
 def test_subcommand_help(sub, tmp_path):
     cfg = tmp_path / "cfg.toml"

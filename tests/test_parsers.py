@@ -151,3 +151,36 @@ def test_apache_bad_numeric_goes_dead(spark):
     dead = apache_access.dead_letters(parsed).collect()
     assert len(dead) == 1
     assert "not_a_port" in dead[0].error_json
+
+
+def test_jsonl_good_and_dead_split(spark):
+    """JSONL source: valid rows parse typed; unparsable JSON, missing
+    required fields, and bad timestamps dead-letter with a JSON error
+    record (never silently NULL into good rows)."""
+    from logsdb_spark.sources.jsonl import dead_letters, good_events
+
+    lines = spark.createDataFrame(
+        [
+            ('{"event_id": 1, "ts": "2024-01-01T00:09:58.778549Z", '
+             '"user_id": 7, "event_type": "view", "value": 12.5}',),
+            ('{"event_id": 2, "ts": "2024-01-01T01:00:00Z", '
+             '"user_id": 8, "event_type": "click"}',),  # value optional
+            ("not json at all",),
+            ('{"event_id": 3, "user_id": 9, "event_type": "view"}',),  # no ts
+            ('{"event_id": 4, "ts": "yesterday-ish", '
+             '"user_id": 10, "event_type": "view"}',),  # bad ts
+        ],
+        "value string",
+    )
+    good = good_events(lines).collect()
+    assert {r.event_id for r in good} == {1, 2}
+    by_id = {r.event_id: r for r in good}
+    assert by_id[1].value == 12.5 and by_id[2].value is None
+    assert by_id[1].ts.isoformat().startswith("2024-01-01T00:09:58.778549")
+
+    dead = dead_letters(lines).collect()
+    assert len(dead) == 3
+    import json as _json
+
+    errs = sorted(_json.loads(r.error)["error"] for r in dead)
+    assert errs == ["bad timestamp", "missing required field", "unparsable JSON"]

@@ -303,3 +303,23 @@ def test_approx_distinct_users_query_within_tolerance(spark):
     assert set(got) == set(exact)
     for t, est in got.items():
         assert abs(est - exact[t]) <= max(1, 0.05 * exact[t]), (t, est, exact[t])
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: a many-small-files directory rewrites to the
+    byte-derived target count with identical row content."""
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.scale import compact_parquet
+
+    src, dst = tmp_path / "frag", tmp_path / "compact"
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(24).write.parquet(str(src))
+    import glob
+
+    assert len(glob.glob(str(src / "*.parquet"))) >= 24
+
+    n_files = compact_parquet(spark, str(src), str(dst), target_file_bytes=1 << 30)
+    assert n_files == 1
+    before = ev.count()
+    after = spark.read.parquet(str(dst)).count()
+    assert before == after

@@ -440,3 +440,32 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         assert key in want and want[key] == v, (key, v, want.get(key))
     # the drained run should have closed nearly every session
     assert len(got) >= 0.5 * len(want)
+
+
+def test_jsonl_stream_ingest(spark, tmp_path):
+    """JSONL ingest: same checkpointed dead-lettered sink contract as
+    the log sources, over the extension dump format."""
+    from logsdb_spark.streaming.ingest import ingest_jsonl, run_until_drained
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"event_id": 1, "ts": "2024-01-01T00:09:58Z", "user_id": 7, '
+        '"event_type": "view", "value": 1.5}\n'
+        "garbage\n"
+    )
+    run_until_drained(ingest_jsonl(spark, str(src), str(out)))
+
+    events = spark.read.parquet(str(out / "jsonl_events"))
+    assert events.count() == 1
+    r = events.collect()[0]
+    assert r.event_id == 1 and str(r.event_date) == "2024-01-01"
+    dead = spark.read.parquet(str(out / "jsonl_events_dead_letter"))
+    assert dead.count() == 1
+
+    (src / "b.jsonl").write_text(
+        '{"event_id": 2, "ts": "2024-01-02T10:00:00Z", "user_id": 8, '
+        '"event_type": "click", "value": 2.0}\n'
+    )
+    run_until_drained(ingest_jsonl(spark, str(src), str(out)))
+    assert spark.read.parquet(str(out / "jsonl_events")).count() == 2
