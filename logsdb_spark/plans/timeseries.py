@@ -264,3 +264,70 @@ def trailing_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "anomaly_daily_counts",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY day, event_type
+    ),
+    s AS (
+      SELECT day, event_type, n,
+             AVG(CAST(n AS DOUBLE)) OVER w AS mu,
+             STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w AS sd,
+             COUNT(*) OVER w AS n_hist
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, event_type, n,
+           CASE WHEN n_hist >= 7 AND sd > 0
+                THEN ROUND((n - mu) / sd, 4) END AS zscore,
+           COALESCE(n_hist >= 7 AND sd > 0
+                    AND ABS((n - mu) / sd) > 3.0, FALSE) AS is_anomaly
+    FROM s
+    ORDER BY day, event_type
+    """,
+)
+def anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily event series: a
+    day is anomalous when its count deviates more than 3 sigma from the
+    trailing 14 days' mean (current day EXCLUDED from its own baseline
+    — a spike must not be allowed to normalize itself). Days with
+    under 7 baseline days or zero variance emit NULL z (cold start is
+    'unknown', not 'normal').
+
+    Scale shape: the fact table collapses to the daily grid in one
+    map-side-combinable aggregate; the rolling stats run over that
+    dimension-sized series (days x types rows), so the window state is
+    calendar-bounded regardless of corpus size. Inputs to mu/sd are
+    exact integer counts over an identical 14-row frame in both
+    engines, so the rounded z-scores agree."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-14, -1)
+    )
+    s = d.select(
+        "day",
+        "event_type",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    usable = (F.col("n_hist") >= 7) & (F.col("sd") > 0)
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return s.select(
+        "day",
+        "event_type",
+        "n",
+        F.when(usable, F.round(z, 4)).alias("zscore"),
+        F.coalesce(usable & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
+    ).orderBy("day", "event_type")
