@@ -323,3 +323,55 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     before = ev.count()
     after = spark.read.parquet(str(dst)).count()
     assert before == after
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """Continuous-aggregate maintenance: applying batches incrementally
+    (including a replayed refresh) must equal the from-scratch daily
+    aggregate of all events, and a no-op refresh applies 0 batches."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.rollup import (
+        read_rollup,
+        refresh_daily_rollup,
+    )
+
+    events_dir, rollup_dir = str(tmp_path / "events"), str(tmp_path / "rollup")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    # two ingest batches, split by event parity (overlapping days —
+    # the merge must re-aggregate, not append)
+    for bid, pred in ((0, F.col("event_id") % 2 == 0), (1, F.col("event_id") % 2 == 1)):
+        (
+            ev.filter(pred)
+            .withColumn("_batch_id", F.lit(bid))
+            .write.mode("append")
+            .partitionBy("event_date", "_batch_id")
+            .parquet(events_dir)
+        )
+        assert refresh_daily_rollup(spark, events_dir, rollup_dir) == 1
+
+    got = {
+        (str(r.event_date), r.event_type): (r.n_events, r.total_value)
+        for r in read_rollup(spark, rollup_dir).collect()
+    }
+    vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    want = {
+        (str(r.event_date), r.event_type): (r.n_events, r.total_value)
+        for r in ev.select("event_date", "event_type", vi.alias("vi"))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vi") / F.lit(10000.0)).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # idempotent: nothing new to apply, content unchanged
+    assert refresh_daily_rollup(spark, events_dir, rollup_dir) == 0
+    assert {
+        (str(r.event_date), r.event_type): (r.n_events, r.total_value)
+        for r in read_rollup(spark, rollup_dir).collect()
+    } == want
