@@ -37,11 +37,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SIDEcar = "_refreshed_batches.json"
+_SIDECAR = "_refreshed_batches.json"
 
 
 def _applied_batches(rollup_dir: str) -> set[int]:
-    p = os.path.join(rollup_dir, _SIDEcar)
+    p = os.path.join(rollup_dir, _SIDECAR)
     if not os.path.exists(p):
         return set()
     with open(p) as fp:
@@ -94,7 +94,7 @@ def refresh_daily_rollup(
         .partitionBy("event_date")
         .parquet(rollup_dir)
     )
-    with open(os.path.join(rollup_dir, _SIDEcar), "w") as fp:
+    with open(os.path.join(rollup_dir, _SIDECAR), "w") as fp:
         json.dump({"batches": sorted(all_batches)}, fp)
     return len(new_batches)
 

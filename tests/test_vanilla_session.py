@@ -38,3 +38,23 @@ def test_a1_under_vanilla_session(vanilla):
     out = a1_top_event_types(vanilla, SF_DIR)
     rows = out.collect()
     assert len(rows) > 0
+
+
+def test_every_query_analyzes_under_vanilla_session(vanilla):
+    """Generalize the round-1 failure class: EVERY registered query
+    must at least pass analysis (schema resolution, parquet type
+    mapping) under an externally-built session with default confs —
+    a query whose plan only resolves under get_spark()'s configs is
+    a driver crash waiting to happen. Analysis-only keeps this fast;
+    execution parity is the oracle suite's job."""
+    from logsdb_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    failures = {}
+    for name, q in sorted(REGISTRY.items()):
+        try:
+            cols = q.spark_fn(vanilla, SF_DIR).columns
+            assert cols, f"{name}: no columns"
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[name] = repr(e)[:200]
+    assert not failures, failures
