@@ -40,6 +40,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # >= 4.1 the conf is ignored (native NTZ read); harmless either way.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The engine's timestamp semantics are naive-UTC (matching the
+        # DuckDB oracle's reading of the same parquet). The NTZ->LTZ
+        # normalization below and every epoch/window expression
+        # downstream depend on it, so pin the session zone rather than
+        # inheriting the JVM's local zone from an external caller.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -73,8 +73,16 @@ def refresh_daily_rollup(
     written with dynamic partition overwrite so only the affected
     day partitions of the rollup rewrite."""
     ev = spark.read.option("basePath", events_dir).parquet(events_dir)
+    # Batch ids are directory names in the sink layout this module
+    # documents — enumerate them from the listing, NOT a corpus-wide
+    # distinct() (which would scan every historical partition and
+    # break the refresh-scales-with-new-data contract).
     all_batches = {
-        r["_batch_id"] for r in ev.select("_batch_id").distinct().collect()
+        int(name.split("=", 1)[1])
+        for day_entry in os.scandir(events_dir)
+        if day_entry.is_dir() and day_entry.name.startswith("event_date=")
+        for name in os.listdir(day_entry.path)
+        if name.startswith("_batch_id=")
     }
     new_batches = sorted(all_batches - _applied_batches(rollup_dir))
     if not new_batches:

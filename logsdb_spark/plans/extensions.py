@@ -2234,7 +2234,11 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan shape.)"""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
+        # Empty documents chunk to nothing on both engines; the filter
+        # also guards Spark's sequence(), which (unlike DuckDB's
+        # generate_series) throws on a 1-to-0 ascending range.
+        docs.filter(F.length("text") > 0)
+        .select(
             "doc_id",
             "text",
             F.explode(

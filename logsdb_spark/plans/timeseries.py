@@ -35,21 +35,25 @@ _BAR_KEY_SPARK = lambda: F.format_string(  # noqa: E731
 _BAR_KEY_SQL = "printf('%020d|%012d', epoch_us(ts), event_id)"
 
 
-def _daily_grid(ev: DataFrame) -> DataFrame:
+def _daily_grid(daily: DataFrame) -> DataFrame:
     """Dense (day x event_type) calendar grid spanning the data's own
-    date range. The bounds aggregate is ONE row (computed with a
-    map-side-combinable min/max, broadcast implicitly); the distinct
-    type list is dimension-sized. Their cross join is days x types —
-    thousands of rows at any corpus scale — so the grid side of every
-    downstream join broadcasts and the fact table never reshuffles for
-    the spine."""
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
+    date range — derived from the already-aggregated DAILY table (day,
+    event_type, ...), never from the fact: bounds and the distinct
+    type list read days-x-types rows, so the events scan happens once
+    per query. Callers persist() the daily table before building the
+    grid — without that barrier Catalyst collapses the derived min/max
+    and distinct back THROUGH the aggregate into separate
+    (column-pruned) fact scans, exactly the multi-scan this derivation
+    exists to avoid. The persisted table is days x types rows — the
+    stored-rollup analogue, trivially cacheable. The grid is thousands
+    of rows at any corpus scale, so it stays broadcast-side in every
+    downstream join and the fact table never reshuffles for the
+    spine."""
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
         F.explode(F.sequence("d0", "d1")).alias("day")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     return spine.crossJoin(types)
 
 
@@ -88,7 +92,6 @@ def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join, so scaling the corpus 100x changes only the first
     aggregate's input."""
     ev = load_table(spark, sf_dir, "events")
-    grid = _daily_grid(ev)
     vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
     c = (
         ev.select(F.to_date("ts").alias("day"), "event_type", vi.alias("vi"))
@@ -98,6 +101,8 @@ def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("vi") / F.lit(10000.0)).alias("sv"),
         )
     )
+    c = c.persist()
+    grid = _daily_grid(c)
     return (
         grid.join(c, ["day", "event_type"], "left")
         .select(
@@ -155,7 +160,6 @@ def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOCF at 100 TB the same plan applies with user_id in the partition
     key: state stays one row per partition via last(ignorenulls).)"""
     ev = load_table(spark, sf_dir, "events")
-    grid = _daily_grid(ev)
     vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
     a = (
         ev.select(F.to_date("ts").alias("day"), "event_type", vi.alias("vi"))
@@ -166,6 +170,8 @@ def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("av")
         )
     )
+    a = a.persist()
+    grid = _daily_grid(a)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

@@ -49,15 +49,20 @@ JSONL_EVENT_SCHEMA = StructType(
 _REQUIRED = ["event_id", "ts", "user_id", "event_type"]
 
 
-def _parsed(lines: DataFrame) -> DataFrame:
-    # try_to_timestamp: malformed instants must dead-letter as data
-    # errors, not throw ANSI cast exceptions mid-scan.
+def parse_jsonl_lines(lines: DataFrame) -> DataFrame:
+    """Parse once: the struct + timestamp columns good_events /
+    dead_letters split on. The ingest pipeline persists THIS frame so
+    JSON parsing runs once per batch, not once per consumer (the same
+    parse-then-split contract as the log sources).
+
+    try_to_timestamp: malformed instants must dead-letter as data
+    errors, not throw ANSI cast exceptions mid-scan."""
     return lines.withColumn(
         "_p", F.from_json(F.col("value"), JSONL_EVENT_SCHEMA)
     ).withColumn("_ts", F.try_to_timestamp(F.col("_p.ts")))
 
 
-def _invalid(c: DataFrame | None = None) -> Column:
+def _invalid() -> Column:
     """True when a line must dead-letter: JSON didn't parse (struct is
     null / all-null fields) or any required field is missing, or the
     timestamp string didn't parse to an instant."""
@@ -69,10 +74,10 @@ def _invalid(c: DataFrame | None = None) -> Column:
     return parse_failed | missing | bad_ts
 
 
-def good_events(lines: DataFrame) -> DataFrame:
-    """Typed event rows from a ``value: string`` JSONL DataFrame."""
+def good_events(parsed: DataFrame) -> DataFrame:
+    """Typed event rows from a ``parse_jsonl_lines`` DataFrame."""
     return (
-        _parsed(lines)
+        parsed
         .filter(~_invalid())
         .select(
             F.col("_p.event_id").alias("event_id"),
@@ -84,11 +89,11 @@ def good_events(lines: DataFrame) -> DataFrame:
     )
 
 
-def dead_letters(lines: DataFrame) -> DataFrame:
+def dead_letters(parsed: DataFrame) -> DataFrame:
     """JSON error records for unparsable/invalid lines — the same
     (error, line) shape the reference emits (K2)."""
     return (
-        _parsed(lines)
+        parsed
         .filter(_invalid())
         .select(
             F.to_json(

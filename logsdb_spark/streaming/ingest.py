@@ -161,7 +161,7 @@ def ingest_jsonl(
         spark,
         source_dir,
         out_dir,
-        lambda lines: lines,  # raw value:string; jsonl.* parse per-split
+        jsonl.parse_jsonl_lines,  # parsed once, persisted per batch
         lambda df: jsonl.good_events(df).withColumnRenamed("ts", "timestamp"),
         jsonl.dead_letters,
         "jsonl_events",

@@ -157,7 +157,11 @@ def test_jsonl_good_and_dead_split(spark):
     """JSONL source: valid rows parse typed; unparsable JSON, missing
     required fields, and bad timestamps dead-letter with a JSON error
     record (never silently NULL into good rows)."""
-    from logsdb_spark.sources.jsonl import dead_letters, good_events
+    from logsdb_spark.sources.jsonl import (
+        dead_letters,
+        good_events,
+        parse_jsonl_lines,
+    )
 
     lines = spark.createDataFrame(
         [
@@ -172,13 +176,14 @@ def test_jsonl_good_and_dead_split(spark):
         ],
         "value string",
     )
-    good = good_events(lines).collect()
+    parsed = parse_jsonl_lines(lines)
+    good = good_events(parsed).collect()
     assert {r.event_id for r in good} == {1, 2}
     by_id = {r.event_id: r for r in good}
     assert by_id[1].value == 12.5 and by_id[2].value is None
     assert by_id[1].ts.isoformat().startswith("2024-01-01T00:09:58.778549")
 
-    dead = dead_letters(lines).collect()
+    dead = dead_letters(parsed).collect()
     assert len(dead) == 3
     import json as _json
 

@@ -55,3 +55,26 @@ def test_pii_patterns_agree_with_duckdb_on_synthetic_text(spark):
         '<EMAIL>', 'g'), '{_IPV4_RE}', '<IP>', 'g')"""
     ).fetchone()[0]
     assert spark_red == duck_red
+
+
+def test_doc_chunk_windows_empty_text_yields_no_chunks(spark):
+    """Empty documents chunk to nothing (and must not crash Spark's
+    sequence(), which throws on a 1-to-0 ascending range — unlike
+    DuckDB's generate_series, which just returns no rows)."""
+    import logsdb_spark.plans.extensions as ext
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "abc")], "doc_id long, text string"
+    )
+    out = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"), F.lit(150))).alias(
+                "start"
+            ),
+        )
+        .collect()
+    )
+    assert [r.doc_id for r in out] == [2]
