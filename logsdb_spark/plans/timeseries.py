@@ -337,3 +337,63 @@ def anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(usable, F.round(z, 4)).alias("zscore"),
         F.coalesce(usable & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator, oracle-gated in batch:
+    one aggregate call sessionizes (vs the lag→flag→running-sum→agg
+    chain of sessionize_events — same family, different machinery; the
+    native form is also what the streaming path uses, so gating it
+    here pins the batch/stream semantics to one oracle).
+
+    Boundary semantics the oracle mirrors exactly: windows are
+    half-open [first_ts, last_ts + gap), so an event arriving at
+    EXACTLY gap distance starts a NEW session (the islands SQL uses
+    >= for the boundary, unlike the strictly-> of the 30-min
+    `sessionize_events` query) and session_end is last_ts + gap, not
+    last_ts. Value totals in fixed point as usual."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        ev.select("user_id", "ts", vi.alias("vi"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vi") / F.lit(10000.0)).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -284,3 +284,77 @@ def test_global_row_number_matches_sorted_enumerate(spark, rows):
         for i, (k, tb) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user/type bucket
+            st.integers(min_value=0, max_value=10**6),  # ts offset seconds
+            st.integers(min_value=1, max_value=10**6),  # value in 1e-4 units
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_ohlc_aggregate_matches_window_reference(spark, rows):
+    """daily_ohlc_bars' aggregate form (min_by/max_by on a composite
+    string key) must equal the obvious-but-shuffle-heavy reference
+    plan: row_number over (ts, event_id) picking first/last per group.
+    Duplicate timestamps are generated on purpose — the event_id
+    tie-break is what the property pins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    data = [
+        Row(
+            event_id=i,
+            ts=datetime(2024, 1, 1, tzinfo=timezone.utc)
+            + timedelta(seconds=off % 7200),  # force ts collisions
+            event_type=f"t{b}",
+            value=v / 10000.0,
+        )
+        for i, (b, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data)
+    key = F.format_string(
+        "%020d|%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    got = {
+        (str(r.day), r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in df.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    w = Window.partitionBy(F.to_date("ts"), "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ref = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("rlast", F.row_number().over(
+            Window.partitionBy(F.to_date("ts"), "event_type").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        ))
+    )
+    want = {}
+    for r in (
+        ref.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.min_by("value", "rn").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min_by("value", "rlast").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    ):
+        want[(str(r.day), r.event_type)] = (r.open, r.high, r.low, r.close, r.n)
+    assert got == want
