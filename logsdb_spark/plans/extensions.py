@@ -2398,3 +2398,84 @@ def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.col", "p.n_null", "p.n_distinct", "p.min_val", "p.max_val")
         .orderBy("col")
     )
+
+
+@register(
+    "mixture_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT) AS BIGINT) AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT source,
+             (SUM(n_tokens) * (CASE
+                WHEN source IN ('src0','src1','src2','src3','src4') THEN 90
+                WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+                ELSE 20 END)) // 100 AS budget
+      FROM t GROUP BY source
+    ),
+    r AS (
+      SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+             CAST(SUM(t.n_tokens) OVER (PARTITION BY t.source
+                                        ORDER BY t.h, t.doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM t JOIN b USING (source)
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM r WHERE cum_tokens <= budget
+    ORDER BY doc_id
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction to a per-source TOKEN budget: each source
+    gets a share of its own token mass (90% for the up-weighted
+    sources, 50% mid, 20% down-weighted — the knobs a data-mixture
+    recipe turns), and docs fill that budget in deterministic
+    hash-of-id order until the cumulative token count reaches it.
+    Unlike fixed-rate sampling (sample_stratified) this hits a token
+    target, not a row rate — what mixture recipes actually specify —
+    and the hash order makes the chosen set reproducible across runs,
+    engines, and re-shards (no RNG state; a doc's rank never changes).
+
+    Scale shape: token counts are scan-local; the budget table is one
+    row per source (broadcast); the only fact-sized work is ONE window
+    (cumulative sum) partitioned by source in hash order — a single
+    shuffle on the mixture key. Integer arithmetic end-to-end, so the
+    oracle equality is exact."""
+    from ..functions.text import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        portable_hash64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    b = t.groupBy("source").agg(
+        F.expr(
+            "sum(n_tokens) * (CASE"
+            " WHEN source IN ('src0','src1','src2','src3','src4') THEN 90"
+            " WHEN source IN ('src5','src6','src7','src8','src9') THEN 50"
+            " ELSE 20 END) div 100"
+        ).alias("budget")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.join(F.broadcast(b), "source")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
