@@ -56,6 +56,9 @@ HEADLINE = [
     "gap_fill_daily_counts",
     "daily_ohlc_bars",
     "grouping_sets_revenue",
+    # native one-call sessionization and token-budget mixture fill
+    "session_window_native",
+    "mixture_token_budget",
 ]
 
 
