@@ -2479,3 +2479,56 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "event_type_affinity",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_baskets
+    FROM baskets a JOIN baskets b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: for every pair of event types, the
+    number of (user, day) baskets containing both — the co-occurrence
+    support matrix behind association rules ("users who error also
+    purchase?").
+
+    The oracle states the textbook basket self-join; the Spark plan
+    avoids it with the same bucket-grouped pair emit the LSH dedup
+    uses: ONE aggregate collects each basket's sorted distinct type
+    set, pairs explode from the array in-place, and a second
+    map-side-combinable count aggregates them. Two shuffles total
+    (basket key, then pair key), no join — and basket size bounds the
+    pair fan-out at |types| choose 2 per basket, independent of corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .filter(F.size("types") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + F.lit(2), F.size(F.col("types"))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .orderBy("type_a", "type_b")
+    )
