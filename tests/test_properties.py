@@ -358,3 +358,74 @@ def test_ohlc_aggregate_matches_window_reference(spark, rows):
     ):
         want[(str(r.day), r.event_type)] = (r.open, r.high, r.low, r.close, r.n)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # source bucket
+            st.integers(min_value=1, max_value=40),  # token count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_mixture_budget_fill_matches_python_reference(spark, rows):
+    """The token-budget fill (hash-ordered cumulative sum capped at a
+    per-source budget) must match a straightforward Python fold —
+    pinning the window frame, the ordering key, and the integer budget
+    arithmetic the registered mixture query relies on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def phash(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    pct = {0: 90, 1: 50, 2: 20}
+    data = [
+        Row(doc_id=i, source=f"s{b}", n_tokens=t)
+        for i, (b, t) in enumerate(rows)
+    ]
+
+    # Python reference: per-source budget, fill in (hash, doc_id) order
+    want = set()
+    by_src: dict = {}
+    for r in data:
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        avail = sum(d.n_tokens for d in docs)
+        budget = avail * pct[int(src[1])] // 100
+        cum = 0
+        for d in sorted(docs, key=lambda d: (phash(d.doc_id), d.doc_id)):
+            cum += d.n_tokens
+            if cum <= budget:
+                want.add(d.doc_id)
+
+    from logsdb_spark.functions.text import portable_hash64
+
+    df = spark.createDataFrame(data)
+    t = df.withColumn(
+        "h", portable_hash64(F.col("doc_id").cast("string"))
+    )
+    b = t.groupBy("source").agg(
+        F.expr(
+            "sum(n_tokens) * (CASE WHEN source = 's0' THEN 90"
+            " WHEN source = 's1' THEN 50 ELSE 20 END) div 100"
+        ).alias("budget")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r.doc_id
+        for r in t.join(F.broadcast(b), "source")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= F.col("budget"))
+        .collect()
+    }
+    assert got == want
