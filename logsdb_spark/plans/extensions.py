@@ -2532,3 +2532,34 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "k_anonymity_groups",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS group_size,
+           COUNT(*) < 5 AS below_k
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (lang, source): group sizes plus a below-k flag (k=5) — the
+    privacy gate a release pipeline runs before publishing derived
+    data, since a quasi-identifier combination shared by fewer than k
+    records re-identifies its members. Pairs with text_pii_redact
+    (direct identifiers) to cover both halves of de-identification.
+
+    One map-side-combinable aggregate on the quasi-identifier key;
+    at 100 TB the flagged groups drive either suppression (drop rows
+    in below-k groups) or generalization (coarsen a quasi-identifier
+    and re-check) — both expressible as a join back on this result."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("below_k", F.col("group_size") < 5)
+        .orderBy("lang", "source")
+    )
