@@ -186,7 +186,8 @@ def pairwise_cosine_dedup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
 
 
 def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
-                       n_centroids: int = 16, n_assign: int = 2) -> DataFrame:
+                       n_centroids: int | None = None,
+                       n_assign: int = 2) -> DataFrame:
     """IVF-blocked embedding near-dup: assign every vector to its
     ``n_assign`` nearest centroid cells (multi-assignment — the
     pair-generation analogue of query-side nprobe), emit candidate
@@ -208,7 +209,17 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
     → exact cosine ≥ threshold) exactly in SQL — the hash gate checks
     the distributed implementation, the pytest checks the recall. At a
     production near-dup threshold (≥0.9) the same pipeline's recall
-    approaches 1 as the angle shrinks."""
+    approaches 1 as the angle shrinks.
+
+    ``n_centroids=None`` (the default) scales the cell count with the
+    corpus: ceil(sqrt(n)), floored at 4 — expected cell size ~sqrt(n),
+    so intra-cell pair volume stays ~linear in the corpus instead of
+    n²/constant. Costs one count() of the corpus (a metadata-cheap
+    aggregate); pass an explicit value to pin it."""
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(4, math.ceil(math.sqrt(emb.count())))
     cents = _with_norm(
         emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")

@@ -889,8 +889,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (
       SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
     ),
+    k AS (
+      SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS n_cents
+      FROM embeddings
+    ),
     cents AS (
-      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n
+      WHERE vec_id < (SELECT n_cents FROM k)
     ),
     scored AS (
       SELECT n.vec_id, c.cent_id,
@@ -924,10 +929,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup on the SCALE path: IVF multi-assignment
-    blocking (each vector → its 2 nearest of 16 centroid cells),
-    intra-cell candidate pairs, exact-cosine verify ≥ 0.4 — the corpus
-    shuffles once on the cell key and never self-joins, unlike the
-    O(n²) dedup_embedding_cosine baseline.
+    blocking (each vector → its 2 nearest of ceil(sqrt(n)) centroid
+    cells — the cell count scales with the corpus so intra-cell pair
+    volume stays ~linear), intra-cell candidate pairs, exact-cosine
+    verify ≥ 0.4 — the corpus shuffles once on the cell key and never
+    self-joins, unlike the O(n²) dedup_embedding_cosine baseline.
 
     The oracle mirrors the IVF semantics exactly (assignment is
     deterministic and SQL-expressible), so the hash gate checks the
@@ -940,7 +946,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_cell_near_dups(
-        emb, threshold=0.4, n_centroids=16, n_assign=2
+        emb, threshold=0.4, n_assign=2
     ).orderBy("id_a", "id_b")
 
 
