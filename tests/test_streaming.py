@@ -469,3 +469,48 @@ def test_jsonl_stream_ingest(spark, tmp_path):
     )
     run_until_drained(ingest_jsonl(spark, str(src), str(out)))
     assert spark.read.parquet(str(out / "jsonl_events")).count() == 2
+
+
+def test_ingest_feeds_incremental_rollup(spark, tmp_path):
+    """Composition: the streaming sink's (event_date, _batch_id)
+    layout is exactly what refresh_daily_rollup consumes — ingest two
+    batches, refresh after each, and the rollup must equal the batch
+    aggregate of everything ingested."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.rollup import read_rollup, refresh_daily_rollup
+    from logsdb_spark.streaming.ingest import ingest_jsonl, run_until_drained
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    line = (
+        '{"event_id": %d, "ts": "2024-01-0%dT0%d:00:00Z", "user_id": %d, '
+        '"event_type": "%s", "value": %s}'
+    )
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            [
+                line % (1, 1, 1, 7, "view", "1.5"),
+                line % (2, 1, 2, 8, "view", "2.25"),
+                line % (3, 2, 3, 7, "click", "0.5"),
+            ]
+        )
+        + "\n"
+    )
+    run_until_drained(ingest_jsonl(spark, str(src), str(out)))
+    events_dir = str(out / "jsonl_events")
+    rollup_dir = str(out / "rollup")
+    assert refresh_daily_rollup(spark, events_dir, rollup_dir) == 1
+
+    (src / "b.jsonl").write_text(line % (4, 1, 9, 9, "view", "3.0") + "\n")
+    run_until_drained(ingest_jsonl(spark, str(src), str(out)))
+    assert refresh_daily_rollup(spark, events_dir, rollup_dir) == 1
+
+    got = {
+        (str(r.event_date), r.event_type): (r.n_events, r.total_value)
+        for r in read_rollup(spark, rollup_dir).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): (3, 6.75),
+        ("2024-01-02", "click"): (1, 0.5),
+    }
