@@ -375,3 +375,27 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
         (str(r.event_date), r.event_type): (r.n_events, r.total_value)
         for r in read_rollup(spark, rollup_dir).collect()
     } == want
+
+
+def test_write_with_metrics_audits_in_one_pass(spark, tmp_path):
+    """Observation metrics must equal an independent recount of what
+    was written — the write-audit-publish numbers come from the write
+    job itself, no second scan."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.observability import write_with_metrics
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    path = str(tmp_path / "audited")
+    got = write_with_metrics(ev, path, value_col="value")
+
+    back = spark.read.parquet(path)
+    want_rows = back.count()
+    want_null, want_sum = back.agg(
+        F.sum(F.col("value").isNull().cast("long")),
+        F.sum("value"),
+    ).first()
+    assert got["n_rows"] == want_rows
+    assert got["n_null"] == (want_null or 0)
+    assert abs(got["value_sum"] - want_sum) < 1e-6
