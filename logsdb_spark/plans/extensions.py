@@ -2569,3 +2569,94 @@ def k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("below_k", F.col("group_size") < 5)
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "table_checksum_events",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           BIT_XOR(CAST(CAST(('0x' || substr(md5(
+                 CAST(event_id AS VARCHAR) || '|' ||
+                 CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+                 CAST(user_id AS VARCHAR) || '|' ||
+                 event_type || '|' ||
+                 CAST(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS VARCHAR)
+               ), 1, 15)) AS UBIGINT) AS BIGINT)) AS checksum
+    FROM events
+    """,
+)
+def table_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: each row renders to a
+    canonical string (ints, epoch-µs, fixed-point value — no
+    float/locale formatting ambiguity), hashes through the portable
+    md5-derived 60-bit hash, and the hashes SUM — addition commutes,
+    so any partitioning/ordering of the same rows yields the same
+    checksum. This is the cross-system migration check: run it on
+    both sides of a copy (engine A and engine B, source and sink) and
+    compare two numbers instead of 10^11 rows. Sum-of-60-bit hashes
+    also localizes drift: a single changed row shifts the checksum by
+    the delta of two hashes, which collides with another single-row
+    change with probability ~2^-60.
+
+    Scan-local hash + ONE map-side-combinable sum: the cheapest
+    possible full-table integrity pass at 100 TB (no shuffle of row
+    data, only partial sums)."""
+    from ..functions.text import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.unix_micros("ts").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").cast("string"),
+    )
+    return ev.select(portable_hash64(canon).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    )
+
+
+@register(
+    "histogram_equidepth_values",
+    oracle="""
+    WITH b AS (
+      SELECT value, NTILE(8) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equidepth_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile-bucketed: every bucket holds the
+    same row count, bucket edges land where the data is dense) — the
+    complement of the fixed-width histogram_event_values, and the
+    shape optimizers and drift monitors actually want, since equal-
+    width bins starve in the tails. Deterministic via the event_id
+    tie-break on duplicate values.
+
+    The ntile here is a global-order window — dim-scale honest at
+    this corpus; the 100 TB path is approx_percentile edges (sketch,
+    one pass, no global sort) feeding a range join, or the
+    range-partitioned rank machinery of o2_total_order_ranged — both
+    already demonstrated in this repo."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
+        .orderBy("bucket")
+    )
