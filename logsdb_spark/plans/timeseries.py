@@ -397,3 +397,91 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "drift_psi_value",
+    oracle="""
+    WITH m AS (
+      SELECT (CAST(MIN(epoch_us(ts)) AS BIGINT)
+              + CAST(MAX(epoch_us(ts)) AS BIGINT)) // 2 AS mid
+      FROM events
+    ),
+    b AS (
+      SELECT value,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM m)
+                  THEN 'ref' ELSE 'cur' END AS period,
+             NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    ),
+    c AS (
+      SELECT bucket,
+             SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY bucket
+    ),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND((n_ref / t.tr - n_cur / t.tc)
+                 * ln((n_ref / t.tr) / (n_cur / t.tc)), 4) AS psi_term
+    FROM c CROSS JOIN t
+    WHERE n_ref > 0 AND n_cur > 0
+    ORDER BY bucket
+    """,
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per value decile: split the corpus at
+    its time midpoint (integer epoch arithmetic — no float midpoint),
+    bucket values into global equi-depth deciles, and compare each
+    bucket's share between the reference (first half) and current
+    (second half) periods — the standard drift monitor for a feature
+    distribution (PSI > 0.25 on any bucket flags retraining). Buckets
+    a period never reached are excluded (their PSI term is undefined;
+    the bucket row's absence IS the signal).
+
+    The decile ntile is a global window — dim-scale honest here; at
+    100 TB the edges come from approx_percentile (sketch) and the
+    bucket assignment becomes a scan-local range lookup, as with the
+    equi-depth histogram. Counts are exact integers; the only float
+    math is the final share ratio + ln, rounded at the output edge."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr(
+            "(cast(min(unix_micros(ts)) as bigint)"
+            " + cast(max(unix_micros(ts)) as bigint)) div 2"
+        ).alias("mid")
+    )
+    b = ev.join(F.broadcast(mid)).select(
+        "value",
+        "event_id",
+        F.when(F.unix_micros("ts") < F.col("mid"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+    )
+    w = Window.orderBy("value", "event_id")
+    c = (
+        b.select("value", "period", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("period") == "ref").cast("long")).alias("n_ref"),
+            F.sum((F.col("period") == "cur").cast("long")).alias("n_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = F.col("n_ref") / F.col("tr")
+    q = F.col("n_cur") / F.col("tc")
+    return (
+        c.join(F.broadcast(t))
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 4).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
