@@ -2660,3 +2660,54 @@ def histogram_equidepth_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
         .orderBy("bucket")
     )
+
+
+@register(
+    "curriculum_topk_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                  AS BIGINT) AS vocab
+      FROM documents
+    )
+    SELECT lang, doc_id, vocab, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT lang, doc_id, vocab,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY vocab DESC, doc_id) AS rnk
+      FROM t
+    )
+    WHERE rnk <= 5
+    ORDER BY lang, rnk
+    """,
+)
+def curriculum_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum selection: the top-5 highest-lexical-diversity
+    documents per language (distinct-token count as the quality
+    proxy — an exact integer, so ranking is fully deterministic with
+    the doc_id tie-break). This is the per-stratum best-of-N pick a
+    staged training curriculum starts from: highest-quality examples
+    first, quality defined per stratum so low-resource languages
+    aren't drowned out by high-resource ones.
+
+    Scale shape: the score is scan-local; the top-k window partitions
+    by lang — at 100 TB replace row_number-over-everything with a
+    per-partition aggregate of a bounded k-heap (slice of
+    sort_array(collect_list)) if language skew makes a single lang's
+    partition hot; at 5 rows kept per group the window form is fine."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("vocab"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("vocab"), F.asc("doc_id"))
+    return (
+        t.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "vocab", "rnk")
+        .orderBy("lang", "rnk")
+    )
