@@ -2711,3 +2711,63 @@ def curriculum_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "vocab", "rnk")
         .orderBy("lang", "rnk")
     )
+
+
+@register(
+    "funnel_latency_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS mv
+      FROM events WHERE event_type = 'view' GROUP BY user_id, day
+    ),
+    p AS (
+      SELECT e.user_id, v.day,
+             MIN(epoch_us(e.ts) - epoch_us(v.mv)) AS gap_us
+      FROM events e JOIN v
+        ON e.user_id = v.user_id AND CAST(e.ts AS DATE) = v.day
+      WHERE e.event_type = 'purchase' AND e.ts >= v.mv
+      GROUP BY e.user_id, v.day
+    )
+    SELECT COUNT(*) AS n_conversions,
+           CAST(quantile_cont(gap_us // 1000000, 0.5) AS DOUBLE) AS p50_s,
+           CAST(quantile_cont(gap_us // 1000000, 0.9) AS DOUBLE) AS p90_s,
+           CAST(MAX(gap_us // 1000000) AS BIGINT) AS max_s
+    FROM p
+    """,
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for each (user, day) that
+    converted view→purchase, the seconds from first view to first
+    subsequent purchase, summarized as exact p50/p90/max — the
+    time-to-convert numbers behind funnel dashboards (counts say HOW
+    MANY converted; this says HOW FAST).
+
+    Gaps are floored to integer seconds BEFORE the quantile, so the
+    only cross-engine float math is the shared linear-interpolation
+    definition over identical integers. Both aggregates key on
+    (user_id, day) — one partitioning serves the stage chain, and the
+    final summary is a single small reduce."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.to_date("ts").alias("day"), "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("mv"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, ["user_id", "day"])
+        .filter(F.col("ts") >= F.col("mv"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("mv")).alias("gap_us")
+        )
+    )
+    gap_s = F.expr("gap_us div 1000000")
+    return p.select(gap_s.alias("gap_s")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.expr("percentile(gap_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(gap_s, 0.9)").alias("p90_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )
