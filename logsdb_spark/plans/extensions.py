@@ -2771,3 +2771,89 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_s, 0.9)").alias("p90_s"),
         F.max("gap_s").cast("long").alias("max_s"),
     )
+
+
+@register(
+    "affinity_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    totals AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_b FROM baskets),
+    singles AS (
+      SELECT event_type, COUNT(*) AS n FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           ROUND(CAST(p.n_ab AS DOUBLE) / sa.n, 4) AS conf_a_to_b,
+           ROUND(CAST(p.n_ab AS DOUBLE) * t.n_b / (sa.n * sb.n), 4) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN totals t
+    ORDER BY type_a, type_b
+    """,
+)
+def affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule strength for the basket pairs: confidence
+    (P(b|a)) and lift (observed co-occurrence over the independence
+    expectation — lift > 1 means the types attract, < 1 they repel).
+    Support counts alone (event_type_affinity) overweight popular
+    types; lift is the correction every market-basket analysis
+    actually ranks by.
+
+    All counts are exact integers from two basket-keyed aggregates;
+    the single-type totals table is |types| rows (broadcast), the
+    basket total one row. Division happens once at the output edge,
+    over identical integers in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    n_b = baskets.select("user_id", "day").distinct().count()
+    singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    b = baskets.groupBy("user_id", "day").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    ).filter(F.size("types") > 1)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + F.lit(2), F.size(F.col("types"))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    pairs = (
+        b.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 4).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                F.col("n_ab").cast("double") * F.lit(n_b)
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
