@@ -214,14 +214,27 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
     ``n_centroids=None`` (the default) scales the cell count with the
     corpus: ceil(sqrt(n)), floored at 4 — expected cell size ~sqrt(n),
     so intra-cell pair volume stays ~linear in the corpus instead of
-    n²/constant. Costs one count() of the corpus (a metadata-cheap
-    aggregate); pass an explicit value to pin it."""
+    n²/constant. The count is a LAZY broadcast 1-row aggregate joined
+    into the centroid-selection filter (not a driver-side ``count()``
+    at build time), so constructing this plan runs no job; pass an
+    explicit value to pin it and let the centroid filter push down to
+    the scan instead."""
     if n_centroids is None:
-        import math
-
-        n_centroids = max(4, math.ceil(math.sqrt(emb.count())))
+        k_row = emb.agg(
+            F.greatest(
+                F.lit(4).cast("long"),
+                F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long"),
+            ).alias("_ncents")
+        )
+        cent_base = (
+            emb.join(F.broadcast(k_row))
+            .filter(F.col("vec_id") < F.col("_ncents"))
+            .drop("_ncents")
+        )
+    else:
+        cent_base = emb.filter(F.col("vec_id") < n_centroids)
     cents = _with_norm(
-        emb.filter(F.col("vec_id") < n_centroids).select(
+        cent_base.select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
         ),
         "cent_vec",

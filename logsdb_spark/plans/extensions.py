@@ -2812,13 +2812,20 @@ def affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All counts are exact integers from two basket-keyed aggregates;
     the single-type totals table is |types| rows (broadcast), the
-    basket total one row. Division happens once at the output edge,
-    over identical integers in both engines."""
+    basket total a LAZY 1-row aggregate cross-joined broadcast into
+    the output edge (the same pattern drift_psi_value uses for its
+    median) — building this query runs no job, preserving the
+    registry's lazy-build contract. Division happens once at the
+    output edge, over identical integers in both engines."""
     ev = load_table(spark, sf_dir, "events")
     baskets = ev.select(
         "user_id", F.to_date("ts").alias("day"), "event_type"
     ).distinct()
-    n_b = baskets.select("user_id", "day").distinct().count()
+    totals = (
+        baskets.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_n_b"))
+    )
     singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     b = baskets.groupBy("user_id", "day").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
@@ -2842,6 +2849,7 @@ def affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(totals))
         .select(
             "type_a",
             "type_b",
@@ -2850,7 +2858,7 @@ def affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conf_a_to_b"
             ),
             F.round(
-                F.col("n_ab").cast("double") * F.lit(n_b)
+                F.col("n_ab").cast("double") * F.col("_n_b")
                 / (F.col("na") * F.col("nb")),
                 4,
             ).alias("lift"),
