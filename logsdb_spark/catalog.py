@@ -19,46 +19,90 @@ from . import TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Memoized per (applicationId, sf_dir, table, source mtime): repeated
+# query builds in one session (the bench loop, the driver's 50-query
+# correctness sweep) reuse the same analyzed scan instead of re-listing
+# files and re-reading footers per build. The mtime in the key makes the
+# cache self-invalidating when a test overwrites a table in place (a new
+# snapshot gets a fresh InMemoryFileIndex).
+_TABLE_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
+_TZ_PINNED: set[str] = set()
+
+
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Pin the engine's timestamp contract ONCE per session.
+
+    - spark.sql.legacy.parquet.nanosAsLong: events.ts is parquet
+      TIMESTAMP(NANOS) — older Sparks raise PARQUET_TYPE_ILLEGAL
+      without it (Spark >= 4.1 ignores it and reads NTZ natively).
+    - spark.sql.session.timeZone=UTC: the engine's timestamp semantics
+      are naive-UTC end-to-end (the reference stores tz-aware UTC,
+      core.py:17-18; the DuckDB oracle reads the same parquet as
+      naive-UTC). The NTZ->LTZ normalization below and every
+      epoch/window expression downstream depend on this pin — it is a
+      DOCUMENTED SIDE EFFECT on externally built sessions (README
+      "Timestamp contract"): a caller that needs a different session
+      zone must not share the session with this catalog. A failure to
+      set it is loud: silently JVM-zone-dependent results are worse
+      than an error."""
+    key = spark.sparkContext.applicationId
+    if key in _TZ_PINNED:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _TZ_PINNED.add(key)
+
+
+def _source_mtime(path: str) -> int:
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
+
+
+def read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Raw parquet scan with NO column normalization (events.ts stays
+    its on-disk read type: int64 ns on legacy Sparks, TIMESTAMP_NTZ on
+    Spark >= 4.1). Predicates a caller applies against the raw column
+    reach the parquet reader as PushedFilters — the normalization cast
+    in load_table would otherwise hide them from row-group pruning."""
+    _pin_session_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, f"_raw_{name}",
+           _source_mtime(path))
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = spark.read.parquet(path)
+    return _TABLE_CACHE[key]
+
+
+def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the version-dependent raw ts read type to a session-tz
+    TimestampType so every downstream expression (unix_micros, windows,
+    watermarks) sees one type. int64 ns converts via ``ts div 1000`` —
+    integer division, since ns epochs ~1.7e18 exceed double's 2^53
+    exact range; NTZ casts value-exactly under the pinned UTC session
+    zone. Sub-µs truncation is semantically invisible to every query
+    here (see plans/reference_queries.py ordering notes)."""
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/pruning into it.
-
-    events.ts is parquet TIMESTAMP(NANOS), which Spark surfaces
-    differently by version: older releases need
-    spark.sql.legacy.parquet.nanosAsLong and deliver int64 ns (which we
-    convert via ``ts div 1000`` — integer division, since ns epochs
-    ~1.7e18 exceed double's 2^53 exact range); Spark >= 4.1 reads it
-    natively as TIMESTAMP_NTZ truncated to µs. Either way we normalize
-    to a session-tz TimestampType so every downstream expression
-    (unix_micros, windows, watermarks) sees one type. Sub-µs truncation
-    is semantically invisible to every query here (see
-    plans/reference_queries.py ordering notes).
-    """
-    # Runtime-settable legacy knob for older Sparks where TIMESTAMP(NANOS)
-    # is otherwise PARQUET_TYPE_ILLEGAL — set here rather than relying on
-    # the session having been built by our own get_spark(), so an external
-    # caller's vanilla session can also read events.parquet. On Spark
-    # >= 4.1 the conf is ignored (native NTZ read); harmless either way.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The engine's timestamp semantics are naive-UTC (matching the
-        # DuckDB oracle's reading of the same parquet). The NTZ->LTZ
-        # normalization below and every epoch/window expression
-        # downstream depend on it, so pin the session zone rather than
-        # inheriting the JVM's local zone from an external caller.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        dt = df.schema["ts"].dataType
-        if isinstance(dt, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(dt, TimestampNTZType):
-            # Naive µs wall-clock -> session-tz instant. The engine pins
-            # session tz to UTC (session.py) and the oracle (DuckDB) also
-            # treats the column as naive-UTC, so the cast is value-exact.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    events.ts is normalized to TimestampType (see normalize_events_ts);
+    results are memoized per (session, dir, table, mtime)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name, _source_mtime(path))
+    if key not in _TABLE_CACHE:
+        df = read_raw(spark, sf_dir, name)
+        if name == "events":
+            df = normalize_events_ts(df)
+        _TABLE_CACHE[key] = df
+    return _TABLE_CACHE[key]
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -15,8 +15,78 @@ predicate becomes a partition-pruning filter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# Memoized anchor literal per (session, dataset, table, column). The
+# reference evaluates its window edge ONCE per query build as a Python
+# literal (now(utc) - 1 day, core.py:60-61); this is the same contract
+# with "now" replaced by the dataset's max(ts) for determinism. The
+# first build per session+dataset runs one tiny ts-only aggregate (the
+# scan reads a single column and parquet footer stats bound it);
+# every later windowed-query build reuses the literal for free.
+_ANCHOR_CACHE: dict[tuple[str, str, str, str], _dt.datetime | None] = {}
+
+
+def table_anchor(spark: SparkSession, sf_dir: str, name: str = "events",
+                 ts_col: str = "ts") -> _dt.datetime | None:
+    """max(ts) of the raw table as a naive-UTC µs datetime (None when
+    the table is empty), memoized per session+dataset."""
+    from ..catalog import read_raw
+
+    key = (spark.sparkContext.applicationId, sf_dir, name, ts_col)
+    if key not in _ANCHOR_CACHE:
+        raw = read_raw(spark, sf_dir, name)
+        row = raw.agg(F.max(ts_col).alias("m")).first()
+        m = row["m"]
+        if isinstance(raw.schema[ts_col].dataType, LongType) and m is not None:
+            # legacy int64-ns read → truncate to µs (what TimestampType
+            # and the DuckDB oracle both see)
+            m = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=m // 1000)
+        _ANCHOR_CACHE[key] = m
+    return _ANCHOR_CACHE[key]
+
+
+def last_day_table(spark: SparkSession, sf_dir: str, name: str = "events",
+                   ts_col: str = "ts", days: int = 1) -> DataFrame:
+    """The P2 daily window on a catalog table, with the predicate
+    applied to the RAW ts column as a LITERAL — so it reaches the
+    parquet scan as a PushedFilter (row-group/page pruning; on a
+    date-partitioned production table, partition pruning). The
+    normalization cast happens AFTER the filter; filtering the cast
+    column instead would make the predicate post-scan.
+
+    Semantics match the broadcast-anchor form and the oracle's
+    ``ts >= (SELECT MAX(ts) FROM t) - INTERVAL 1 DAY`` exactly: the
+    anchor is µs-truncated max(ts) and the literal arithmetic is pure
+    µs (timedelta == INTERVAL at µs precision)."""
+    from ..catalog import normalize_events_ts, read_raw
+
+    raw = read_raw(spark, sf_dir, name)
+    anchor = table_anchor(spark, sf_dir, name, ts_col)
+    if anchor is None:
+        # empty table: NULL >= anything is no rows on both engines
+        filtered = raw.filter(F.lit(False))
+    else:
+        cutoff = anchor - _dt.timedelta(days=days)
+        if isinstance(raw.schema[ts_col].dataType, LongType):
+            cutoff_ns = (
+                (cutoff - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+            ) * 1000
+            filtered = raw.filter(F.col(ts_col) >= F.lit(cutoff_ns))
+        else:
+            # string → NTZ literal: wall-clock only, no tz conversion
+            # anywhere; constant-folded by Catalyst so it still pushes.
+            lit = F.to_timestamp_ntz(
+                F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S.%f"))
+            )
+            filtered = raw.filter(F.col(ts_col) >= lit)
+    if name == "events":
+        filtered = normalize_events_ts(filtered, ts_col)
+    return filtered
 
 
 def with_anchor(df: DataFrame, ts_col: str = "ts") -> DataFrame:

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.scalars import email_domain, longint
-from ..operators.windows import last_day
+from ..operators.windows import last_day_table
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -49,7 +49,7 @@ from ..registry import register
 def a1_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+P1+P2+O1: windowed hash-agg with multi-key mixed-direction sort
     (apache_access.py:59-70; sort O1 at :69)."""
-    ev = last_day(load_table(spark, sf_dir, "events"))
+    ev = last_day_table(spark, sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(
@@ -77,7 +77,7 @@ def a1_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a2_grand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: SUM-of-window totals; empty window must yield 0 not NULL
     (§4 trap 4 — Python totals start at 0, apache_access.py:57-58)."""
-    ev = last_day(load_table(spark, sf_dir, "events"))
+    ev = last_day_table(spark, sf_dir)
     return ev.agg(
         F.count(F.lit(1)).alias("qty"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("total_value"),
@@ -103,7 +103,7 @@ def a2_grand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a3_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: COUNT('*') per key in the 24 h window (authfail.py:34-38).
     COUNT('*') counts a never-null constant == count(lit(1)) (§4 trap 3)."""
-    ev = last_day(load_table(spark, sf_dir, "events"))
+    ev = last_day_table(spark, sf_dir)
     return (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("qty"))
@@ -128,7 +128,7 @@ def a3_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_window_empty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: `if not newmail:` empty-branch semantics (maillog.py:115-116)."""
-    ev = last_day(load_table(spark, sf_dir, "events")).filter(
+    ev = last_day_table(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
     return ev.agg(
@@ -238,18 +238,19 @@ def j1_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_bridge_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2+O3: bridge-table M:N join, then per-key sorted distinct
     collection (maillog.py:59 relationship; sorted render at :129).
-    collect_list is order-nondeterministic across partitions, so
-    array_sort pins O3's sort-by-tuple semantics."""
+    ONE shuffle: collect_set dedups inside the orderkey aggregate (with
+    map-side partial aggregation), replacing the earlier
+    distinct→collect_list form whose distinct added a second exchange
+    on the same key. collect_set is order-nondeterministic across
+    partitions, so array_sort pins O3's sort-by-tuple semantics."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
-    pairs = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .select(F.col("l_orderkey").alias("orderkey"), "s_name")
-        .distinct()
+    pairs = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).select(
+        F.col("l_orderkey").alias("orderkey"), "s_name"
     )
     return (
         pairs.groupBy("orderkey")
-        .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"))
+        .agg(F.array_join(F.array_sort(F.collect_set("s_name")), ",").alias("suppliers"))
         .orderBy("orderkey")
     )
 
@@ -372,7 +373,7 @@ def o2_stable_chronological(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id tiebreaker then pins a total order identically on both
     sides. The single-partition window is test-only visibility of the
     order; at scale rank assignment is a range-partitioned sort."""
-    ev = last_day(load_table(spark, sf_dir, "events"))
+    ev = last_day_table(spark, sf_dir)
     w = Window.orderBy(F.asc(F.date_trunc("second", F.col("ts"))), F.asc("event_id"))
     return ev.select(F.row_number().over(w).alias("rn"), "event_id").orderBy("rn")
 
@@ -399,7 +400,7 @@ def o2_total_order_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the #partitions-row offset aggregate, never the events scan."""
     from ..operators.ordering import global_row_number
 
-    ev = last_day(load_table(spark, sf_dir, "events")).select(
+    ev = last_day_table(spark, sf_dir).select(
         F.date_trunc("second", F.col("ts")).alias("_ts_s"), "event_id"
     )
     ranked = global_row_number(

@@ -174,12 +174,21 @@ def test_scale_dedup_plans_have_no_quadratic_join(spark):
         )
         assert "CartesianProduct" not in plan, f"{fn.__name__}: {plan}"
         # A conditionless BroadcastNestedLoopJoin is the 1-row centroid
-        # broadcast (corpus × 1 = corpus — linear, intended). The O(n²)
-        # signature is a nested loop WITH an inequality condition
-        # (id_a < id_b), which must never appear on the scale path.
+        # broadcast (corpus × 1 = corpus — linear, intended), and a
+        # condition referencing an engineered underscore-prefixed 1-row
+        # column (_ncents, _cents, _anchor) is Catalyst pushing a filter
+        # into that same anchor join — same rule as the repo-wide audit
+        # (tests/test_plan_audit.py). The O(n²) signature is a nested
+        # loop conditioned on REAL columns only (id_a < id_b), which
+        # must never appear on the scale path.
+        import re
+
         for line in plan.splitlines():
             if "BroadcastNestedLoopJoin" in line:
-                assert line.rstrip().endswith("Inner"), (
+                bare = line.rstrip().endswith("Inner")
+                cond = line.split(",", 2)[2] if line.count(",") >= 2 else ""
+                anchored = re.search(r"(?<![\w])_\w+#", cond)
+                assert bare or anchored, (
                     f"{fn.__name__}: conditional nested-loop join\n{line}"
                 )
 

@@ -63,3 +63,38 @@ def test_no_accidental_quadratic_join(spark, name):
             assert bare or anchored, (
                 f"{name}: corpus-sized nested-loop join\n{line}"
             )
+
+
+def test_windowed_scan_pushes_time_predicate(spark):
+    """The 24 h anchored-window queries must read events ONCE with the
+    time predicate in the parquet scan's PushedFilters (row-group/page
+    pruning; partition pruning on a date-partitioned production table)
+    — reference semantics core.py:60-61, where Postgres serves the same
+    predicate from an index. Guards against reintroducing the
+    double-scan broadcast-anchor plan on the catalog path."""
+    from logsdb_spark.plans.reference_queries import a1_top_event_types
+
+    qe = a1_top_event_types(spark, SF_DIR)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    ev_scans = [ln for ln in scans if "events" in ln]
+    assert len(ev_scans) == 1, f"events scanned {len(ev_scans)}x:\n{plan}"
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in ev_scans[0], (
+        f"time predicate not pushed:\n{ev_scans[0]}"
+    )
+
+
+def test_anchor_memoized_per_session_and_dir(spark):
+    """table_anchor runs its tiny ts-only aggregate once per
+    (session, dataset); later windowed-query builds reuse the literal."""
+    from logsdb_spark.operators import windows as W
+
+    a1 = W.table_anchor(spark, SF_DIR, "events")
+    key = (spark.sparkContext.applicationId, SF_DIR, "events", "ts")
+    assert key in W._ANCHOR_CACHE
+    # poison the cache: a second call must NOT recompute
+    W._ANCHOR_CACHE[key] = a1.replace(year=1999)
+    try:
+        assert W.table_anchor(spark, SF_DIR, "events").year == 1999
+    finally:
+        W._ANCHOR_CACHE[key] = a1
