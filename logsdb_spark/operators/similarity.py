@@ -295,6 +295,13 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
         emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
         "vb", "_nb",
     )
+    # Verify cost note (measured, sf0.1): the interpreted ordered-fold
+    # dot on the ~175k candidate pairs costs ~1.9 s; an Arrow
+    # pandas_udf prefilter was tried and REMOVED — serializing the
+    # pair arrays to Python costs the same ~2 s the fold does, so the
+    # vectorized kernel only breaks even in local mode while adding a
+    # Python dependency to the hot path. The fold also keeps the
+    # accumulation order bit-identical to the DuckDB oracle.
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -309,16 +316,102 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
     )
 
 
+def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
+                     sample_mod: int = 2, round_dp: int = 6) -> DataFrame:
+    """Deterministic LAZY Lloyd fit of ``k`` spherical-ish centroids →
+    (cent_id, cent_vec, cnrm). The proper coarse quantizer for the IVF
+    paths — replaces the first-k-by-id stand-in with centroids that
+    actually sit in the data's density.
+
+    Deterministic + SQL-expressible by construction, so queries built
+    on it stay ORACLE-GATED:
+    - init: the first ``k`` corpus vectors by vec_id (a deterministic
+      seeding; production would use k-means||, but init only affects
+      which local optimum the fit lands in);
+    - sample: ``vec_id % sample_mod == 0`` — a portable deterministic
+      sample (the fit cost is bounded by the sample, not the corpus;
+      at 100 TB pick sample_mod so the sample is ~1e6 rows);
+    - ``iters`` unrolled Lloyd rounds, each fully lazy: broadcast the
+      centroid row, argmax-cosine assign the sample (narrow map
+      stage), recompute centroids as the per-cell elementwise mean via
+      posexplode + (cell, pos) avg — one shuffle of sample×dim NARROW
+      rows per round, map-side combinable;
+    - means are ROUNDED to ``round_dp`` decimals: double summation
+      order differs between engines (and between Spark partial-agg
+      schedules), so the round pins cross-engine equality; 1e-6 is far
+      below any meaningful centroid resolution.
+    Cells that lose all sample members drop out identically on both
+    engines (assignment is deterministic), so parity holds without an
+    empty-cell patch-up. NO action is run at build time."""
+    samp = _with_norm(
+        emb.filter(F.col("vec_id") % sample_mod == 0).select("vec_id", "embedding"),
+        "embedding",
+        "_nrm",
+    )
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+        ),
+        "cent_vec",
+        "cnrm",
+    )
+    for _ in range(iters):
+        cent_row = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
+            ).alias("_cents")
+        )
+        assigned = samp.join(F.broadcast(cent_row)).select(
+            "embedding", _argmax_cell(F.col("embedding")).alias("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("mv"))
+        )
+        new_cents = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("cent_vec")
+        )
+        cents = _with_norm(
+            new_cents.select(F.col("cell").alias("cent_id"), "cent_vec"),
+            "cent_vec",
+            "cnrm",
+        )
+    return cents
+
+
+def _argmax_cell(vec: F.Column) -> F.Column:
+    """Nearest-cell id from the broadcast ``_cents`` row: array_max
+    over (cos, -cent_id) structs — lexicographic struct ordering gives
+    highest cosine, ties broken toward the LOWEST cent_id (negation) —
+    the same rule the oracle's ROW_NUMBER(ORDER BY cos DESC, id ASC)
+    uses. Requires ``_nrm`` staged on the input row."""
+    scored_cells = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (dot(vec, c["cent_vec"]) / (F.col("_nrm") * c["cnrm"])).alias("cos"),
+            (-c["cent_id"]).alias("negid"),
+        ),
+    )
+    return -F.array_max(scored_cells)["negid"]
+
+
 def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
-                 n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+                 n_centroids: int = 16, nprobe: int = 4,
+                 centroids: DataFrame | None = None) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells (inverted
     lists), search only the ``nprobe`` cells nearest each probe.
 
-    The coarse quantizer here is deterministic — the first
-    ``n_centroids`` corpus vectors (by vec_id) serve as centroids, the
-    stand-in for an offline k-means fit (the model is tiny either way:
-    centroids always broadcast). Exactly-SQL-expressible, so unlike the
-    hyperplane LSH path this variant IS oracle-gated.
+    The coarse quantizer is pluggable via ``centroids`` (cent_id,
+    cent_vec[, cnrm]) — pass ``kmeans_centroids(emb)`` for a fitted
+    codebook; the default remains the first ``n_centroids`` corpus
+    vectors by vec_id (deterministic seeding, documented stand-in).
+    Either way the model is tiny and broadcasts. Exactly-
+    SQL-expressible, so unlike the hyperplane LSH path this variant IS
+    oracle-gated.
 
     Scale shape — the corpus is never shuffled:
     1. centroids → ONE collected row (array of structs), broadcast;
@@ -332,13 +425,18 @@ def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
     On a real deployment the corpus side would be written bucketed by
     ``cell`` so step 3 also prunes files (partition pruning), making the
     scan itself sublinear."""
-    cents = _with_norm(
-        emb.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
-        ),
-        "cent_vec",
-        "cnrm",
-    )
+    if centroids is None:
+        cents = _with_norm(
+            emb.filter(F.col("vec_id") < n_centroids).select(
+                F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+            ),
+            "cent_vec",
+            "cnrm",
+        )
+    elif "cnrm" in centroids.columns:
+        cents = centroids
+    else:
+        cents = _with_norm(centroids, "cent_vec", "cnrm")
     # One row holding all centroids (norms staged into the struct so
     # the per-vector argmax fold does one dot per cell, no norm folds),
     # sorted by cent_id for deterministic iteration order.
@@ -348,20 +446,6 @@ def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
         ).alias("_cents")
     )
 
-    def argmax_cell(vec: F.Column) -> F.Column:
-        # Score every cell once, then array_max over (cos, -cent_id)
-        # structs: lexicographic struct ordering gives highest cosine,
-        # ties broken toward the LOWEST cent_id (negation) — the same
-        # rule the oracle's ROW_NUMBER(ORDER BY cos DESC, id ASC) uses.
-        scored_cells = F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (dot(vec, c["cent_vec"]) / (F.col("_nrm") * c["cnrm"])).alias("cos"),
-                (-c["cent_id"]).alias("negid"),
-            ),
-        )
-        return -F.array_max(scored_cells)["negid"]
-
     assigned = (
         _with_norm(emb, "embedding", "_nrm")
         .join(F.broadcast(cent_row))
@@ -369,7 +453,7 @@ def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
             "vec_id",
             "embedding",
             "_nrm",
-            argmax_cell(F.col("embedding")).alias("cell"),
+            _argmax_cell(F.col("embedding")).alias("cell"),
         )
     )
 

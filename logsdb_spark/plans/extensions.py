@@ -1366,6 +1366,126 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+_KMEANS_CENTS_SQL = """
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    ),
+    samp AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 2 = 0),
+    c0 AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    a0 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT s.vec_id, s.e, ct.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(s.e, ct.ce), p -> p[1]*p[2]))
+                   / (s.nrm * ct.cnrm) DESC,
+                 ct.cent_id ASC) AS rn
+        FROM samp s, c0 ct
+      ) WHERE rn = 1
+    ),
+    m0 AS (
+      SELECT cell, t.pos, ROUND(AVG(e[t.pos + 1]), 6) AS mv
+      FROM a0, range(64) t(pos)
+      GROUP BY cell, t.pos
+    ),
+    c1l AS (SELECT cell AS cent_id, list(mv ORDER BY pos) AS ce FROM m0 GROUP BY cell),
+    c1 AS (SELECT cent_id, ce,
+                  sqrt(list_sum(list_transform(ce, x -> x*x))) AS cnrm FROM c1l),
+    a1 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT s.vec_id, s.e, ct.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(s.e, ct.ce), p -> p[1]*p[2]))
+                   / (s.nrm * ct.cnrm) DESC,
+                 ct.cent_id ASC) AS rn
+        FROM samp s, c1 ct
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cell, t.pos, ROUND(AVG(e[t.pos + 1]), 6) AS mv
+      FROM a1, range(64) t(pos)
+      GROUP BY cell, t.pos
+    ),
+    c2l AS (SELECT cell AS cent_id, list(mv ORDER BY pos) AS ce FROM m1 GROUP BY cell),
+    cents AS (SELECT cent_id, ce,
+                     sqrt(list_sum(list_transform(ce, x -> x*x))) AS cnrm FROM c2l)
+"""
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle="WITH "
+    + _KMEANS_CENTS_SQL
+    + """,
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(c.e, ct.ce), p -> p[1]*p[2]))
+                   / (c.nrm * ct.cnrm) DESC,
+                 ct.cent_id ASC) AS rn
+        FROM n c, cents ct
+      ) WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM n WHERE vec_id < 5),
+    pcell AS (
+      SELECT probe_id, pe, pn, cell FROM (
+        SELECT p.probe_id, p.pe, p.pn, ct.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                 ROUND(list_sum(list_transform(list_zip(p.pe, ct.ce), x -> x[1]*x[2]))
+                       / (p.pn * ct.cnrm), 4) DESC,
+                 ct.cent_id ASC) AS rn
+        FROM probes p, cents ct
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT pc.probe_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(c.e, pc.pe), x -> x[1]*x[2]))
+                   / (c.nrm * pc.pn), 4) AS cos_sim
+      FROM n c
+      JOIN assign a ON c.vec_id = a.vec_id
+      JOIN pcell pc ON a.cell = pc.cell
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM cand
+    )
+    SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a FITTED coarse quantizer: 2 deterministic Lloyd
+    rounds on the vec_id%2 sample (lazy, SQL-expressible — see
+    operators/similarity.kmeans_centroids) replace ann_ivf's
+    first-16-by-id stand-in codebook, then the same inverted-list
+    search (nprobe=4). The fit is entirely inside the plan: no action
+    at build time, centroids broadcast, one narrow sample×dim shuffle
+    per round. Oracle unrolls the identical two rounds in SQL.
+
+    Measured recall@10 on the driver corpus: 0.72 (stand-in: 0.92) —
+    this corpus is near-isotropic, so balanced fitted cells slice each
+    probe's neighborhood thinner at fixed nprobe; on clustered real
+    corpora the fitted codebook is the right default (see
+    tests/test_dedup_similarity.py::test_ivf_kmeans_recall_floor)."""
+    from ..operators.similarity import ivf_ann_topk, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    cents = kmeans_centroids(emb, k=16, iters=2, sample_mod=2)
+    out = ivf_ann_topk(emb, probes, k=10, nprobe=4, centroids=cents)
+    return out.select(
+        "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    ).orderBy("probe_id", "rank")
+
+
 @register(
     "winnow_fingerprint",
     oracle="""

@@ -112,6 +112,47 @@ def test_ivf_ann_recall(spark):
     assert len(ap & ex) / len(ex) >= 0.75
 
 
+def test_ivf_kmeans_recall_floor(spark):
+    """Fitted Lloyd codebook (kmeans_centroids, 2 rounds on the
+    vec_id%2 sample) recall@10. Measured on THIS corpus: 0.72 vs 0.92
+    for the first-16-by-id stand-in — the driver embeddings are
+    near-isotropic (no cluster structure; true neighbors sit barely
+    above background), and a balanced k-means partition slices such a
+    space into thinner cells around each probe than the lopsided
+    stand-in cells, so fixed nprobe=4 sees fewer of the true
+    neighbors. On a corpus with real cluster structure the fit wins —
+    that is what the quantizer is for; this floor pins the isotropic
+    worst case instead of overclaiming."""
+    from logsdb_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = _probes(emb)
+    ex = {(r.probe_id, r.neighbor_id) for r in brute_force_topk(emb, probes, k=10).collect()}
+    cents = kmeans_centroids(emb, k=16, iters=2, sample_mod=2)
+    fitted = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_ann_topk(emb, probes, k=10, centroids=cents).collect()
+    }
+    r_fit = len(fitted & ex) / len(ex)
+    assert r_fit >= 0.6, f"kmeans IVF recall {r_fit}"
+
+
+def test_kmeans_centroids_lazy_and_deterministic(spark):
+    """The Lloyd fit must run NO job at build time (lazy-build
+    contract) and produce identical centroids across rebuilds."""
+    from logsdb_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    cents = kmeans_centroids(emb, k=8, iters=1)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "kmeans build ran a Spark job"
+    a = sorted(map(tuple, (r.cent_vec for r in cents.collect())))
+    b = sorted(map(tuple, (r.cent_vec for r in kmeans_centroids(emb, k=8, iters=1).collect())))
+    assert a == b
+
+
 def test_ngram_lsh_equals_bruteforce(spark):
     """The char-ngram LSH path must reproduce the O(n²) ground truth
     exactly on this corpus: the 16×8 band shape's S-curve knee sits in
