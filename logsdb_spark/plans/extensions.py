@@ -2695,13 +2695,14 @@ def k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_checksum_events",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           BIT_XOR(CAST(CAST(('0x' || substr(md5(
+           CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(
                  CAST(event_id AS VARCHAR) || '|' ||
                  CAST(epoch_us(ts) AS VARCHAR) || '|' ||
                  CAST(user_id AS VARCHAR) || '|' ||
                  event_type || '|' ||
                  CAST(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS VARCHAR)
-               ), 1, 15)) AS UBIGINT) AS BIGINT)) AS checksum
+               ), 1, 15)) AS UBIGINT) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+             AS checksum
     FROM events
     """,
 )
@@ -2711,12 +2712,19 @@ def table_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     float/locale formatting ambiguity), hashes through the portable
     md5-derived 60-bit hash, and the hashes SUM — addition commutes,
     so any partitioning/ordering of the same rows yields the same
-    checksum. This is the cross-system migration check: run it on
-    both sides of a copy (engine A and engine B, source and sink) and
-    compare two numbers instead of 10^11 rows. Sum-of-60-bit hashes
-    also localizes drift: a single changed row shifts the checksum by
-    the delta of two hashes, which collides with another single-row
-    change with probability ~2^-60.
+    checksum. Summation runs in DECIMAL(38,0) (2^60-bounded hashes
+    times 10^12 rows is ~10^30, far inside decimal range, where a
+    BIGINT sum would overflow — and ANSI Spark would throw) and the
+    checksum is emitted as a STRING so both engines render the exact
+    integer. Unlike a BIT_XOR fold (an earlier form of this query),
+    a sum does NOT cancel rows that appear an even number of times,
+    so duplicate-row drift moves the checksum too. This is the
+    cross-system migration check: run it on both sides of a copy
+    (engine A and engine B, source and sink) and compare two values
+    instead of 10^11 rows. Sum-of-60-bit hashes also localizes
+    drift: a single changed row shifts the checksum by the delta of
+    two hashes, which collides with another single-row change with
+    probability ~2^-60.
 
     Scan-local hash + ONE map-side-combinable sum: the cheapest
     possible full-table integrity pass at 100 TB (no shuffle of row
@@ -2734,7 +2742,7 @@ def table_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(portable_hash64(canon).alias("h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr("bit_xor(h)").alias("checksum"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
 
 

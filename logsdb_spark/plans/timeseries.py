@@ -275,9 +275,18 @@ def trailing_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "anomaly_daily_counts",
     oracle="""
-    WITH d AS (
+    WITH c AS (
       SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
       FROM events GROUP BY day, event_type
+    ),
+    b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+    spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+              FROM b),
+    types AS (SELECT DISTINCT event_type FROM c),
+    d AS (
+      SELECT sp.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM spine sp CROSS JOIN types t
+      LEFT JOIN c ON c.day = sp.day AND c.event_type = t.event_type
     ),
     s AS (
       SELECT day, event_type, n,
@@ -305,6 +314,12 @@ def anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 7 baseline days or zero variance emit NULL z (cold start is
     'unknown', not 'normal').
 
+    The baseline runs over the DENSE calendar grid (zero-filled via
+    _daily_grid, as gap_fill_daily_counts does), so the 14-row frame
+    is truly the trailing 14 calendar days: absent days count as 0 in
+    the mean, and a type going quiet registers as a low-side anomaly
+    instead of silently stretching the frame across the gap.
+
     Scale shape: the fact table collapses to the daily grid in one
     map-side-combinable aggregate; the rolling stats run over that
     dimension-sized series (days x types rows), so the window state is
@@ -312,9 +327,12 @@ def anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer counts over an identical 14-row frame in both
     engines, so the rounded z-scores agree."""
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
+    c = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).persist()
+    d = _daily_grid(c).join(c, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

@@ -52,8 +52,17 @@ def _ingest_stream(
     dead: Callable[[DataFrame], DataFrame],
     table_name: str,
     strict: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """text-file stream → parse → (events, dead_letters) appends.
+
+    ``max_files_per_trigger`` is the file source's backpressure knob:
+    a replay/backfill over a large source directory is split into
+    bounded micro-batches (availableNow triggers honor source limits),
+    so executor memory is sized by the knob, not by the backlog — the
+    at-scale replay semantics. Each bounded batch still lands in its
+    own (_batch_id) partition; downstream compaction
+    (operators/scale.compact_parquet) folds the resulting small files.
 
     ``strict=True`` restores the reference's halt-on-first-error policy
     (K2, apache_access.py:143): the batch fails before ANY append if it
@@ -61,7 +70,10 @@ def _ingest_stream(
     the whole batch — per-micro-batch atomicity is strictly stronger
     than the reference's halt-mid-stream (already-committed rows stay
     there, core.py:46-48)."""
-    lines = spark.readStream.format("text").load(source_dir)
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(source_dir)
     parsed = parse(lines)
 
     events_path = os.path.join(out_dir, table_name)
@@ -117,7 +129,8 @@ def _ingest_stream(
 
 
 def ingest_apache_access(
-    spark: SparkSession, source_dir: str, out_dir: str, strict: bool = False
+    spark: SparkSession, source_dir: str, out_dir: str, strict: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """S1 streaming ingest (reference process: apache_access.py:87-143)."""
     return _ingest_stream(
@@ -129,6 +142,7 @@ def ingest_apache_access(
         apache_access.dead_letters,
         "apache_access",
         strict=strict,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 

@@ -76,3 +76,64 @@ def test_inbox_and_bridge_resolution(spark):
         "bob@mydomain.example",
     ]
     assert rows["second"].sender_email == "bob@mydomain.example"
+
+
+def test_txn_merge_read_after_write(spark, tmp_path):
+    """Transactional contact MERGE: sequential batches land exactly
+    once, read-after-write sees the committed dim (maillog.py:66-78
+    read-after-write parity), versions advance monotonically."""
+    from logsdb_spark.operators import txn
+
+    path = str(tmp_path / "contacts")
+    b1 = spark.createDataFrame(
+        [("Ann A", "ann@example.com"), ("Bob B", "bob@example.com")],
+        "realname string, email_address string",
+    )
+    v1 = txn.merge_contacts(spark, path, b1)
+    assert v1 == 0
+    got1 = {r.email_address for r in txn.read_snapshot(spark, path).collect()}
+    assert got1 == {"ann@example.com", "bob@example.com"}
+
+    b2 = spark.createDataFrame(
+        [("Bob B", "bob@example.com"), ("Cyn C", "cyn@example.com")],
+        "realname string, email_address string",
+    )
+    v2 = txn.merge_contacts(spark, path, b2)
+    assert v2 == 1
+    rows = txn.read_snapshot(spark, path).collect()
+    assert len(rows) == 3, "duplicate contact row after merge"
+    # time travel: version 0 still readable and unchanged
+    assert txn.read_snapshot(spark, path, version=0).count() == 2
+
+
+def test_txn_concurrent_writers_both_land(spark, tmp_path):
+    """Two writers race the same version: the loser gets
+    ConcurrentWriteError on the raw commit, and merge_contacts'
+    retry loop folds its batch into the winner's snapshot — both
+    batches land exactly once. This makes the old 'single-writer
+    assumption' an enforced protocol instead of prose."""
+    import pytest
+
+    from logsdb_spark.operators import txn
+    from logsdb_spark.operators.upsert import upsert_contacts
+
+    path = str(tmp_path / "contacts")
+    b1 = spark.createDataFrame(
+        [("Ann A", "ann@example.com")], "realname string, email_address string"
+    )
+    b2 = spark.createDataFrame(
+        [("Bob B", "bob@example.com")], "realname string, email_address string"
+    )
+    # both writers read the SAME (empty) version...
+    v = txn.current_version(path)
+    m1 = upsert_contacts(txn.read_snapshot(spark, path, v) if v >= 0 else None, b1)
+    m2 = upsert_contacts(txn.read_snapshot(spark, path, v) if v >= 0 else None, b2)
+    # ...writer 1 commits first; writer 2's blind commit must FAIL
+    assert txn.commit_snapshot(m1, path, v) == 0
+    with pytest.raises(txn.ConcurrentWriteError):
+        txn.commit_snapshot(m2, path, v)
+    # writer 2 goes through the retry protocol and lands on top
+    assert txn.merge_contacts(spark, path, b2) == 1
+    rows = txn.read_snapshot(spark, path).collect()
+    assert {r.email_address for r in rows} == {"ann@example.com", "bob@example.com"}
+    assert len(rows) == 2

@@ -514,3 +514,40 @@ def test_ingest_feeds_incremental_rollup(spark, tmp_path):
         ("2024-01-01", "view"): (3, 6.75),
         ("2024-01-02", "click"): (1, 0.5),
     }
+
+
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """A backfill over many source files with maxFilesPerTrigger=2 must
+    split into bounded micro-batches (availableNow honors source
+    limits) — the at-scale replay semantics: memory is sized by the
+    knob, not the backlog. Results must equal an unthrottled ingest,
+    and the accreted per-batch small files compact away downstream."""
+    from logsdb_spark.operators.scale import compact_parquet
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    for i in range(5):
+        (src / f"f{i}.log").write_text(APACHE_OK + "\n")
+
+    run_until_drained(
+        ingest_apache_access(spark, str(src), str(out), max_files_per_trigger=2)
+    )
+
+    events = spark.read.parquet(str(out / "apache_access"))
+    assert events.count() == 5
+    batch_ids = {r._batch_id for r in events.select("_batch_id").distinct().collect()}
+    assert len(batch_ids) == 3, f"expected ceil(5/2)=3 bounded batches, got {batch_ids}"
+
+    # new files after the backfill keep flowing through the same checkpoint
+    (src / "f5.log").write_text(APACHE_OK + "\n")
+    run_until_drained(
+        ingest_apache_access(spark, str(src), str(out), max_files_per_trigger=2)
+    )
+    assert spark.read.parquet(str(out / "apache_access")).count() == 6
+
+    # compaction folds the per-batch small files; row count is invariant
+    n_files = compact_parquet(spark, str(out / "apache_access"), str(tmp_path / "compact"))
+    compacted = spark.read.parquet(str(tmp_path / "compact"))
+    assert compacted.count() == 6
+    assert n_files <= len(batch_ids)
