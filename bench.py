@@ -59,6 +59,11 @@ HEADLINE = [
     # native one-call sessionization and token-budget mixture fill
     "session_window_native",
     "mixture_token_budget",
+    # round-3 additions: fitted-codebook ANN, skew-salted heavy-hitter
+    # agg (exact parity with the unsalted oracle), one-scan DQ audit
+    "ann_ivf_kmeans",
+    "salted_top_users",
+    "dq_expectations_events",
 ]
 
 

@@ -2993,3 +2993,111 @@ def affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient aggregation (salting) + data-quality expectations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_top_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS qty,
+           SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY qty DESC, user_id ASC
+    LIMIT 50
+    """,
+)
+def salted_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter aggregate with EXPLICIT key salting — the manual
+    skew lever for when one key owns a disproportionate share of a
+    100 TB fact (AQE skew-split only rebalances JOIN sides; a skewed
+    GROUP BY reducer needs the two-stage salt):
+
+    stage 1 groups by (user_id, salt16) so a hot user's rows spread
+    over 16 reducers and combine map-side; stage 2 merges the ≤16
+    partials per user — its input is |users|×16 rows regardless of
+    corpus size. Counts and fixed-point value sums are exactly
+    mergeable across salt shards (this is why the sum runs in int
+    space, not doubles, which would make the result depend on the
+    shard split), so the output is IDENTICAL to the unsalted group-by
+    the oracle runs — salting is a physical rewrite, not a semantic
+    one. Top-50 boundary is deterministic via the (qty, user_id)
+    tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    salted = ev.select(
+        "user_id",
+        F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("_salt"),
+        vi.alias("vi"),
+    )
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("vi").alias("s")
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("qty"),
+            (F.sum("s") / F.lit(10000.0)).alias("total_value"),
+        )
+        .orderBy(F.desc("qty"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "dq_expectations_events",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(event_id) AS null_event_id,
+           COUNT(*) - COUNT(ts) AS null_ts,
+           COUNT(*) - COUNT(user_id) AS null_user_id,
+           COUNT(*) - COUNT(event_type) AS null_event_type,
+           COUNT(*) - COUNT(value) AS null_value,
+           COUNT(DISTINCT event_id) AS distinct_event_id,
+           COUNT(DISTINCT user_id) AS distinct_user_id,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS negative_value,
+           CAST(SUM(CASE WHEN event_type NOT IN
+                    ('click','error','purchase','signup','view')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS unknown_event_type,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2000-01-01'
+                         OR ts > TIMESTAMP '2100-01-01'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range
+    FROM events
+    """,
+)
+def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations audit in ONE scan — the contract
+    check every ingest pipeline runs before promoting a batch: null
+    counts per column, key cardinalities (exact here; swap in
+    approx_count_distinct at 100 TB — see approx_distinct_users),
+    domain violations (negative values, enum drift, clock-range
+    breaks). All conditional counts are map-side-combinable
+    aggregates over one pass; nothing shuffles but the partial-agg
+    row. Distinct event_id doubling as a primary-key uniqueness check
+    (n_rows == distinct_event_id ⇒ no dup keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    nulls = lambda col: (F.count(F.lit(1)) - F.count(col))  # noqa: E731
+    known = ["click", "error", "purchase", "signup", "view"]
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nulls("event_id").alias("null_event_id"),
+        nulls("ts").alias("null_ts"),
+        nulls("user_id").alias("null_user_id"),
+        nulls("event_type").alias("null_event_type"),
+        nulls("value").alias("null_value"),
+        F.count_distinct(F.col("event_id")).alias("distinct_event_id"),
+        F.count_distinct(F.col("user_id")).alias("distinct_user_id"),
+        flag(F.col("value") < 0).alias("negative_value"),
+        flag(~F.col("event_type").isin(known)).alias("unknown_event_type"),
+        flag(
+            (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+            | (F.col("ts") > F.lit("2100-01-01").cast("timestamp"))
+        ).alias("ts_out_of_range"),
+    )
