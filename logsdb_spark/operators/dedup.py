@@ -27,18 +27,22 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalize_text, word_ngrams
 
-# LSH config: 32 permutations in 16 bands of 2 rows.
-# P(candidate | jaccard=s) = 1-(1-s^2)^16:  s=0.6 → 0.9992, s=0.99 → ≈1
-# → full recall at the 0.6 verify threshold on any corpus whose
-# near-threshold mass is small; false candidates are removed by the
-# exact-jaccard verify step. (64/32 gave identical output on this
-# corpus at ~2× the aggregate-codegen cost.)
+# LSH config: 64 permutations in 16 bands of 4 rows.
+# P(candidate | jaccard=j) = 1-(1-j^4)^16. The knee sits between the
+# corpus's background (word-bigram j ≈ 0.03 → P ≈ 1.3e-5) and its
+# true-dup floor (measured min verified jac: 0.82 at sf0.1, 0.91 at
+# sf0.01 → P(miss) ≤ 0.552^16 ≈ 7e-5 per pair; outputs verified
+# identical to the O(n²) ground truth at both SFs). The earlier
+# 16-bands-of-2 config had the knee at 16·j², which admitted ~715
+# collision-noise candidates per true pair (183k pairs at sf0.1) —
+# the est/verify joins then dominated the pipeline; bands of 4 cut
+# candidates ~200× for one extra array_min pass per 2 perms.
 #
 # Shingles are WORD BIGRAMS: char n-grams over a small vocabulary give
 # every document pair high background similarity (measured ~0.3-0.45
 # median on the driver corpus), which turns LSH into brute force;
 # word bigrams measure ~0 background vs ~0.99 for true near-dups.
-N_PERM = 32
+N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_WORDS = 2
@@ -104,14 +108,18 @@ def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM) -> DataFrame:
             for a, b in (_perm_consts(p) for p in range(n_perm))
         ]
     )
-    # pmod is essential: without the reduction a*h+b is monotonic in h
-    # and every "permutation" would share one argmin shingle.
+    # The 2^31 reduction is essential: without it a*h+b is monotonic in
+    # h and every "permutation" would share one argmin shingle. It is
+    # a bitwiseAND, not pmod: for the non-negative products here
+    # x & (2^31-1) == pmod(x, 2^31) exactly, and the AND skips pmod's
+    # division + sign-fix in the interpreted hot loop (docs × perms ×
+    # shingles evaluations).
     sig = F.transform(
         consts,
         lambda c: F.array_min(
             F.transform(
                 F.col("h31"),
-                lambda h: F.pmod(h * c["a"] + c["b"], F.lit(1 << 31)),
+                lambda h: (h * c["a"] + c["b"]).bitwiseAND(F.lit(_M31)),
             )
         ),
     )
