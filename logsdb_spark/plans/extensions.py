@@ -3101,3 +3101,31 @@ def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("ts") > F.lit("2100-01-01").cast("timestamp"))
         ).alias("ts_out_of_range"),
     )
+
+
+@register("approx_quantiles_value")  # no oracle: sketch outputs are
+# engine-specific by design (Spark's Greenwald-Khanna vs DuckDB's
+# t-digest would disagree inside their error bounds) — gated by the
+# error-bound pytest against exact percentiles (driver runs the
+# rows-only check).
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per event_type: p50/p90/p99 of value
+    via percentile_approx (Greenwald-Khanna, accuracy 10000 → relative
+    rank error ≤ 1e-4). Completes the sketch family next to the HLL++
+    distinct path: at 100 TB exact percentiles need a full sort or
+    all values shuffled per group; the sketch is bounded state per
+    group, merged map-side, one shuffle of sketches. The pytest pins
+    each estimate within rank-error tolerance of the exact
+    percentile on the test corpora."""
+    ev = load_table(spark, sf_dir, "events")
+    pa = lambda p: F.percentile_approx("value", p, 10000)  # noqa: E731
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            pa(0.5).alias("p50"),
+            pa(0.9).alias("p90"),
+            pa(0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

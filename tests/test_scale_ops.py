@@ -399,3 +399,31 @@ def test_write_with_metrics_audits_in_one_pass(spark, tmp_path):
     assert got["n_rows"] == want_rows
     assert got["n_null"] == (want_null or 0)
     assert abs(got["value_sum"] - want_sum) < 1e-6
+
+
+def test_approx_quantiles_within_rank_tolerance(spark):
+    """percentile_approx at accuracy 10000 must land within a small
+    VALUE neighborhood of the exact percentile: rank error 1e-4 of
+    ~20k rows is ~2 ranks, so compare against the exact percentile
+    computed at p ± 0.01 and require the estimate inside that value
+    bracket per (event_type, p)."""
+    from logsdb_spark.plans.extensions import approx_quantiles_value
+
+    approx = {
+        r.event_type: r
+        for r in approx_quantiles_value(spark, SF_DIR).collect()
+    }
+    from logsdb_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    exact = load_table(spark, SF_DIR, "events").groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"e{int(p*100)}")
+            for p in (0.49, 0.51, 0.89, 0.91, 0.98, 1.0)
+        ]
+    ).collect()
+    for row in exact:
+        got = approx[row.event_type]
+        assert row.e49 <= got.p50 <= row.e51, (row.event_type, "p50")
+        assert row.e89 <= got.p90 <= row.e91, (row.event_type, "p90")
+        assert row.e98 <= got.p99 <= row.e100, (row.event_type, "p99")
