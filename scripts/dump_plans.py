@@ -25,6 +25,17 @@ PICKS = {
         "Multi-join TPC-H shape: dims broadcast, fact-fact shuffles only on "
         "join keys, partial aggregation before the single exchange."
     ),
+    "ann_ivf_kmeans": (
+        "Fitted IVF: two lazy Lloyd rounds on the vec_id%2 sample (broadcast "
+        "centroid row, narrow argmax assignment, posexplode mean per cell — "
+        "one narrow sample-sized shuffle per round), then the inverted-list "
+        "search; the corpus is never shuffled."
+    ),
+    "salted_top_users": (
+        "Skew lever: two-stage GROUP BY over (user_id, salt16) then user_id "
+        "— a hot key's rows spread across 16 reducers; fixed-point sums "
+        "merge exactly, so output is identical to the unsalted aggregate."
+    ),
     "dedup_minhash_lsh": (
         "Web-scale near-dup: signatures computed in the scan stage (no "
         "shuffle), one (band,hash) bucket shuffle, est-jaccard prefilter, "
