@@ -40,6 +40,17 @@ def get_spark(
         # 100 TB table scan (drives ~800k tasks there — fine with AQE).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Whole-stage codegen across 100+ registered queries emits far
+        # more JIT'd classes than the JVM's default 240 MB code cache
+        # comfortably holds; when it fills, the JVM flushes compiled
+        # code and recompilation storms make query times bimodal (a
+        # measured outlier ran one query at ~6x its typical time).
+        # Sized for a driver also acting as the executor (local mode);
+        # on a cluster apply the same to executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
         # The driver testdata's events.ts is parquet TIMESTAMP(NANOS),
