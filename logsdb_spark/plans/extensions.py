@@ -3129,3 +3129,42 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dedup_containment_prefix",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                  FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+               END) AS s
+      FROM norm
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS c_ab,
+             len(list_intersect(a.s, b.s))::DOUBLE / len(b.s) AS c_ba
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(c_ab, 4) AS c_ab, ROUND(c_ba, 4) AS c_ba
+    FROM pairs
+    WHERE GREATEST(c_ab, c_ba) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment dedup (snippet/truncation dups that
+    jaccard misses) with the prefix-filtering scale path — rarest
+    ⌊(1-t)·|A|⌋+1 shingles per doc probe the inverted index; EXACT
+    recall by pigeonhole, so the O(n²) oracle is matched identically,
+    not approximately. See operators/dedup.containment_near_dups for
+    the full scale analysis."""
+    from ..operators.dedup import containment_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_near_dups(docs, threshold=0.8).orderBy("id_a", "id_b")

@@ -288,3 +288,33 @@ def test_incremental_dedup_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin [band_idx" in plan or (
         "BroadcastHashJoin" in plan and "band_hash" in plan
     ), plan
+
+
+def test_containment_catches_truncation_dups(spark):
+    """A truncated copy (doc = prefix of a longer doc) has LOW jaccard
+    (small/union) but containment ≈ 1 — the case the prefix-filter
+    containment path exists for. Verify it surfaces the pair the
+    jaccard pipeline (same 0.8 threshold) misses, with exact-recall
+    blocking (output equals brute-force containment)."""
+    from logsdb_spark.operators.dedup import (
+        containment_near_dups,
+        minhash_near_dups,
+    )
+
+    words = [f"tok{i}xq" for i in range(90)]
+    full = " ".join(words)
+    prefix_doc = " ".join(words[:60])
+    distractor = " ".join(f"other{i}zz" for i in range(70))
+    docs = spark.createDataFrame(
+        [(1, prefix_doc), (2, full), (3, distractor)],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): (r.c_ab, r.c_ba)
+           for r in containment_near_dups(docs, threshold=0.8).collect()}
+    assert (1, 2) in got, f"truncation pair missed: {got}"
+    c_ab, c_ba = got[(1, 2)]
+    assert c_ab == 1.0 and c_ba < 0.8, (c_ab, c_ba)
+    assert len(got) == 1, f"false positives: {got}"
+    jac = {(r.id_a, r.id_b)
+           for r in minhash_near_dups(docs, threshold=0.8).collect()}
+    assert (1, 2) not in jac, "jaccard at 0.8 shouldn't see the truncation pair"
