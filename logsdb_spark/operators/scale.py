@@ -131,3 +131,30 @@ def compact_parquet(
             if _os.path.isfile(f)
         ]
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  fingerprint: F.Column) -> DataFrame:
+    """Row-level diff between two table snapshots → (key, status) with
+    status ∈ added / removed / changed / unchanged — the change-data
+    audit run between pipeline versions (did the backfill touch only
+    what it should?), and the row-level companion of the aggregate
+    table_checksum gate.
+
+    ``fingerprint`` is a Column computed on each side's payload
+    columns (pass a canonical-string hash — see the registered
+    snapshot_diff_events for the pattern). Shape: each side reduces to
+    (key, fingerprint) in its scan — the full-outer join shuffles two
+    NARROW columns per row, not the payload; at 100 TB co-locate both
+    snapshots with write_bucketed(key) and the exchange disappears
+    entirely (see bucketed_join)."""
+    o = old.select(F.col(key).alias(key), fingerprint.alias("_fp_old"))
+    n = new.select(F.col(key).alias(key), fingerprint.alias("_fp_new"))
+    return o.join(n, key, "full_outer").select(
+        key,
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

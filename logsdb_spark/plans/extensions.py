@@ -3168,3 +3168,77 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_near_dups(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "snapshot_diff_events",
+    oracle="""
+    WITH canon AS (
+      SELECT event_id,
+             CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+             CAST(user_id AS VARCHAR) || '|' || event_type || '|' AS base,
+             CAST(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS VARCHAR) AS v,
+             CAST(CAST(FLOOR(value * 2 * 10000 + 0.5) AS BIGINT) AS VARCHAR)
+               AS v2
+      FROM events
+    ),
+    old AS (
+      SELECT event_id, md5(base || v) AS fp FROM canon WHERE event_id % 10 != 0
+    ),
+    new AS (
+      SELECT event_id,
+             md5(base || CASE WHEN event_id % 7 = 0 THEN v2 ELSE v END) AS fp
+      FROM canon WHERE event_id % 10 != 3
+    ),
+    d AS (
+      SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp != n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    )
+    SELECT status, COUNT(*) AS n,
+           MIN(event_id) AS min_key, MAX(event_id) AS max_key
+    FROM d GROUP BY status ORDER BY status
+    """,
+)
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit over two DERIVED event snapshots (a
+    deterministic drop/restore/mutate pattern on event_id residues, so
+    all four statuses exercise): old = ids %10 != 0, new = ids
+    %10 != 3 with value doubled on %7 == 0. Row payloads reduce to an
+    md5 of the same canonical string the table checksum uses; the
+    full-outer join shuffles (key, fingerprint) only. Output is the
+    per-status count + key-range summary."""
+    from ..operators.scale import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    base = F.concat_ws(
+        "|",
+        F.unix_micros("ts").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    )
+
+    def canon(value_col: F.Column) -> F.Column:
+        vi = F.floor(value_col * 10000 + F.lit(0.5)).cast("long").cast("string")
+        return F.md5(F.concat(base, F.lit("|"), vi))
+
+    old = ev.filter(F.col("event_id") % 10 != 0)
+    new = ev.filter(F.col("event_id") % 10 != 3).withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    d = snapshot_diff(old, new, "event_id", canon(F.col("value")))
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_key"),
+            F.max("event_id").alias("max_key"),
+        )
+        .orderBy("status")
+    )
