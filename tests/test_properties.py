@@ -429,3 +429,52 @@ def test_mixture_budget_fill_matches_python_reference(spark, rows):
         .collect()
     }
     assert got == want
+
+
+_doc_words = st.sampled_from([f"w{i}" for i in range(12)])
+_doc_text = st.lists(_doc_words, min_size=1, max_size=30).map(" ".join)
+
+
+@given(st.lists(_doc_text, min_size=2, max_size=10))
+@settings(**SETTINGS)
+def test_containment_prefix_blocking_is_lossless(spark, texts):
+    """The prefix-filter candidate generation must be EXACTLY lossless
+    (the pigeonhole recall claim): containment_near_dups over random
+    small-vocabulary corpora — the worst case for df-based prefixes —
+    must equal the brute-force all-pairs containment built from the
+    SAME shingle pipeline. Small vocab + short docs maximize shared
+    shingles and duplicate sets, stressing the blocking, ties in the
+    df ranking, and the <-n-token one-gram edge case."""
+    from logsdb_spark.operators.dedup import containment_near_dups, shingle_sets
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.id_a, r.id_b, r.c_ab, r.c_ba)
+        for r in containment_near_dups(docs, threshold=0.8).collect()
+    }
+    sh = shingle_sets(docs, n=3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("shingles", lambda g: F.xxhash64(g))
+        ).alias("shingles"),
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    brute = (
+        sa.join(sb, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (inter / F.size("sh_a")).alias("rc_ab"),
+            (inter / F.size("sh_b")).alias("rc_ba"),
+        )
+        .filter(F.greatest("rc_ab", "rc_ba") >= 0.8)
+    )
+    want = {
+        (r.id_a, r.id_b, round(r.rc_ab, 4), round(r.rc_ba, 4))
+        for r in brute.collect()
+    }
+    assert got == want
