@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_ivf_kmeans",
     "salted_top_users",
     "dq_expectations_events",
+    "snapshot_diff_events",
 ]
 
 
