@@ -4,20 +4,22 @@ The reference's daily window is ``timestamp >= now(utc) - 1 day``
 evaluated once per query build (/root/reference/src/logsdb/core.py:60-61).
 For deterministic differential testing against static parquet we anchor
 "now" at ``max(ts)`` of the table instead of the wall clock; production
-callers pass ``anchor=None`` to use ``current_timestamp()``.
+callers use ``wallclock_last_day`` for the literal now()-24h form.
 
-Scale note: the anchor aggregate is a 1-row partial/final max — Spark
-computes it map-side then broadcasts it into the filter via a broadcast
-nested-loop join of a single row, so no driver collect and no shuffle of
-the fact table. On a date-partitioned production table the same
-predicate becomes a partition-pruning filter.
+Two anchored implementations:
+- ``last_day_table`` (catalog path, preferred): memoized build-time
+  literal anchor → the predicate reaches the parquet scan as a
+  PushedFilter; ONE fact scan.
+- ``last_day`` (generic-DataFrame path): broadcast 1-row max(ts)
+  cross-join → fully lazy and works on any frame, but the runtime
+  predicate cannot push, so the fact is scanned twice.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -90,7 +92,14 @@ def last_day_table(spark: SparkSession, sf_dir: str, name: str = "events",
 
 
 def with_anchor(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Cross-join a broadcast 1-row max(ts) as column ``_anchor``."""
+    """Cross-join a broadcast 1-row max(ts) as column ``_anchor``.
+
+    Generic-DataFrame form of the anchored window (works on ANY frame,
+    fully lazy, no build-time action) — the catalog path uses
+    ``last_day_table`` instead, whose memoized literal anchor reaches
+    the parquet scan as a PushedFilter; this broadcast form cannot
+    push (the predicate references a runtime column), so it scans the
+    fact once for max(ts) and once for the filter."""
     anchor = df.agg(F.max(ts_col).alias("_anchor"))
     return df.join(F.broadcast(anchor))
 
@@ -108,10 +117,6 @@ def last_day(df: DataFrame, ts_col: str = "ts", days: int = 1) -> DataFrame:
 def wallclock_last_day(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Production form: the reference's literal now()-24h predicate."""
     return df.filter(F.col(ts_col) >= F.current_timestamp() - F.expr("INTERVAL 1 DAY"))
-
-
-def anchored_pred(ts_col: str = "ts", days: int = 1) -> Column:
-    return F.col(ts_col) >= F.col("_anchor") - F.expr(f"INTERVAL {days} DAY")
 
 
 # ---------------------------------------------------------------------------
