@@ -26,11 +26,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # cache self-invalidating when a test overwrites a table in place (a new
 # snapshot gets a fresh InMemoryFileIndex).
 _TABLE_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
-_TZ_PINNED: set[str] = set()
 
 
 def _pin_session_confs(spark: SparkSession) -> None:
-    """Pin the engine's timestamp contract ONCE per session.
+    """Pin the engine's timestamp contract on EVERY catalog read.
 
     - spark.sql.legacy.parquet.nanosAsLong: events.ts is parquet
       TIMESTAMP(NANOS) — older Sparks raise PARQUET_TYPE_ILLEGAL
@@ -44,13 +43,15 @@ def _pin_session_confs(spark: SparkSession) -> None:
       "Timestamp contract"): a caller that needs a different session
       zone must not share the session with this catalog. A failure to
       set it is loud: silently JVM-zone-dependent results are worse
-      than an error."""
-    key = spark.sparkContext.applicationId
-    if key in _TZ_PINNED:
-        return
+      than an error.
+
+    Deliberately NOT memoized: SQL confs are per-SparkSession state
+    (``spark.newSession()`` shares the applicationId but has its own
+    mutable conf, and a caller can reset the zone at any time), so the
+    only safe re-established invariant is setting both confs on every
+    call — two cheap py4j conf writes."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    _TZ_PINNED.add(key)
 
 
 def _source_mtime(path: str) -> int:

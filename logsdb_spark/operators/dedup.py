@@ -635,13 +635,30 @@ def containment_near_dups(docs: DataFrame, text_col: str = "text",
                    F.explode("shingles").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
+    # Prefix bound in EXACT integer arithmetic. A qualifying pair has
+    # inter >= t*|A| with inter integral, i.e. inter >= ceil(p*|A|/q)
+    # for t = p/q — so |A| - ceil(p*|A|/q) + 1 prefix shingles suffice
+    # (tighter than floor((1-t)|A|)+1 when t*|A| is fractional). The
+    # float form of that bound is OFF BY ONE whenever (1-t)*|A| lands
+    # on an exact integer (1.0-0.8 = 0.19999…96 in binary, so
+    # floor(0.2*5) computed 0 instead of 1), silently breaking the
+    # pigeonhole recall guarantee at the threshold boundary. Fraction
+    # (of the decimal string, so 0.8 means 4/5, not the nearest
+    # binary double) + ceil-as-integer-division keeps it exact; the
+    # double division below is exact for these magnitudes (integer
+    # quotients < 2^53 are representable, non-integer quotients can't
+    # straddle an integer).
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold)).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    ceil_t_sz = F.floor(
+        (F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q)
+    ).cast("int")
     prefix = (
         ex.join(dfreq, "s")
         .withColumn("rk", F.row_number().over(w))
-        .filter(
-            F.col("rk")
-            <= F.floor(F.lit(1.0 - threshold) * F.col("sz")).cast("int") + 1
-        )
+        .filter(F.col("rk") <= F.col("sz") - ceil_t_sz + 1)
         .select(F.col("doc_id").alias("id_x"), "s")
     )
     inverted = ex.select(F.col("doc_id").alias("id_y"), "s")

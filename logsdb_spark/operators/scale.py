@@ -147,14 +147,29 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     (key, fingerprint) in its scan — the full-outer join shuffles two
     NARROW columns per row, not the payload; at 100 TB co-locate both
     snapshots with write_bucketed(key) and the exchange disappears
-    entirely (see bucketed_join)."""
-    o = old.select(F.col(key).alias(key), fingerprint.alias("_fp_old"))
-    n = new.select(F.col(key).alias(key), fingerprint.alias("_fp_new"))
+    entirely (see bucketed_join).
+
+    Presence is tracked with explicit marker columns, NOT fingerprint
+    nullness: a null-propagating fingerprint expression (concat over a
+    nullable payload column) would otherwise misreport a
+    present-both-sides row as added/removed; the changed/unchanged
+    split uses the null-safe comparison so two NULL fingerprints read
+    as equal."""
+    o = old.select(
+        F.col(key).alias(key),
+        fingerprint.alias("_fp_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key).alias(key),
+        fingerprint.alias("_fp_new"),
+        F.lit(True).alias("_in_new"),
+    )
     return o.join(n, key, "full_outer").select(
         key,
-        F.when(F.col("_fp_old").isNull(), F.lit("added"))
-        .when(F.col("_fp_new").isNull(), F.lit("removed"))
-        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )

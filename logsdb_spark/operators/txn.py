@@ -45,14 +45,19 @@ def _txn_dir(path: str) -> str:
 
 
 def current_version(path: str) -> int:
-    """Highest committed version, or -1 for an empty/new table."""
+    """Highest committed version, or -1 for an empty/new table.
+    Only strict ``v<digits>.json`` names count — stray files in _txn/
+    (editor artifacts, a future vacuum marker) are ignored, not a
+    crash for every reader."""
+    import re
+
     d = _txn_dir(path)
     if not os.path.isdir(d):
         return -1
     versions = [
-        int(f[1:-5])
+        int(m.group(1))
         for f in os.listdir(d)
-        if f.startswith("v") and f.endswith(".json")
+        if (m := re.fullmatch(r"v(\d+)\.json", f))
     ]
     return max(versions, default=-1)
 
@@ -83,15 +88,26 @@ def commit_snapshot(df: DataFrame, path: str, expected_version: int) -> int:
     df.write.parquet(os.path.join(path, snap))
     os.makedirs(_txn_dir(path), exist_ok=True)
     vfile = os.path.join(_txn_dir(path), f"v{new_version}.json")
-    payload = json.dumps({"version": new_version, "snapshot": snap})
+    # Publish the manifest ATOMICALLY: write + fsync a private temp
+    # file, then hard-link it to the version name. link() both
+    # arbitrates racing writers (fails with EEXIST if someone else
+    # committed this version) and guarantees a reader never observes
+    # a half-written manifest — creating the version file first and
+    # writing into it afterwards would expose an empty v<N>.json to
+    # any concurrently retrying reader.
+    tmp = os.path.join(_txn_dir(path), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"version": new_version, "snapshot": snap}))
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(vfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, vfile)
     except FileExistsError as ex:
         raise ConcurrentWriteError(
             f"version {new_version} already committed at {path}"
         ) from ex
-    with os.fdopen(fd, "w") as fh:
-        fh.write(payload)
+    finally:
+        os.unlink(tmp)
     return new_version
 
 

@@ -30,16 +30,28 @@ from pyspark.sql.types import LongType
 # first build per session+dataset runs one tiny ts-only aggregate (the
 # scan reads a single column and parquet footer stats bound it);
 # every later windowed-query build reuses the literal for free.
-_ANCHOR_CACHE: dict[tuple[str, str, str, str], _dt.datetime | None] = {}
+_ANCHOR_CACHE: dict[tuple[str, str, str, str, int], _dt.datetime | None] = {}
 
 
 def table_anchor(spark: SparkSession, sf_dir: str, name: str = "events",
                  ts_col: str = "ts") -> _dt.datetime | None:
     """max(ts) of the raw table as a naive-UTC µs datetime (None when
-    the table is empty), memoized per session+dataset."""
-    from ..catalog import read_raw
+    the table is empty), memoized per session+dataset. The source
+    mtime rides in the key (same self-invalidation contract as the
+    catalog's _TABLE_CACHE): an in-place overwrite of the table must
+    refresh the anchor along with the scan, or the window would
+    filter fresh data against a stale literal."""
+    import os as _os
 
-    key = (spark.sparkContext.applicationId, sf_dir, name, ts_col)
+    from ..catalog import _source_mtime, read_raw
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        ts_col,
+        _source_mtime(_os.path.join(sf_dir, f"{name}.parquet")),
+    )
     if key not in _ANCHOR_CACHE:
         raw = read_raw(spark, sf_dir, name)
         row = raw.agg(F.max(ts_col).alias("m")).first()

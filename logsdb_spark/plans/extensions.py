@@ -3192,9 +3192,9 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
       SELECT COALESCE(o.event_id, n.event_id) AS event_id,
-             CASE WHEN o.fp IS NULL THEN 'added'
-                  WHEN n.fp IS NULL THEN 'removed'
-                  WHEN o.fp != n.fp THEN 'changed'
+             CASE WHEN o.event_id IS NULL THEN 'added'
+                  WHEN n.event_id IS NULL THEN 'removed'
+                  WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
     )

@@ -70,7 +70,14 @@ QUERIES = [
 ]
 
 
+_SENTINEL = os.path.join(DST, "_BUILD_COMPLETE")
+
+
 def build(spark) -> None:
+    # rebuild from scratch if a previous build died midway — a partial
+    # dataset would silently corrupt the measured ratios
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
     os.makedirs(os.path.dirname(DST), exist_ok=True)
     for name, shifts in SHIFTS.items():
         src = os.path.join(SRC, f"{name}.parquet")
@@ -90,6 +97,8 @@ def build(spark) -> None:
         else:
             out = df
         out.write.mode("overwrite").parquet(dst)
+    with open(_SENTINEL, "w") as fh:
+        fh.write("ok\n")
 
 
 def main() -> None:
@@ -97,7 +106,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--rebuild" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)
-    if not os.path.isdir(DST):
+    if not os.path.exists(_SENTINEL):
         build(spark)
     warm_up(spark, SRC)
 

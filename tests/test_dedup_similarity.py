@@ -318,3 +318,26 @@ def test_containment_catches_truncation_dups(spark):
     jac = {(r.id_a, r.id_b)
            for r in minhash_near_dups(docs, threshold=0.8).collect()}
     assert (1, 2) not in jac, "jaccard at 0.8 shouldn't see the truncation pair"
+
+
+def test_containment_exact_threshold_boundary(spark):
+    """Regression: a pair sitting EXACTLY at the containment threshold
+    (c_ab = 4/5 = 0.8) whose one non-shared shingle is each side's
+    rarest. The float form of the prefix bound (floor((1-t)|A|)+1 with
+    1-t = 0.19999…96) computed a 1-shingle prefix for |A|=5 — exactly
+    the non-shared shingle — and dropped the pair; the exact rational
+    bound keeps the pigeonhole guarantee."""
+    from logsdb_spark.operators.dedup import containment_near_dups
+
+    # A: 7 tokens -> 5 trigrams T1..T5; B shares T1..T4 (prefix of A's
+    # text) and then diverges into tokens unique to B, so A's rarest
+    # trigram is its unshared T5 and B's rarest are its unique tail.
+    a_words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "AONLY"]
+    b_words = a_words[:6] + [f"bonly{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.c_ab
+           for r in containment_near_dups(docs, threshold=0.8).collect()}
+    assert got == {(1, 2): 0.8}, got

@@ -86,11 +86,22 @@ def test_windowed_scan_pushes_time_predicate(spark):
 
 def test_anchor_memoized_per_session_and_dir(spark):
     """table_anchor runs its tiny ts-only aggregate once per
-    (session, dataset); later windowed-query builds reuse the literal."""
+    (session, dataset, source mtime); later windowed-query builds
+    reuse the literal, and an in-place table overwrite (new mtime)
+    would miss the cache and recompute."""
+    import os
+
+    from logsdb_spark.catalog import _source_mtime
     from logsdb_spark.operators import windows as W
 
     a1 = W.table_anchor(spark, SF_DIR, "events")
-    key = (spark.sparkContext.applicationId, SF_DIR, "events", "ts")
+    key = (
+        spark.sparkContext.applicationId,
+        SF_DIR,
+        "events",
+        "ts",
+        _source_mtime(os.path.join(SF_DIR, "events.parquet")),
+    )
     assert key in W._ANCHOR_CACHE
     # poison the cache: a second call must NOT recompute
     W._ANCHOR_CACHE[key] = a1.replace(year=1999)
