@@ -31,9 +31,25 @@ def iso8601_z(ts: Column | str) -> Column:
 def reencode(col: Column | str) -> Column:
     """F4: undo Apache's latin-1 mangling of utf-8 bytes
     (apache_access.py:146-147). encode(iso-8859-1) is byte-identity for
-    latin-1 text, then decode as utf-8."""
+    latin-1 text, then decode as utf-8.
+
+    The decode is GATED on is_valid_utf8: Spark 4's ANSI decode throws
+    MALFORMED_CHARACTER_CODING on genuinely-latin-1 bytes, which would
+    kill the whole batch for one bad line; the reference raises too but
+    per-LINE, routing it to an error record (apache_access.py:128-143).
+    Returning NULL here lets the caller's corrupt flag (see
+    bad_reencode) dead-letter exactly those rows."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    raw = F.encode(c, "ISO-8859-1")
+    return F.when(F.is_valid_utf8(raw), F.decode(raw, "UTF-8"))
+
+
+def bad_reencode(col: Column | str) -> Column:
+    """True when ``reencode`` would reject the value: non-null input
+    whose latin-1 bytes are not valid UTF-8 — the rows the reference
+    dead-letters with UnicodeDecodeError."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & ~F.is_valid_utf8(F.encode(c, "ISO-8859-1"))
 
 
 def truncate2048(col: Column | str) -> Column:

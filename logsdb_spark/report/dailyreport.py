@@ -114,7 +114,14 @@ def maillog_daily_report(
         recips.sort(key=lambda c: (c.realname, c.email_address))
         sender = render_address(m.sender_realname, m.sender_email)
         to = ", ".join(render_address(c.realname, c.email_address) for c in recips)
-        date_s = m.date.strftime("%Y-%m-%dT%H:%M:%SZ")
+        # The reference's date column is non-nullable because its
+        # ingest CRASHES on a Date-less message (maillog.py:155 reads
+        # msg["Date"].datetime unguarded); our parser tolerates and
+        # stores NULL, so the report renders it instead of raising —
+        # one bad header must not kill the whole daily report.
+        date_s = (
+            m.date.strftime("%Y-%m-%dT%H:%M:%SZ") if m.date else "NO DATE"
+        )
         report += (
             f"From:    {sender}\n"
             f"To:      {to}\n"

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..functions.scalars import reencode
+from ..functions.scalars import bad_reencode, reencode
 
 APACHE_LOG_FORMAT = (
     '%{%Y-%m-%d %H:%M:%S %z}t|%v|%p|%a|%I|%O|%D|%>s|'
@@ -92,6 +92,15 @@ def parse_apache_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     def tail_str(i: int) -> Column:
         return reencode(F.try_element_at(tail, F.lit(i)))
 
+    def bad_utf8(c: Column) -> Column:
+        # The reference's line.encode('latin-1').decode('utf-8')
+        # RAISES per line on bytes that aren't valid UTF-8 and routes
+        # it to an error record (apache_access.py:128-143); mirroring
+        # that, is_valid_utf8 flags exactly those rows corrupt (and
+        # reencode returns NULL for them instead of letting Spark 4's
+        # ANSI decode kill the whole batch).
+        return bad_reencode(c)
+
     ts = F.try_to_timestamp(_field(parts, 1), F.lit("yyyy-MM-dd HH:mm:ss XX"))
     # Numeric fields: the source format ALWAYS supplies them, so a
     # try_cast that comes back NULL means a malformed value — the
@@ -130,6 +139,14 @@ def parse_apache_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
             | tail.isNull()
             | (F.size(tail) != 7)
             | bad_numeric
+            | bad_utf8(_field(parts, 2))
+            | bad_utf8(F.try_element_at(tail, F.lit(1)))
+            | bad_utf8(F.try_element_at(tail, F.lit(2)))
+            | bad_utf8(F.try_element_at(tail, F.lit(3)))
+            | bad_utf8(F.try_element_at(tail, F.lit(4)))
+            | bad_utf8(F.try_element_at(tail, F.lit(5)))
+            | bad_utf8(F.try_element_at(tail, F.lit(6)))
+            | bad_utf8(F.try_element_at(tail, F.lit(7)))
         ).alias("_corrupt"),
     )
     return parsed

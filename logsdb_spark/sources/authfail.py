@@ -49,8 +49,14 @@ FAILED_RE = (
     + r"(.+?) from (\S+) port \d+ ssh2\]?\s*$"
 )
 
-# Shape 2: Invalid user <user> from <ip> port <n>
-INVALID_RE = _PREFIX + r" Invalid user (.*?) from (\S+) port \d+\s*$"
+# Shape 2: Invalid user <user> from <ip> port <n>. The trailing \]?
+# closes _PREFIX's optional "message repeated N times: [" wrapper —
+# the reference's own pattern (authfail.py:56-58) omits it, so a
+# wrapped Invalid-user line makes the reference HALT as unparsable;
+# here the same line parses (deliberate divergence: the wrapper is
+# real syslog behavior and the module contract says both shapes
+# accept it), keeping brute-force counts complete.
+INVALID_RE = _PREFIX + r" Invalid user (.*?) from (\S+) port \d+\]?\s*$"
 
 
 def parse_authfail_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:

@@ -72,7 +72,7 @@ def _parse_one(raw: bytes, ingest_ts: datetime) -> dict:
             if key not in seen:  # first-seen dedup (maillog.py:88-94)
                 seen.add(key)
                 recipients.append(key)
-    subject = (msg.get("Subject") or "NO SUBJECT") or "NO SUBJECT"
+    subject = msg.get("Subject") or "NO SUBJECT"
     sender = None
     if msg.get("From") and msg["From"].addresses:
         a = msg["From"].addresses[0]
@@ -85,7 +85,7 @@ def _parse_one(raw: bytes, ingest_ts: datetime) -> dict:
             date = None
     return {
         "timestamp": ingest_ts,
-        "subject": str(subject)[:2048] or "NO SUBJECT",
+        "subject": str(subject)[:2048],
         "sender": sender,
         "recipients": recipients,
         "size": len(raw),

@@ -157,9 +157,18 @@ def start_running_totals(
     out = running_user_totals(events)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(os.path.join(out_dir, "user_totals"))
+        # Replay-idempotent changelog: each batch dynamically
+        # overwrites its OWN batch_id partition (same pattern as
+        # ingest.py's sinks) — a plain append would be at-least-once
+        # and a crash between append and checkpoint commit would
+        # duplicate this batch's changelog rows on replay.
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "user_totals"))
+        )
 
     return (
         out.writeStream.foreachBatch(write_batch)

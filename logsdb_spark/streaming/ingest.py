@@ -83,13 +83,17 @@ def _ingest_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            if strict:
-                bad = dead(batch_df).limit(1).collect()
-                if bad:
-                    raise StrictIngestError(
-                        f"{table_name} batch {batch_id}: unparsable line: "
-                        f"{bad[0].asDict()!r}"
-                    )
+            # ONE probe job decides both the strict halt and whether a
+            # dead-letter write is needed (an earlier form ran
+            # dead().limit(1) for strict AND dl.isEmpty() again — two
+            # redundant actions on the per-batch hot path).
+            dl = dead(batch_df)
+            first_bad = dl.limit(1).collect()
+            if strict and first_bad:
+                raise StrictIngestError(
+                    f"{table_name} batch {batch_id}: unparsable line: "
+                    f"{first_bad[0].asDict()!r}"
+                )
             # Idempotent sink: every row lands in a (event_date,
             # _batch_id) partition and the write is a DYNAMIC partition
             # overwrite — a replay of batch N (crash after append,
@@ -108,8 +112,7 @@ def _ingest_stream(
                 .partitionBy("event_date", "_batch_id")
                 .parquet(events_path)
             )
-            dl = dead(batch_df)
-            if not dl.isEmpty():
+            if first_bad:
                 (
                     dl.withColumn("_batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
@@ -184,10 +187,20 @@ def ingest_jsonl(
 
 
 def run_until_drained(query: StreamingQuery, timeout_sec: float = 120.0) -> None:
-    """availableNow triggers stop on their own; wait for completion."""
+    """availableNow triggers stop on their own; wait for completion.
+
+    RAISES on timeout instead of silently stopping a still-draining
+    query: a partial backfill reported as success would let a
+    downstream report run over truncated tables. The checkpoint makes
+    a re-run after the timeout resume where it left off."""
     query.awaitTermination(timeout_sec)
     if query.isActive:
         query.stop()
+        raise TimeoutError(
+            f"stream {query.name or query.id} still draining after "
+            f"{timeout_sec}s; stopped mid-backfill — re-run to resume "
+            f"from the checkpoint"
+        )
 
 
 def ingest_maillog(
@@ -241,6 +254,11 @@ def ingest_maillog(
                 new_contacts = new_contacts.join(
                     F.broadcast(existing.select("id")), "id", "left_anti"
                 )
+            # inbox presence is checked INDEPENDENTLY of contacts: a
+            # crash between the contacts append and the first inbox
+            # write (or a pre-seeded contacts dim) must not wedge every
+            # replay on a missing-inbox read error.
+            if os.path.exists(inbox_path):
                 base_id = spark.read.parquet(inbox_path).count()
             new_contacts.write.mode("append").parquet(contacts_path)
 

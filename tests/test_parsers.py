@@ -189,3 +189,37 @@ def test_jsonl_good_and_dead_split(spark):
 
     errs = sorted(_json.loads(r.error)["error"] for r in dead)
     assert errs == ["bad timestamp", "missing required field", "unparsable JSON"]
+
+
+def test_apache_invalid_utf8_goes_dead(spark):
+    """Genuinely latin-1 bytes (not mangled UTF-8) fail the reencode
+    round-trip and must dead-letter — the reference's
+    encode('latin-1').decode('utf-8') RAISES there
+    (apache_access.py:128-143); silently committing U+FFFD mojibake
+    as a good event would diverge."""
+    line = (
+        '2026-08-12 10:00:00 +0000|example.com|443|203.0.113.7|10|20|30|404|'
+        '["-", "GET /café HTTP/1.1", "GET", "/café", '
+        '"HTTP/1.1", "-", "curl"]'
+    )
+    parsed = apache_access.parse_apache_lines(
+        spark.createDataFrame([Row(value=line)])
+    )
+    assert apache_access.good_events(parsed).count() == 0
+    assert apache_access.dead_letters(parsed).count() == 1
+
+
+def test_authfail_wrapped_invalid_user_parses(spark):
+    """'message repeated N times: [ Invalid user ... ]' — the syslog
+    wrapper around shape 2. The reference's pattern omits the closing
+    bracket and HALTS on such lines; we parse them (documented
+    divergence, see INVALID_RE) so brute-force counts stay complete."""
+    line = (
+        "2024-01-01T00:00:00+00:00 host sshd[1]: message repeated 3 times: "
+        "[ Invalid user bob from 1.2.3.4 port 22]"
+    )
+    out = authfail.parse_authfail_lines(
+        spark.createDataFrame([Row(value=line)])
+    ).collect()
+    assert len(out) == 1 and not out[0]._corrupt
+    assert out[0].username == "bob" and out[0].src_addr == "1.2.3.4"
