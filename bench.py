@@ -142,6 +142,12 @@ def warm_up(spark, sf_dir: str) -> None:
     )
     brute_force_topk(vecs, probes, k=3).count()
     ivf_ann_topk(vecs, probes, k=3, n_centroids=4, nprobe=2).count()
+    from logsdb_spark.operators.similarity import kmeans_centroids
+
+    ivf_ann_topk(
+        vecs, probes, k=3, nprobe=2,
+        centroids=kmeans_centroids(vecs, k=4, iters=2, sample_mod=2),
+    ).count()
 
     evts = spark.range(2_000).select(
         F.col("id").alias("event_id"),
