@@ -51,12 +51,16 @@ def extract_batch_contacts(parsed: DataFrame) -> DataFrame:
 def upsert_contacts(existing: DataFrame | None, batch_contacts: DataFrame) -> DataFrame:
     """J3 parity (maillog.py:66-78): new dim = existing ∪ (batch ∖
     existing). Anti-join on the content id; the dim side is small and
-    broadcasts."""
+    broadcasts. The batch is deduped on the content id HERE, not just
+    upstream: the reference's UNIQUE(realname, email) constraint
+    (maillog.py:16) holds regardless of caller discipline, so a batch
+    carrying the same contact twice must still land once (found by the
+    txn-merge property test)."""
     batch = batch_contacts.select(
         contact_id(F.col("realname"), F.col("email_address")).alias("id"),
         "realname",
         "email_address",
-    )
+    ).dropDuplicates(["id"])
     if existing is None:
         return batch
     new = batch.join(F.broadcast(existing.select("id")), "id", "left_anti")

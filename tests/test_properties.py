@@ -478,3 +478,43 @@ def test_containment_prefix_blocking_is_lossless(spark, texts):
         for r in brute.collect()
     }
     assert got == want
+
+
+_contact_batches = st.lists(
+    st.lists(
+        st.sampled_from([f"u{i}@example.com" for i in range(8)]),
+        min_size=1, max_size=4,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(batches=_contact_batches, rng=st.randoms())
+@settings(**SETTINGS)
+def test_txn_merge_converges_under_interference(spark, tmp_path_factory, batches, rng):
+    """For ANY batch sequence, with a randomly injected stale commit
+    before each merge (simulating a racing writer losing the version),
+    the final committed dim is exactly the distinct union of all
+    batches and versions advance one per successful merge — the
+    optimistic protocol converges regardless of interference order."""
+    import pytest
+
+    from logsdb_spark.operators import txn
+
+    path = str(tmp_path_factory.mktemp("txn") / "contacts")
+    expected: set[str] = set()
+    for i, emails in enumerate(batches):
+        batch = spark.createDataFrame(
+            [(e.split("@")[0].upper(), e) for e in emails],
+            "realname string, email_address string",
+        )
+        if rng.random() < 0.5 and i > 0:
+            # racing writer: blind commit against a stale version
+            with pytest.raises(txn.ConcurrentWriteError):
+                txn.commit_snapshot(batch, path, txn.current_version(path) - 1)
+        v = txn.merge_contacts(spark, path, batch)
+        assert v == i
+        expected |= set(emails)
+    rows = txn.read_snapshot(spark, path).collect()
+    assert {r.email_address for r in rows} == expected
+    assert len(rows) == len(expected), "duplicate contacts after merges"
