@@ -518,3 +518,45 @@ def test_txn_merge_converges_under_interference(spark, tmp_path_factory, batches
     rows = txn.read_snapshot(spark, path).collect()
     assert {r.email_address for r in rows} == expected
     assert len(rows) == len(expected), "duplicate contacts after merges"
+
+
+_snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+    max_size=8,
+)
+
+
+@given(old=_snapshot, new=_snapshot)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_python_reference(spark, old, new):
+    """snapshot_diff vs a direct Python diff on random snapshots with
+    NULL payloads — exercising the presence-marker/null-safe-compare
+    path: a null-propagating fingerprint (md5 of the raw value) must
+    not turn a present-both-sides row into added/removed, and two NULL
+    fingerprints must read unchanged."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.scale import snapshot_diff
+
+    def frame(d):
+        rows = [(k, v) for k, v in d.items()] or [(None, None)]
+        df = spark.createDataFrame(rows, "k long, payload string")
+        return df.filter(F.col("k").isNotNull())
+
+    got = {
+        (r.k, r.status)
+        for r in snapshot_diff(frame(old), frame(new), "k",
+                               F.md5(F.col("payload"))).collect()
+    }
+    want = set()
+    for k in old.keys() | new.keys():
+        if k not in old:
+            want.add((k, "added"))
+        elif k not in new:
+            want.add((k, "removed"))
+        elif old[k] != new[k]:
+            want.add((k, "changed"))
+        else:
+            want.add((k, "unchanged"))
+    assert got == want
