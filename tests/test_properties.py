@@ -560,3 +560,56 @@ def test_snapshot_diff_matches_python_reference(spark, old, new):
         else:
             want.add((k, "unchanged"))
     assert got == want
+
+
+_range_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # key
+        st.integers(min_value=0, max_value=2000),       # left sec offset
+    ),
+    min_size=1, max_size=12,
+)
+_right_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=2000),
+    ),
+    min_size=0, max_size=12,
+)
+
+
+@given(lrows=_range_rows, rrows=_right_rows,
+       range_s=st.sampled_from([1, 7, 600]))
+@settings(**SETTINGS)
+def test_range_count_join_matches_python_reference(spark, lrows, rrows, range_s):
+    """Bucketed range-count join vs the direct O(n*m) Python count on
+    random timestamps — stressing the 2-bucket explode logic at every
+    alignment (offsets straddling, exactly on, and just off bucket
+    borders; range widths 1 s and the 600 s default)."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.temporal import range_count_join
+
+    base = 1_700_000_000
+    left = spark.createDataFrame(
+        [(i, k, base + s) for i, (k, s) in enumerate(lrows)],
+        "eid long, k long, sec long",
+    ).select("eid", "k", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        [(k, base + s) for k, s in rrows] or [(None, None)],
+        "k long, sec long",
+    ).filter(F.col("k").isNotNull()).select(
+        "k", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = {
+        (r.eid, r.n)
+        for r in range_count_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            range_seconds=range_s, left_id="eid", count_alias="n",
+        ).collect()
+    }
+    want = {
+        (i, sum(1 for rk, rs in rrows if rk == k and s - range_s <= rs <= s))
+        for i, (k, s) in enumerate(lrows)
+    }
+    assert got == want
