@@ -613,3 +613,52 @@ def test_range_count_join_matches_python_reference(spark, lrows, rrows, range_s)
         for i, (k, s) in enumerate(lrows)
     }
     assert got == want
+
+
+_session_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user
+        st.integers(min_value=0, max_value=7200),   # sec offset (ties likely)
+    ),
+    min_size=1, max_size=15,
+)
+
+
+@given(rows=_session_events)
+@settings(**SETTINGS)
+def test_sessionize_matches_python_reference(spark, rows):
+    """sessionize (lag → boundary flag → running-sum id → agg) vs a
+    direct Python pass over the same (ts, event_id)-ordered stream —
+    random offsets make equal timestamps likely, exercising the
+    event_id tiebreak, and the 0/30-min gap borders."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.windows import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, u, base + dt.timedelta(seconds=s), 1.0) for i, (u, s) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    # python reference: per user, order by (ts, event_id), cut on gap > 30min
+    want = set()
+    per_user: dict[int, list] = {}
+    for i, (u, s) in enumerate(rows):
+        per_user.setdefault(u, []).append((base + dt.timedelta(seconds=s), i))
+    for u, evs in per_user.items():
+        evs.sort()
+        sess: list[list] = []
+        for ts, i in evs:
+            if sess and (ts - sess[-1][-1][0]).total_seconds() <= 30 * 60:
+                sess[-1].append((ts, i))
+            else:
+                sess.append([(ts, i)])
+        for s_ in sess:
+            want.add((u, s_[0][0], s_[-1][0], len(s_)))
+    assert got == want
