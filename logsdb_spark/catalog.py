@@ -9,6 +9,7 @@ the parquet-backed tables as temp views, so both the DataFrame API and
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,13 +20,34 @@ from . import TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Memoized per (applicationId, sf_dir, table, source mtime): repeated
-# query builds in one session (the bench loop, the driver's 50-query
-# correctness sweep) reuse the same analyzed scan instead of re-listing
-# files and re-reading footers per build. The mtime in the key makes the
-# cache self-invalidating when a test overwrites a table in place (a new
-# snapshot gets a fresh InMemoryFileIndex).
-_TABLE_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
+# Memoized per SESSION OBJECT (weak-keyed — ``spark.newSession()``
+# shares the applicationId but has its own conf state, so keying on the
+# session instance is what keeps a sibling session from being handed a
+# DataFrame bound to different timeZone/ANSI confs) then per
+# (sf_dir, table) → (source mtime, DataFrame). Repeated query builds in
+# one session (the bench loop, the driver's 50-query correctness sweep)
+# reuse the same analyzed scan instead of re-listing files and
+# re-reading footers per build. Storing ONE (mtime, df) per table —
+# replaced, not accumulated, when an in-place overwrite bumps the
+# mtime — makes the cache self-invalidating without stranding stale
+# DataFrames for the session's lifetime, and the weak session key lets
+# a stopped session's whole sub-dict be collected.
+_TABLE_CACHE: weakref.WeakKeyDictionary[
+    SparkSession, dict[tuple[str, str], tuple[int, DataFrame]]
+] = weakref.WeakKeyDictionary()
+
+
+def _cache_get(spark: SparkSession, sf_dir: str, name: str,
+               mtime: int) -> DataFrame | None:
+    ent = _TABLE_CACHE.get(spark, {}).get((sf_dir, name))
+    if ent is not None and ent[0] == mtime:
+        return ent[1]
+    return None
+
+
+def _cache_put(spark: SparkSession, sf_dir: str, name: str, mtime: int,
+               df: DataFrame) -> None:
+    _TABLE_CACHE.setdefault(spark, {})[(sf_dir, name)] = (mtime, df)
 
 
 def _pin_session_confs(spark: SparkSession) -> None:
@@ -69,11 +91,12 @@ def read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     in load_table would otherwise hide them from row-group pruning."""
     _pin_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, sf_dir, f"_raw_{name}",
-           _source_mtime(path))
-    if key not in _TABLE_CACHE:
-        _TABLE_CACHE[key] = spark.read.parquet(path)
-    return _TABLE_CACHE[key]
+    mtime = _source_mtime(path)
+    df = _cache_get(spark, sf_dir, f"_raw_{name}", mtime)
+    if df is None:
+        df = spark.read.parquet(path)
+        _cache_put(spark, sf_dir, f"_raw_{name}", mtime, df)
+    return df
 
 
 def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -97,13 +120,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     events.ts is normalized to TimestampType (see normalize_events_ts);
     results are memoized per (session, dir, table, mtime)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, sf_dir, name, _source_mtime(path))
-    if key not in _TABLE_CACHE:
+    mtime = _source_mtime(path)
+    df = _cache_get(spark, sf_dir, name, mtime)
+    if df is None:
         df = read_raw(spark, sf_dir, name)
         if name == "events":
             df = normalize_events_ts(df)
-        _TABLE_CACHE[key] = df
-    return _TABLE_CACHE[key]
+        _cache_put(spark, sf_dir, name, mtime, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -35,10 +35,12 @@ def reencode(col: Column | str) -> Column:
 
     The decode is GATED on is_valid_utf8: Spark 4's ANSI decode throws
     MALFORMED_CHARACTER_CODING on genuinely-latin-1 bytes, which would
-    kill the whole batch for one bad line; the reference raises too but
-    per-LINE, routing it to an error record (apache_access.py:128-143).
-    Returning NULL here lets the caller's corrupt flag (see
-    bad_reencode) dead-letter exactly those rows."""
+    kill the whole batch for one bad line. The reference is stricter
+    still: it prints ONE error record for the first bad line and
+    ``sys.exit(1)``s the whole ingest (apache_access.py:128-143) —
+    mirrored by our strict=True ingest mode. Returning NULL here is the
+    deliberate lenient divergence: the caller's corrupt flag (see
+    bad_reencode) dead-letters exactly those rows and keeps going."""
     c = F.col(col) if isinstance(col, str) else col
     raw = F.encode(c, "ISO-8859-1")
     return F.when(F.is_valid_utf8(raw), F.decode(raw, "UTF-8"))

@@ -18,19 +18,25 @@ Two anchored implementations:
 from __future__ import annotations
 
 import datetime as _dt
+import weakref as _weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-# Memoized anchor literal per (session, dataset, table, column). The
-# reference evaluates its window edge ONCE per query build as a Python
-# literal (now(utc) - 1 day, core.py:60-61); this is the same contract
-# with "now" replaced by the dataset's max(ts) for determinism. The
-# first build per session+dataset runs one tiny ts-only aggregate (the
-# scan reads a single column and parquet footer stats bound it);
-# every later windowed-query build reuses the literal for free.
-_ANCHOR_CACHE: dict[tuple[str, str, str, str, int], _dt.datetime | None] = {}
+# Memoized anchor literal per SESSION OBJECT (weak-keyed like the
+# catalog's _TABLE_CACHE — newSession() siblings must not share) then
+# per (sf_dir, table, column) → (source mtime, anchor). The reference
+# evaluates its window edge ONCE per query build as a Python literal
+# (now(utc) - 1 day, core.py:60-61); this is the same contract with
+# "now" replaced by the dataset's max(ts) for determinism. The first
+# build per session+dataset runs one tiny ts-only aggregate (the scan
+# reads a single column and parquet footer stats bound it); every later
+# windowed-query build reuses the literal for free. Exactly ONE
+# (mtime, anchor) is kept per table — an in-place overwrite REPLACES
+# the entry (fresh anchor, old one dropped) instead of stranding stale
+# anchors for the session's lifetime.
+_ANCHOR_CACHE: _weakref.WeakKeyDictionary = _weakref.WeakKeyDictionary()
 
 
 def table_anchor(spark: SparkSession, sf_dir: str, name: str = "events",
@@ -45,14 +51,11 @@ def table_anchor(spark: SparkSession, sf_dir: str, name: str = "events",
 
     from ..catalog import _source_mtime, read_raw
 
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        name,
-        ts_col,
-        _source_mtime(_os.path.join(sf_dir, f"{name}.parquet")),
-    )
-    if key not in _ANCHOR_CACHE:
+    mtime = _source_mtime(_os.path.join(sf_dir, f"{name}.parquet"))
+    per_session = _ANCHOR_CACHE.setdefault(spark, {})
+    sub_key = (sf_dir, name, ts_col)
+    ent = per_session.get(sub_key)
+    if ent is None or ent[0] != mtime:
         raw = read_raw(spark, sf_dir, name)
         row = raw.agg(F.max(ts_col).alias("m")).first()
         m = row["m"]
@@ -60,8 +63,9 @@ def table_anchor(spark: SparkSession, sf_dir: str, name: str = "events",
             # legacy int64-ns read → truncate to µs (what TimestampType
             # and the DuckDB oracle both see)
             m = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=m // 1000)
-        _ANCHOR_CACHE[key] = m
-    return _ANCHOR_CACHE[key]
+        ent = (mtime, m)
+        per_session[sub_key] = ent
+    return ent[1]
 
 
 def last_day_table(spark: SparkSession, sf_dir: str, name: str = "events",

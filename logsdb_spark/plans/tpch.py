@@ -600,11 +600,15 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: orders whose total quantity exceeds 250. The IN
-    subquery is an aggregation on the SAME key (l_orderkey) the outer
-    join shuffles on — co-partitioned, no extra exchange under AQE —
-    followed by a left-semi join; customer broadcasts;
-    TakeOrderedAndProject caps the output at 100."""
+    """TPC-H Q18: orders whose total quantity exceeds 250. The output
+    grouping keys (c_name, c_custkey, o_orderkey, o_orderdate,
+    o_totalprice) are all functionally determined by o_orderkey, so
+    the classic IN-subquery + outer re-aggregation collapses to ONE
+    lineitem scan: per-order sum → HAVING filter → join the
+    (already tiny, post-filter) order totals to orders, broadcast
+    customer, TakeOrderedAndProject caps at 100. Shuffle budget:
+    lineitem once (the groupBy), orders once (the join) — vs two
+    lineitem scans + two orders shuffles in the textbook shape."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -612,14 +616,15 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_qty"))
         .filter(F.col("_qty") > 250)
-        .select("l_orderkey")
+        .select("l_orderkey", F.round(F.col("_qty"), 4).alias("sum_qty"))
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
@@ -1044,15 +1049,23 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized order.
 
     The classic EXISTS + NOT-EXISTS pair of lineitem self-joins
-    collapses into ONE groupBy(l_orderkey) computing n_supp and n_late
-    per order — late-row ⇒ own supplier is late, so "no OTHER late
-    supplier" ≡ n_late = 1 and "some other supplier" ≡ n_supp > 1.
-    The two COUNT(DISTINCT)s are computed as a two-level aggregation
-    ((order, supplier) partial → order final) instead of Spark's
-    default multi-distinct Expand plan, which would double every
-    shuffled row; both levels map-side combine. Supplier dim
-    broadcasts at the end. At 100 TB this is the difference between
-    1 and 3 fact-fact joins."""
+    collapses into stacked aggregations over ONE lineitem scan —
+    late-row ⇒ own supplier is late, so "no OTHER late supplier" ≡
+    n_late = 1 and "some other supplier" ≡ n_supp > 1. Because the
+    qualifying order has EXACTLY ONE late supplier, the final per-name
+    count doesn't need to re-join the fact rows: carry the sole late
+    supplier's key and its late-row count up through the same
+    aggregation tree (max/sum over `CASE WHEN _is_late`), then
+    broadcast-join the supplier dim on the carried key.
+
+    Shuffle budget (the r3 probe measured 2.9x wall at 10x for the
+    two-pass form this replaces): lineitem and orders each shuffle
+    ONCE on the order key for the join; both stacked groupBys —
+    (l_orderkey, l_suppkey) then (l_orderkey) — reuse that
+    HashPartitioning(l_orderkey) (partitioning on a subset of the
+    grouping keys satisfies ClusteredDistribution), so the plan has
+    zero further fact-scale Exchanges and the fact is scanned once,
+    vs twice + a third fact-scale shuffle before."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -1068,18 +1081,19 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.col("late").cast("int")).alias("_is_late")
+        F.max(F.col("late").cast("int")).alias("_is_late"),
+        F.sum(F.col("late").cast("long")).alias("_late_rows"),
     )
-    st = per_supp.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+    per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum("_is_late").alias("n_late"),
+        F.max(F.when(F.col("_is_late") == 1, F.col("l_suppkey"))).alias("_supp"),
+        F.sum(F.when(F.col("_is_late") == 1, F.col("_late_rows"))).alias("_waits"),
     )
     return (
-        l1.filter(F.col("late"))
-        .join(st, l1.l_orderkey == F.col("_ok"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("_supp") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("sname"))
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_waits").alias("numwait"))
         .orderBy(F.desc("numwait"), "sname")
     )
