@@ -1428,7 +1428,7 @@ _KMEANS_CENTS_SQL = """
                    / (c.nrm * ct.cnrm) DESC,
                  ct.cent_id ASC) AS rn
         FROM n c, cents ct
-      ) WHERE rn = 1
+      ) WHERE rn <= 2
     ),
     probes AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM n WHERE vec_id < 5),
     pcell AS (
@@ -1442,7 +1442,7 @@ _KMEANS_CENTS_SQL = """
       ) WHERE rn <= 4
     ),
     cand AS (
-      SELECT pc.probe_id, c.vec_id AS neighbor_id,
+      SELECT DISTINCT pc.probe_id, c.vec_id AS neighbor_id,
              ROUND(list_sum(list_transform(list_zip(c.e, pc.pe), x -> x[1]*x[2]))
                    / (c.nrm * pc.pn), 4) AS cos_sim
       FROM n c
@@ -1463,16 +1463,22 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a FITTED coarse quantizer: 2 deterministic Lloyd
     rounds on the vec_id%2 sample (lazy, SQL-expressible — see
     operators/similarity.kmeans_centroids) replace ann_ivf's
-    first-16-by-id stand-in codebook, then the same inverted-list
-    search (nprobe=4). The fit is entirely inside the plan: no action
-    at build time, centroids broadcast, one narrow sample×dim shuffle
-    per round. Oracle unrolls the identical two rounds in SQL.
+    first-16-by-id stand-in codebook, then the inverted-list search
+    (nprobe=4) with MULTI-ASSIGNMENT m=2: each corpus vector is
+    indexed under its top-2 cells. The fit is entirely inside the
+    plan: no action at build time, centroids broadcast, one narrow
+    sample×dim shuffle per round. Oracle unrolls the identical two
+    rounds in SQL (assignment rn <= 2, DISTINCT candidates).
 
-    Measured recall@10 on the driver corpus: 0.72 (stand-in: 0.92) —
-    this corpus is near-isotropic, so balanced fitted cells slice each
-    probe's neighborhood thinner at fixed nprobe; on clustered real
-    corpora the fitted codebook is the right default (see
-    tests/test_dedup_similarity.py::test_ivf_kmeans_recall_floor)."""
+    Multi-assignment is what closes the fitted codebook's recall gap
+    (single-assign fitted measured 0.72 vs 0.92 for the stand-in on
+    this near-isotropic corpus — balanced cells slice each probe's
+    neighborhood thinner, so the lost neighbors sit just across a cell
+    boundary; replicating into the runner-up cell recovers exactly
+    those). Measured recall@10 with m=2: matches the stand-in (see
+    tests/test_dedup_similarity.py::test_ivf_kmeans_recall_floor).
+    Expected scan fraction is m*nprobe/k — visible at this toy k=16
+    (8/16), ~3% at production codebook sizes (k≈4096, nprobe≈64)."""
     from ..operators.similarity import ivf_ann_topk, kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1480,7 +1486,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     cents = kmeans_centroids(emb, k=16, iters=2, sample_mod=2)
-    out = ivf_ann_topk(emb, probes, k=10, nprobe=4, centroids=cents)
+    out = ivf_ann_topk(emb, probes, k=10, nprobe=4, centroids=cents, assign_m=2)
     return out.select(
         "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     ).orderBy("probe_id", "rank")

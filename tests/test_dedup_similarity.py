@@ -114,27 +114,52 @@ def test_ivf_ann_recall(spark):
 
 def test_ivf_kmeans_recall_floor(spark):
     """Fitted Lloyd codebook (kmeans_centroids, 2 rounds on the
-    vec_id%2 sample) recall@10. Measured on THIS corpus: 0.72 vs 0.92
-    for the first-16-by-id stand-in — the driver embeddings are
-    near-isotropic (no cluster structure; true neighbors sit barely
-    above background), and a balanced k-means partition slices such a
-    space into thinner cells around each probe than the lopsided
-    stand-in cells, so fixed nprobe=4 sees fewer of the true
-    neighbors. On a corpus with real cluster structure the fit wins —
-    that is what the quantizer is for; this floor pins the isotropic
-    worst case instead of overclaiming."""
+    vec_id%2 sample) recall@10 — WITH multi-assignment m=2, the
+    configuration ann_ivf_kmeans ships. Single-assign fitted measured
+    0.72-0.80 vs 0.92 for the first-16-by-id stand-in on this
+    near-isotropic corpus: a balanced k-means partition slices each
+    probe's neighborhood thinner, so the lost neighbors sit just
+    across a cell boundary. Indexing every corpus vector under its
+    top-2 cells recovers exactly those: measured m=2 recall 0.92 at
+    sf0.01 (TIES the stand-in exactly; sf0.001 is one neighbor shy at
+    0.90). The >=-stand-in comparison is pinned at sf0.01 — the scale
+    the registered ann_ivf_kmeans query is oracle-gated at — with an
+    absolute floor on the default SF_DIR corpus."""
     from logsdb_spark.operators.similarity import kmeans_centroids
 
+    # absolute floor on the default tiny corpus
     emb = load_table(spark, SF_DIR, "embeddings")
     probes = _probes(emb)
     ex = {(r.probe_id, r.neighbor_id) for r in brute_force_topk(emb, probes, k=10).collect()}
     cents = kmeans_centroids(emb, k=16, iters=2, sample_mod=2)
     fitted = {
         (r.probe_id, r.neighbor_id)
-        for r in ivf_ann_topk(emb, probes, k=10, centroids=cents).collect()
+        for r in ivf_ann_topk(emb, probes, k=10, centroids=cents, assign_m=2).collect()
     }
     r_fit = len(fitted & ex) / len(ex)
-    assert r_fit >= 0.6, f"kmeans IVF recall {r_fit}"
+    assert r_fit >= 0.88, f"kmeans IVF m=2 recall {r_fit}"
+
+    # fitted >= stand-in at the driver-gated scale
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    probes01 = _probes(emb01)
+    ex01 = {
+        (r.probe_id, r.neighbor_id)
+        for r in brute_force_topk(emb01, probes01, k=10).collect()
+    }
+    cents01 = kmeans_centroids(emb01, k=16, iters=2, sample_mod=2)
+    fit01 = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_ann_topk(
+            emb01, probes01, k=10, centroids=cents01, assign_m=2
+        ).collect()
+    }
+    std01 = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_ann_topk(emb01, probes01, k=10).collect()
+    }
+    r_fit01 = len(fit01 & ex01) / len(ex01)
+    r_std01 = len(std01 & ex01) / len(ex01)
+    assert r_fit01 >= r_std01, f"fitted {r_fit01} < stand-in {r_std01} at sf0.01"
 
 
 def test_kmeans_centroids_lazy_and_deterministic(spark):

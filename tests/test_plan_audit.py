@@ -95,17 +95,16 @@ def test_anchor_memoized_per_session_and_dir(spark):
     from logsdb_spark.operators import windows as W
 
     a1 = W.table_anchor(spark, SF_DIR, "events")
-    key = (
-        spark.sparkContext.applicationId,
-        SF_DIR,
-        "events",
-        "ts",
-        _source_mtime(os.path.join(SF_DIR, "events.parquet")),
-    )
-    assert key in W._ANCHOR_CACHE
+    mtime = _source_mtime(os.path.join(SF_DIR, "events.parquet"))
+    sub_key = (SF_DIR, "events", "ts")
+    per_session = W._ANCHOR_CACHE[spark]
+    assert per_session[sub_key] == (mtime, a1)
     # poison the cache: a second call must NOT recompute
-    W._ANCHOR_CACHE[key] = a1.replace(year=1999)
+    per_session[sub_key] = (mtime, a1.replace(year=1999))
     try:
         assert W.table_anchor(spark, SF_DIR, "events").year == 1999
     finally:
-        W._ANCHOR_CACHE[key] = a1
+        per_session[sub_key] = (mtime, a1)
+    # a STALE mtime must miss (self-invalidation on overwrite)
+    per_session[sub_key] = (mtime - 1, a1.replace(year=1999))
+    assert W.table_anchor(spark, SF_DIR, "events") == a1
