@@ -1,0 +1,97 @@
+"""Date-partitioned silver layout for the events fact (SURVEY §4).
+
+The reference's daily window is one predicate over a single PostgreSQL
+table (core.py:60-61) — PostgreSQL's indexes make it cheap there. The
+Spark-native equivalent at 100 TB is LAYOUT: a silver copy of events
+partitioned by ``event_date`` so the 24 h window becomes *partition
+pruning* — the scan lists ~2 of N day-directories and never opens the
+rest — on top of the row-group pruning the literal-anchor pushdown
+(operators/windows.last_day_table) already gets on a monolithic file.
+The streaming ingest sink already writes this layout for new data
+(streaming/ingest.py partitions by (event_date, batch)); this module
+materializes the same layout for an existing bronze parquet, so the
+analytics path can demonstrate the pruning end-to-end.
+
+Materialization contract: one silver per (sf_dir, source mtime) under
+the system temp dir; a bumped mtime writes a NEW silver dir and evicts
+the stale one (same self-invalidation contract as catalog._TABLE_CACHE).
+Writes are atomic via write-to-tmp + rename, so concurrent callers race
+benignly: the loser keeps the winner's dir and discards its own.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import _pin_session_confs, _source_mtime, load_table
+
+_SILVER_ROOT = os.path.join(tempfile.gettempdir(), "logsdb_spark_silver")
+
+
+def _silver_target(sf_dir: str) -> tuple[str, str]:
+    """(digest-prefix, full target dir) for the current source mtime."""
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    mtime = _source_mtime(os.path.join(sf_dir, "events.parquet"))
+    return digest, os.path.join(_SILVER_ROOT, f"ev_{digest}_{mtime}")
+
+
+def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table re-laid-out as parquet PARTITIONED BY
+    event_date (= to_date(ts)). Materialized at most once per source
+    mtime; later calls are a plain partitioned-directory read."""
+    _pin_session_confs(spark)
+    digest, target = _silver_target(sf_dir)
+    if not os.path.isdir(target):
+        os.makedirs(_SILVER_ROOT, exist_ok=True)
+        tmp = f"{target}.tmp.{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            # concurrent writer won the rename: keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        # evict silvers of older mtimes for this source
+        for d in os.listdir(_SILVER_ROOT):
+            if d.startswith(f"ev_{digest}_") and d != os.path.basename(target):
+                shutil.rmtree(os.path.join(_SILVER_ROOT, d), ignore_errors=True)
+    return spark.read.parquet(target)
+
+
+def last_day_silver(spark: SparkSession, sf_dir: str,
+                    days: int = 1) -> DataFrame:
+    """The P2 daily window over the date-partitioned silver: the
+    coarse ``event_date >= date(cutoff)`` literal reaches the scan as
+    a PartitionFilter (directory pruning — the 100 TB win; pinned by
+    tests/test_scale_ops.py::test_last_day_silver_partition_prunes)
+    and the exact ``ts >= cutoff`` literal refines the boundary
+    partition as a pushed/codegen'd row predicate. Anchor semantics
+    are identical to last_day_table: the memoized µs-truncated
+    max(ts) of the BRONZE table (one tiny ts-only aggregate, shared
+    with every other windowed query)."""
+    from .windows import table_anchor
+
+    anchor = table_anchor(spark, sf_dir, "events")
+    pt = silver_events(spark, sf_dir)
+    if anchor is None:
+        return pt.filter(F.lit(False)).drop("event_date")
+    cutoff = anchor - _dt.timedelta(days=days)
+    ts_lit = F.to_timestamp(F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S.%f")))
+    return (
+        pt.filter(
+            (F.col("event_date") >= F.lit(cutoff.date().isoformat()).cast("date"))
+            & (F.col("ts") >= ts_lit)
+        ).drop("event_date")
+    )

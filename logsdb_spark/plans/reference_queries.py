@@ -60,6 +60,40 @@ def a1_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a1_top_event_types_partitioned",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS qty,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+    GROUP BY event_type
+    ORDER BY qty DESC, event_type ASC
+    """,
+)
+def a1_top_event_types_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 routed through the DATE-PARTITIONED silver layout
+    (operators/silver.last_day_silver): identical semantics and oracle
+    to a1_top_event_types, but the daily window prunes day-directories
+    via PartitionFilters instead of (only) parquet row groups — the
+    production P2 path at 100 TB, where the reference leans on
+    PostgreSQL's index (core.py:60-61) and we lean on layout. The
+    silver materializes once per source mtime; the plan pin lives in
+    tests/test_scale_ops.py::test_last_day_silver_partition_prunes."""
+    from ..operators.silver import last_day_silver
+
+    ev = last_day_silver(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("qty"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(F.desc("qty"), F.asc("event_type"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # A2 — grand totals with empty-set-as-zero (apache_access.py:57-58,71-76)
 # ---------------------------------------------------------------------------

@@ -21,9 +21,23 @@ PICKS = {
         "events scan, row-group pruning, 3-column ReadSchema; single "
         "map-side-combined hash aggregate."
     ),
+    "a1_top_event_types_partitioned": (
+        "The same P2 window over the DATE-PARTITIONED silver layout: the "
+        "coarse event_date literal lands in the scan's PartitionFilters "
+        "(directory pruning — at 100 TB the scan lists ~2 of N day "
+        "partitions and never opens the rest), the exact ts literal lands "
+        "in PushedFilters to refine the boundary day."
+    ),
     "tpch_q5_local_supplier_volume": (
         "Multi-join TPC-H shape: dims broadcast, fact-fact shuffles only on "
         "join keys, partial aggregation before the single exchange."
+    ),
+    "tpch_q21_waiting_suppliers": (
+        "Single-scan Q21: lineitem and orders shuffle once each for the "
+        "join; both stacked groupBys — (l_orderkey, l_suppkey) then "
+        "l_orderkey — reuse that HashPartitioning (no further fact-scale "
+        "Exchange), and the sole late supplier's key + late-row count are "
+        "carried up the aggregation tree so the fact is never re-joined."
     ),
     "ann_ivf_kmeans": (
         "Fitted IVF: two lazy Lloyd rounds on the vec_id%2 sample (broadcast "

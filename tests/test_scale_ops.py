@@ -95,6 +95,28 @@ def test_date_partitioned_sink_prunes(spark, tmp_path):
     assert one_day.count() == want
 
 
+def test_last_day_silver_partition_prunes(spark):
+    """The registered P2 path over the date-partitioned silver
+    (a1_top_event_types_partitioned → operators/silver.last_day_silver)
+    must plan the daily window as PARTITION pruning: the executed plan's
+    scan carries a PartitionFilters entry on event_date, and the silver
+    window returns exactly the rows the bronze literal-anchor window
+    (last_day_table) returns."""
+    from logsdb_spark.operators.silver import last_day_silver
+    from logsdb_spark.operators.windows import last_day_table
+
+    win = last_day_silver(spark, SF_DIR)
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_date" in pf and ">=" in pf, plan
+    got = sorted(tuple(r) for r in win.select("event_id", "ts").collect())
+    want = sorted(
+        tuple(r) for r in last_day_table(spark, SF_DIR).select("event_id", "ts").collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_q21_aggregates_without_expand(spark):
     """The double COUNT(DISTINCT) in q21 is hand-lowered to a two-level
     aggregation; Spark's default multi-distinct plan inserts an Expand
