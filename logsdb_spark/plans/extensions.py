@@ -1182,11 +1182,52 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata extraction through Arrow-batched
-    mapInPandas (the real decode is a documented stub — operators/
-    multimodal.py). The oracle recomputes the deterministic features
-    SQL-side, verifying the whole Arrow round-trip."""
+    mapInPandas (the feature fields here are the documented
+    deterministic stand-ins — operators/multimodal.py; the REAL
+    header decode is multimodal_real_headers below). The oracle
+    recomputes the deterministic features SQL-side, verifying the
+    whole Arrow round-trip."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_metadata(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_real_headers",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 64 + 1 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 48 + 1 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST((doc_id // 2) % 2 + 1 AS BIGINT) END AS n_channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(8000 + doc_id % 4 * 4000 AS BIGINT) END AS sample_rate_hz,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT)
+                ELSE CAST(16 AS BIGINT) END AS bit_depth,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(
+             CEIL(octet_length(encode(text))
+                  / (((doc_id // 2) % 2 + 1) * 2.0)) AS BIGINT) END AS n_frames
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-header decode, hash-gated end to end: each doc's
+    utf-8 bytes are wrapped into a genuine PNG (even doc_id — zlib'd
+    IDAT, CRC'd chunks) or canonical PCM WAV (odd doc_id), then
+    parse_media_header reads the actual IHDR / RIFF-fmt structures
+    back out inside an Arrow-batched mapInPandas kernel. Because the
+    fixture derivation is plain arithmetic on (doc_id, utf-8 length),
+    the DuckDB oracle recomputes every parsed field independently —
+    so a parser that misreads any struct offset hash-mismatches.
+    Scale shape: two mapInPandas stages, blobs stay executor-side,
+    no shuffle at all until the final presentation sort."""
+    from ..operators.multimodal import extract_media_headers, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_headers(synthesize_media(docs)).orderBy("doc_id")
 
 
 @register(
@@ -3247,4 +3288,205 @@ def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_key"),
         )
         .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boolean quality gates for the sketch/hash-defined queries (VERDICT r3 #6).
+#
+# The four rows-only queries (ann_lsh_bucketed, dedup_simhash,
+# approx_distinct_users, approx_quantiles_value) have engine-specific
+# outputs a value-hash compare cannot gate. These companions convert the
+# QUALITY CLAIM itself into hash-gated rows: Spark measures its own
+# sketch/LSH output against exact ground truth computed in the same plan
+# and emits a judged boolean; the oracle recomputes every
+# SQL-expressible column (exact distinct counts, group sizes, truth-pair
+# counts) and the EXPECTED verdict. A sketch drifting out of tolerance
+# or an LSH recall regression flips the boolean -> hash mismatch in the
+# driver's CORRECTNESS gate, not just a local pytest failure.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gate_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def gate_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ error-bound gate: per event_type, the rsd=0.02 sketch
+    estimate must land within 5 percent of the exact distinct count
+    (computed in the same aggregate). exact_users is independently
+    recomputed by the oracle, so both the ground truth AND the
+    judgment are hash-gated."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "gate_approx_quantiles_value",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def gate_approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna rank-error gate: for each percentile_approx
+    output x_p, its true rank bracket in the group —
+    count(value < x_p)/n .. count(value <= x_p)/n — must contain p
+    within a ±0.02 rank tolerance (the sketch's configured accuracy
+    is 1e-4; 0.02 absorbs tie plateaus in the discrete data). The
+    per-group counts broadcast-join back onto the fact scan, so the
+    gate costs one extra pass over events, no extra shuffle of raw
+    values."""
+    ev = load_table(spark, sf_dir, "events")
+    pa = lambda p: F.percentile_approx("value", p, 10000)  # noqa: E731
+    apx = ev.groupBy("event_type").agg(
+        pa(0.5).alias("_p50"), pa(0.9).alias("_p90"), pa(0.99).alias("_p99")
+    )
+    j = ev.join(F.broadcast(apx), "event_type")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            s
+            for p in ("_p50", "_p90", "_p99")
+            for s in (
+                F.sum((F.col("value") < F.col(p)).cast("long")).alias(f"lt{p}"),
+                F.sum((F.col("value") <= F.col(p)).cast("long")).alias(f"le{p}"),
+            )
+        ],
+    )
+    tol = 0.02
+
+    def ok(p: str, target: float) -> F.Column:
+        lo = F.col(f"lt{p}") / F.col("n")
+        hi = F.col(f"le{p}") / F.col("n")
+        return (lo <= target + tol) & (hi >= target - tol)
+
+    return agg.select(
+        "event_type",
+        "n",
+        ok("_p50", 0.5).alias("p50_ok"),
+        ok("_p90", 0.9).alias("p90_ok"),
+        ok("_p99", 0.99).alias("p99_ok"),
+    ).orderBy("event_type")
+
+
+@register(
+    "gate_ann_lsh_recall",
+    oracle="""
+    SELECT CAST(50 AS BIGINT) AS n_truth, TRUE AS recall_ok
+    FROM (SELECT 1)
+    """,
+)
+def gate_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN recall gate: top-10 over the 5 standard
+    probes vs exact brute-force ground truth, judged against the
+    pinned floor 0.1 (measured ≈0.2 on this structure-free corpus —
+    tests/test_dedup_similarity.py::test_lsh_ann_recall_floor).
+    n_truth = 5 probes × k=10 is structurally fixed, which is what
+    lets the oracle state it exactly; the boolean carries the
+    hash-gated quality claim the raw LSH rows cannot."""
+    from ..operators.similarity import brute_force_topk, lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    bf = brute_force_topk(emb, probes, k=10).select("probe_id", "neighbor_id")
+    ap = lsh_ann_topk(emb, probes, k=10).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        bf.join(ap, ["probe_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_hits"),
+        )
+        .select(
+            "n_truth",
+            (F.col("_hits") >= 0.1 * F.col("n_truth")).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "gate_dedup_simhash",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                  FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(len(toks), 2)),
+                                          i -> concat(toks[i], ' ', toks[i+1]))) AS s
+      FROM norm
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) FILTER (jac >= 0.9) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok, TRUE AS precision_ok
+    FROM pairs
+    """,
+)
+def gate_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash quality gate: recall ≥ 0.6 against the exact jaccard
+    ≥ 0.9 planted-dup ground truth AND precision ≥ 0.6 against the
+    loose (≥ 0.5) truth — the same claims
+    tests/test_dedup_similarity.py::test_simhash_recall_and_precision
+    pins, now hash-gated by the driver. n_truth (the strict truth-pair
+    count) is recomputed independently by the oracle's O(n²) pair SQL,
+    so the ground truth itself is cross-checked, not assumed. The
+    brute-force sides are documented gate baselines (allowlisted in
+    the plan audit); the production path remains dedup_simhash."""
+    from ..operators.dedup import brute_force_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = brute_force_near_dups(docs, threshold=0.9).select("id_a", "id_b")
+    loose = brute_force_near_dups(docs, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("_good")
+    )
+    got = simhash_near_dups(docs).select("id_a", "id_b", F.lit(1).alias("_hit"))
+    rec = truth.join(got.drop("_good"), ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_rec_hits"),
+    )
+    prec = got.join(loose, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("_n_got"),
+        F.sum(F.coalesce(F.col("_good"), F.lit(0))).alias("_prec_hits"),
+    )
+    return (
+        rec.join(F.broadcast(prec))
+        .select(
+            "n_truth",
+            (F.col("_rec_hits") >= 0.6 * F.col("n_truth")).alias("recall_ok"),
+            (F.col("_prec_hits") >= 0.6 * F.col("_n_got")).alias("precision_ok"),
+        )
     )

@@ -97,3 +97,90 @@ def test_features_compose_with_similarity(spark):
     best = {r.probe_id: r.neighbor_id for r in top if r.rank == 1}
     for p, n in best.items():
         assert p == n, "a vector must be its own nearest neighbor"
+
+
+def test_parse_media_header_real_bytes():
+    """The header parser must read REAL container structures: a
+    spec-conformant PNG (zlib IDAT, CRC'd chunks), a canonical RIFF
+    WAV, a hand-assembled baseline AND progressive JPEG (marker scan
+    past APP0), a GIF89a screen descriptor — and reject junk and
+    truncations without raising."""
+    import struct
+
+    from logsdb_spark.operators.multimodal import (
+        build_png,
+        build_wav,
+        parse_media_header,
+    )
+
+    png = parse_media_header(build_png(17, 9, b"hello world"))
+    assert (png["fmt"], png["width"], png["height"], png["n_channels"],
+            png["bit_depth"]) == ("png", 17, 9, 1, 8)
+
+    # zlib must actually round-trip the scanlines (it is a real PNG,
+    # not just magic bytes): decompress the IDAT and check shape
+    import zlib
+
+    raw_png = build_png(5, 3, b"ab")
+    idat_off = raw_png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", raw_png[idat_off - 8: idat_off - 4])[0]
+    scan = zlib.decompress(raw_png[idat_off: idat_off + idat_len])
+    assert len(scan) == 3 * (1 + 5)  # height * (filter byte + width)
+
+    wav = parse_media_header(build_wav(2, 16000, 16, b"abcdefg"))
+    assert (wav["fmt"], wav["n_channels"], wav["sample_rate_hz"],
+            wav["bit_depth"], wav["n_frames"]) == ("wav", 2, 16000, 16, 2)
+
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 15) + b"JFIF\x00"
+            + b"\x00" * 8
+            + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+            + struct.pack(">HH", 480, 640) + bytes([3]) + b"\x01\x11\x00"
+            + b"\xff\xd9")
+    j = parse_media_header(jpeg)
+    assert (j["fmt"], j["width"], j["height"], j["n_channels"],
+            j["bit_depth"]) == ("jpeg", 640, 480, 3, 8)
+
+    progressive = (b"\xff\xd8\xff" + b"\xff\xc2" + struct.pack(">H", 11)
+                   + bytes([8]) + struct.pack(">HH", 10, 20) + bytes([1])
+                   + b"\x01\x11\x00")
+    p = parse_media_header(progressive)
+    assert (p["fmt"], p["width"], p["height"]) == ("jpeg", 20, 10)
+
+    gif = (b"GIF89a" + (320).to_bytes(2, "little")
+           + (200).to_bytes(2, "little") + b"\x00\x00\x00")
+    g = parse_media_header(gif)
+    assert (g["fmt"], g["width"], g["height"]) == ("gif", 320, 200)
+
+    for junk in (b"", b"plain text", build_png(4, 4)[:20],
+                 build_wav(1, 8000, 16, b"x")[:10]):
+        assert parse_media_header(junk)["fmt"] == "unknown"
+
+
+def test_extract_media_headers_kernel_parity(spark):
+    """The Arrow mapInPandas kernel must produce exactly what a
+    direct Python parse_media_header of the same bytes produces."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from logsdb_spark.operators.multimodal import (
+        build_png,
+        build_wav,
+        extract_media_headers,
+        parse_media_header,
+    )
+
+    payloads = [
+        (0, build_png(33, 21, b"pix")),
+        (1, build_wav(1, 8000, 16, b"0123456789")),
+        (2, b"not media at all"),
+        (3, build_wav(2, 44100, 16, b"pcm" * 7)),
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    blobs = spark.createDataFrame(payloads, schema)
+    got = {r.doc_id: r.asDict() for r in extract_media_headers(blobs).collect()}
+    for doc_id, payload in payloads:
+        want = parse_media_header(payload)
+        row = got[doc_id]
+        for k, v in want.items():
+            assert row[k] == v, (doc_id, k, row[k], v)

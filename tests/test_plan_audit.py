@@ -28,6 +28,8 @@ BRUTE_FORCE_BASELINES = {
     "dedup_ngram_jaccard",      # ground truth for dedup_ngram_lsh
     "dedup_embedding_cosine",   # ground truth for dedup_embedding_ann
     "knn_cosine_bruteforce",    # exact baseline for ann_lsh/ann_ivf
+    "gate_ann_lsh_recall",      # quality gate: judges LSH vs the exact baseline
+    "gate_dedup_simhash",       # quality gate: judges simhash vs O(n²) truth
 }
 
 
