@@ -65,6 +65,12 @@ HEADLINE = [
     "salted_top_users",
     "dq_expectations_events",
     "snapshot_diff_events",
+    # round-4 additions: the daily window over the date-partitioned
+    # silver (PartitionFilters pruning; first run pays the one-time
+    # silver materialization, by design), real media header decode
+    # through the Arrow kernel
+    "a1_top_event_types_partitioned",
+    "multimodal_real_headers",
 ]
 
 

@@ -187,7 +187,8 @@ def pairwise_cosine_dedup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
 
 def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
                        n_centroids: int | None = None,
-                       n_assign: int = 2) -> DataFrame:
+                       n_assign: int = 2,
+                       target_cell_rows: int | None = None) -> DataFrame:
     """IVF-blocked embedding near-dup: assign every vector to its
     ``n_assign`` nearest centroid cells (multi-assignment — the
     pair-generation analogue of query-side nprobe), emit candidate
@@ -212,19 +213,30 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
     approaches 1 as the angle shrinks.
 
     ``n_centroids=None`` (the default) scales the cell count with the
-    corpus: ceil(sqrt(n)), floored at 4 — expected cell size ~sqrt(n),
-    so intra-cell pair volume stays ~linear in the corpus instead of
-    n²/constant. The count is a LAZY broadcast 1-row aggregate joined
-    into the centroid-selection filter (not a driver-side ``count()``
-    at build time), so constructing this plan runs no job; pass an
-    explicit value to pin it and let the centroid filter push down to
+    corpus: ceil(sqrt(n)), floored at 4 — expected cell size ~sqrt(n).
+    NOTE the total candidate volume under sqrt-cells is n²/sqrt(n) =
+    n^1.5 (each of sqrt(n) cells holds sqrt(n) rows → n pairs): right
+    for the low-threshold COVERAGE regime (0.4), where fewer/larger
+    cells buy recall, but superlinear at scale — the 10x probe
+    measured 5.7x wall at 10x data for this shape. For the NEAR-DUP
+    regime (threshold ≥ ~0.85, where twins share a cell at almost any
+    granularity) pass ``target_cell_rows`` instead: cell count scales
+    n/target → candidate volume n·target, truly LINEAR — that is the
+    100 TB configuration and what the scale probe measures. Either
+    count is a LAZY broadcast 1-row aggregate joined into the
+    centroid-selection filter (not a driver-side ``count()`` at build
+    time), so constructing this plan runs no job; pass an explicit
+    ``n_centroids`` to pin it and let the centroid filter push down to
     the scan instead."""
     if n_centroids is None:
+        if target_cell_rows is not None:
+            k_expr = F.ceil(
+                F.count(F.lit(1)) / F.lit(float(target_cell_rows))
+            ).cast("long")
+        else:
+            k_expr = F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long")
         k_row = emb.agg(
-            F.greatest(
-                F.lit(4).cast("long"),
-                F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long"),
-            ).alias("_ncents")
+            F.greatest(F.lit(4).cast("long"), k_expr).alias("_ncents")
         )
         cent_base = (
             emb.join(F.broadcast(k_row))

@@ -150,7 +150,8 @@ def ingest_apache_access(
 
 
 def ingest_authfail(
-    spark: SparkSession, source_dir: str, out_dir: str, strict: bool = False
+    spark: SparkSession, source_dir: str, out_dir: str, strict: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """S2 streaming ingest (reference process: authfail.py:65-97)."""
     return _ingest_stream(
@@ -162,6 +163,7 @@ def ingest_authfail(
         authfail.dead_letters,
         "authfail",
         strict=strict,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 

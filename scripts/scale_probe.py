@@ -1,19 +1,40 @@
 #!/usr/bin/env python
 """10x scale probe: replicate the sf0.1 fact tables tenfold (key-shifted
 so uniqueness-bearing keys stay unique) into a local sf1-equivalent
-dataset, run the relational headline queries at both scales in ONE
-warmed session, and print the per-query time ratio.
+dataset, run the headline queries at both scales in ONE warmed
+session, and print the per-query time ratio.
 
 Purpose: measured evidence for the scaling claims in README "Scale
 design" — a plan whose runtime grows ~linearly (ratio ~10x or less on
 32 local cores, where small inputs underuse the cores) has no hidden
-quadratic/SPOF stage at this step size. The dedup/ANN pipelines are
-EXCLUDED by design: replicating documents/embeddings 10x manufactures
-10-way true-duplicate groups, which changes the workload's character
-(pair output grows quadratically in group size because the ANSWER
-does) rather than its scale.
+quadratic/SPOF stage at this step size.
 
-Usage: python scripts/scale_probe.py  [--rebuild]
+The dedup/ANN corpus is replicated with PLANTED, CONTROLLED structure
+instead of naive copying (which would manufacture 10-way true-dup
+groups and grow the ANSWER quadratically in group size):
+
+- copy 0 keeps the original documents/embeddings (and their original
+  planted dup pairs);
+- copies 1..9 get SYNTHETIC content (hash-seeded word sequences /
+  pseudorandom vectors) with ~zero cross-similarity at the pipelines'
+  thresholds — they add scale, not answer;
+- 1% of each copy's rows are PLANTED near-dups of a copy-specific,
+  disjoint slice of the originals (doc_id % 100 == copy: every 25th
+  word replaced with a unique token → word-bigram jaccard ≈ 0.92,
+  char-trigram jaccard ≈ 0.9, word-trigram containment ≈ 0.86;
+  embeddings perturbed v + 0.15·noise → cosine ≈ 0.99), so every
+  planted pair is its own 2-element group and the true answer grows
+  LINEARLY with the data. The probe measures both the time ratio AND
+  the recall on planted pairs, so the scale path's quality is verified
+  under load, not just its wall-clock.
+
+The embedding dedup is probed through its operator at threshold 0.85
+(the planted-pair regime) rather than the registered query's 0.4:
+at 0.4 on this near-isotropic corpus the answer itself is quadratic
+background overlap (documented at plans/extensions.dedup_embedding_ann),
+which no replication scheme can linearize.
+
+Usage: python scripts/scale_probe.py  [--rebuild] [--skip-corpus]
 Writes the replicated dataset to /tmp/logsdb_scale_probe/sf1 once and
 reuses it; --rebuild forces a rewrite.
 """
@@ -72,6 +93,75 @@ QUERIES = [
 
 _SENTINEL = os.path.join(DST, "_BUILD_COMPLETE")
 
+ID_SHIFT = 10_000_000_000
+# copy i plants near-dups of originals with id % PLANT_MOD == i — a
+# DISJOINT slice per copy, so every planted pair is a 2-element group
+# and the true answer grows linearly with the corpus.
+PLANT_MOD = 100
+
+
+def _doc_copy(df, i: int):
+    """Copy ``i`` of documents: planted rows mutate the ORIGINAL text
+    (every 25th word → a copy-unique token: word-bigram jaccard ≈ 0.92,
+    char-trigram ≈ 0.9, word-trigram containment ≈ 0.86 vs the
+    original — above every pipeline threshold); the rest get synthetic
+    hash-seeded word sequences with ~zero cross-similarity."""
+    planted = F.col("doc_id") % PLANT_MOD == i
+    words = F.split(F.col("text"), " ")
+    uniq = lambda idx: F.concat(  # noqa: E731
+        F.lit(f"u{i}x"), F.col("doc_id").cast("string"), F.lit("x"),
+        idx.cast("string"),
+    )
+    mutated = F.array_join(
+        F.transform(words, lambda w, idx: F.when(idx % 25 == 3, uniq(idx)).otherwise(w)),
+        " ",
+    )
+    synth = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(44)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i), j), F.lit(9973))
+                .cast("string"),
+            ),
+        ),
+        " ",
+    )
+    text_i = F.when(planted, mutated).otherwise(synth)
+    return df.select(
+        (F.col("doc_id") + i * ID_SHIFT).alias("doc_id"),
+        text_i.alias("text"),
+        "lang",
+        "source",
+        F.length(text_i).cast("long").alias("n_chars"),
+    )
+
+
+def _emb_copy(df, i: int):
+    """Copy ``i`` of embeddings: planted rows are the original
+    (unit-norm) vector + 0.03·noise — the raw uniform[-1,1]^64 noise
+    vector has norm ≈ sqrt(64/3) ≈ 4.6, so the perturbation's norm is
+    ≈ 0.14 and cosine to the original ≈ 0.99; the rest are fully
+    pseudorandom vectors (cosine to anything ~N(0, 1/8))."""
+    planted = F.col("vec_id") % PLANT_MOD == i
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (
+            (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i), j), F.lit(2001)) - 1000)
+            .cast("double") / 1000.0
+        ),
+    )
+    perturbed = F.zip_with(
+        F.col("embedding"), noise,
+        lambda a, b: (a.cast("double") + 0.03 * b).cast("float"),
+    )
+    synthetic = F.transform(noise, lambda x: x.cast("float"))
+    return df.select(
+        (F.col("vec_id") + i * ID_SHIFT).alias("vec_id"),
+        F.when(planted, perturbed).otherwise(synthetic).alias("embedding"),
+        "label",
+    )
+
 
 def build(spark) -> None:
     # rebuild from scratch if a previous build died midway — a partial
@@ -97,11 +187,91 @@ def build(spark) -> None:
         else:
             out = df
         out.write.mode("overwrite").parquet(dst)
+    for name, mk in (("documents", _doc_copy), ("embeddings", _emb_copy)):
+        df = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        out = df
+        for i in range(1, COPIES):
+            out = out.unionByName(mk(df, i))
+        out.write.mode("overwrite").parquet(os.path.join(DST, f"{name}.parquet"))
     with open(_SENTINEL, "w") as fh:
         fh.write("ok\n")
 
 
+# dedup/ANN pipelines probed at 10x with planted structure; the first
+# three also get a recall-on-planted-pairs measurement.
+CORPUS_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_lsh",
+    "dedup_containment_prefix",
+    "ann_ivf_kmeans",
+]
+
+
+def _n_planted(spark, table: str, id_col: str) -> int:
+    """Ground-truth planted-pair count: one pair per original id with
+    1 <= id % PLANT_MOD <= COPIES-1 (its twin lives in copy id%PLANT_MOD)."""
+    return (
+        spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+        .filter((F.col(id_col) % PLANT_MOD).between(1, COPIES - 1))
+        .count()
+    )
+
+
+def _planted_found(out_pairs) -> int:
+    """Planted pairs present in a dedup output — a pure FILTER, no
+    join: the planted relation is arithmetic (b = a + (a%PLANT_MOD) *
+    ID_SHIFT, a in copy 0), so membership is testable row-locally."""
+    return out_pairs.filter(
+        (F.col("id_a") < ID_SHIFT)
+        & (F.col("id_a") % PLANT_MOD).between(1, COPIES - 1)
+        & (F.col("id_b")
+           == F.col("id_a") + (F.col("id_a") % PLANT_MOD) * ID_SHIFT)
+    ).count()
+
+
+def _recall_on_planted(out_pairs, total: int, eligible: int | None = None) -> dict:
+    """``eligible`` = planted pairs whose TRUE similarity clears the
+    pipeline's threshold (mutation overshoot on short docs can drop a
+    planted pair below it — such pairs are CORRECTLY absent, since the
+    LSH/prefix paths are exact-verify). recall_vs_eligible is the
+    pipeline's real recall under load; recall (vs all planted) mixes
+    in fixture overshoot."""
+    hits = _planted_found(out_pairs)
+    out = {"planted": total, "found": hits,
+           "recall": round(hits / total, 4) if total else None}
+    if eligible is not None:
+        out["eligible"] = eligible
+        out["recall_vs_eligible"] = (
+            round(hits / eligible, 4) if eligible else None
+        )
+    return out
+
+
+def _participants(spark, table: str, id_col: str):
+    """The planted-pair member rows of the 10x dataset: originals with
+    1 <= id % PLANT_MOD <= COPIES-1 plus their copy-i twins — small
+    (~2% of the corpus), so O(n²) ground truth over JUST these rows is
+    cheap and serves as the eligibility reference."""
+    df = spark.read.parquet(os.path.join(DST, f"{table}.parquet"))
+    c = F.col(id_col)
+    orig = (c < ID_SHIFT) & (c % PLANT_MOD).between(1, COPIES - 1)
+    twin = (c >= ID_SHIFT) & (
+        (c % ID_SHIFT) % PLANT_MOD == (c / ID_SHIFT).cast("long")
+    )
+    return df.filter(orig | twin)
+
+
+def _n_eligible(truth_pairs) -> int:
+    """Planted pairs in a ground-truth pair frame (same arithmetic
+    filter as _planted_found)."""
+    return _planted_found(truth_pairs)
+
+
 def main() -> None:
+    # the 10x corpus pipelines are driver-memory-hungry in single-JVM
+    # local mode (HOF-heavy signature arrays + broadcast stages); 16g
+    # mirrors a realistic driver for this data size. Overridable.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--rebuild" in sys.argv and os.path.isdir(DST):
@@ -125,7 +295,67 @@ def main() -> None:
             "sf1_s": round(t_big, 3),
             "ratio": round(t_big / t_small, 2),
         }
-    print(json.dumps({"copies": COPIES, "queries": results}))
+
+    corpus = {}
+    if "--skip-corpus" not in sys.argv:
+        from logsdb_spark.catalog import load_table
+        from logsdb_spark.operators.dedup import (
+            brute_force_near_dups,
+            char_ngram_near_dups,
+            containment_near_dups,
+        )
+        from logsdb_spark.operators.similarity import (
+            ivf_cell_near_dups,
+            pairwise_cosine_dedup,
+        )
+
+        n_doc_planted = _n_planted(spark, "documents", "doc_id")
+        n_emb_planted = _n_planted(spark, "embeddings", "vec_id")
+        doc_parts = _participants(spark, "documents", "doc_id")
+        emb_parts = _participants(spark, "embeddings", "vec_id")
+        eligible = {
+            "dedup_minhash_lsh": _n_eligible(
+                brute_force_near_dups(doc_parts, threshold=0.6)),
+            "dedup_ngram_lsh": _n_eligible(
+                char_ngram_near_dups(doc_parts, n=3, threshold=0.8)),
+            "dedup_containment_prefix": _n_eligible(
+                containment_near_dups(doc_parts, threshold=0.8)),
+            "dedup_embedding_ann@0.85": _n_eligible(
+                pairwise_cosine_dedup(emb_parts, threshold=0.85)),
+        }
+
+        def emb_fn(spark, sf_dir):
+            # the near-dup-regime production config: constant target
+            # cell size → cell count scales n/64 → candidate volume
+            # LINEAR in the corpus (vs the registered 0.4-coverage
+            # query's sqrt-cells, whose candidate volume is n^1.5 —
+            # see ivf_cell_near_dups docstring)
+            return ivf_cell_near_dups(
+                load_table(spark, sf_dir, "embeddings"),
+                threshold=0.85, n_assign=2, target_cell_rows=64,
+            )
+
+        probes = [(n, queries[n]) for n in CORPUS_QUERIES]
+        probes.append(("dedup_embedding_ann@0.85", emb_fn))
+        for name, fn in probes:
+            t0 = time.perf_counter()
+            fn(spark, SRC).count()
+            t_small = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(spark, DST).count()
+            t_big = time.perf_counter() - t0
+            corpus[name] = {
+                "sf0.1_s": round(t_small, 3),
+                "sf1_s": round(t_big, 3),
+                "ratio": round(t_big / t_small, 2),
+            }
+            if name in eligible:
+                total = (n_emb_planted if name.startswith("dedup_embedding")
+                         else n_doc_planted)
+                corpus[name].update(
+                    _recall_on_planted(fn(spark, DST), total, eligible[name])
+                )
+    print(json.dumps({"copies": COPIES, "queries": results, "corpus": corpus}))
 
 
 if __name__ == "__main__":
