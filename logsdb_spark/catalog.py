@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import weakref
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,9 +21,9 @@ from . import TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Memoized per SESSION OBJECT (weak-keyed — ``spark.newSession()``
-# shares the applicationId but has its own conf state, so keying on the
-# session instance is what keeps a sibling session from being handed a
+# Memoized per SESSION OBJECT (``spark.newSession()`` shares the
+# applicationId but has its own conf state, so keying on the session
+# instance is what keeps a sibling session from being handed a
 # DataFrame bound to different timeZone/ANSI confs) then per
 # (sf_dir, table) → (source mtime, DataFrame). Repeated query builds in
 # one session (the bench loop, the driver's 50-query correctness sweep)
@@ -30,16 +31,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # re-reading footers per build. Storing ONE (mtime, df) per table —
 # replaced, not accumulated, when an in-place overwrite bumps the
 # mtime — makes the cache self-invalidating without stranding stale
-# DataFrames for the session's lifetime, and the weak session key lets
-# a stopped session's whole sub-dict be collected.
-_TABLE_CACHE: weakref.WeakKeyDictionary[
-    SparkSession, dict[tuple[str, str], tuple[int, DataFrame]]
-] = weakref.WeakKeyDictionary()
+# DataFrames for the session's lifetime.
+#
+# Sessions are tracked in a small LRU, NOT a WeakKeyDictionary: a
+# cached DataFrame strongly references its session (df._session), so
+# weak keys would never be collected (the documented value-refers-to-
+# key weakref pitfall) and stopped sessions would leak for the process
+# lifetime. Capping distinct sessions at _MAX_SESSIONS drops the whole
+# sub-dict of the least-recently-used session, releasing the only
+# strong references this module holds so the session CAN be GC'd. The
+# identity check against a weakref guards id() reuse after collection.
+_MAX_SESSIONS = 4
+_TABLE_CACHE: "OrderedDict[int, tuple[weakref.ref, dict]]" = OrderedDict()
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    sid = id(spark)
+    ent = _TABLE_CACHE.get(sid)
+    if ent is None or ent[0]() is not spark:
+        _TABLE_CACHE[sid] = ent = (weakref.ref(spark), {})
+    _TABLE_CACHE.move_to_end(sid)
+    while len(_TABLE_CACHE) > _MAX_SESSIONS:
+        _TABLE_CACHE.popitem(last=False)
+    return ent[1]
 
 
 def _cache_get(spark: SparkSession, sf_dir: str, name: str,
                mtime: int) -> DataFrame | None:
-    ent = _TABLE_CACHE.get(spark, {}).get((sf_dir, name))
+    ent = _session_cache(spark).get((sf_dir, name))
     if ent is not None and ent[0] == mtime:
         return ent[1]
     return None
@@ -47,7 +66,7 @@ def _cache_get(spark: SparkSession, sf_dir: str, name: str,
 
 def _cache_put(spark: SparkSession, sf_dir: str, name: str, mtime: int,
                df: DataFrame) -> None:
-    _TABLE_CACHE.setdefault(spark, {})[(sf_dir, name)] = (mtime, df)
+    _session_cache(spark)[(sf_dir, name)] = (mtime, df)
 
 
 def _pin_session_confs(spark: SparkSession) -> None:

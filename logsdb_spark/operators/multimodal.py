@@ -123,7 +123,10 @@ def parse_media_header(payload: bytes) -> dict:
             while i + 8 <= len(b):
                 cid = b[i: i + 4]
                 csz = struct.unpack("<I", b[i + 4: i + 8])[0]
-                if cid == b"fmt ":
+                # a declared-short fmt chunk (csz < 16) must NOT be
+                # parsed by reading into the NEXT chunk's bytes —
+                # that would return confidently wrong format fields
+                if cid == b"fmt " and csz >= 16 and i + 24 <= len(b):
                     (_, n_ch, rate, _, _, bits) = struct.unpack(
                         "<HHIIHH", b[i + 8: i + 24]
                     )
@@ -212,7 +215,12 @@ def extract_media_headers(blobs: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [parse_media_header(bytes(p)) for p in pdf["payload"]]
+            # NULL payloads classify as 'unknown' (bytes(None) would
+            # raise and kill the whole task)
+            rows = [
+                parse_media_header(b"" if p is None else bytes(p))
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -45,14 +45,23 @@ def _silver_target(sf_dir: str) -> tuple[str, str]:
 def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table re-laid-out as parquet PARTITIONED BY
     event_date (= to_date(ts)). Materialized at most once per source
-    mtime; later calls are a plain partitioned-directory read."""
+    mtime; later calls are a plain partitioned-directory read. The
+    read passes the EXPECTED schema explicitly: a zero-row
+    partitionBy write leaves a directory with no part files, where
+    schema inference would raise UNABLE_TO_INFER_SCHEMA — with the
+    schema pinned, an empty bronze round-trips to an empty silver
+    (matching last_day_table's empty-table contract), and non-empty
+    reads skip footer-based inference too."""
+    from pyspark.sql.types import DateType, StructField, StructType
+
     _pin_session_confs(spark)
     digest, target = _silver_target(sf_dir)
+    bronze = load_table(spark, sf_dir, "events")
     if not os.path.isdir(target):
         os.makedirs(_SILVER_ROOT, exist_ok=True)
         tmp = f"{target}.tmp.{os.getpid()}"
         (
-            load_table(spark, sf_dir, "events")
+            bronze
             .withColumn("event_date", F.to_date("ts"))
             .write.mode("overwrite")
             .partitionBy("event_date")
@@ -67,7 +76,10 @@ def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in os.listdir(_SILVER_ROOT):
             if d.startswith(f"ev_{digest}_") and d != os.path.basename(target):
                 shutil.rmtree(os.path.join(_SILVER_ROOT, d), ignore_errors=True)
-    return spark.read.parquet(target)
+    schema = StructType(
+        list(bronze.schema.fields) + [StructField("event_date", DateType())]
+    )
+    return spark.read.schema(schema).parquet(target)
 
 
 def last_day_silver(spark: SparkSession, sf_dir: str,

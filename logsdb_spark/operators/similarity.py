@@ -258,28 +258,14 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
         ).alias("_cents")
     )
 
-    def top_cells(vec: F.Column) -> F.Column:
-        # (-cos, cent_id) structs sort ascending = cosine descending
-        # with ties toward the lower cent_id — the same ordering the
-        # oracle's ROW_NUMBER(ORDER BY ccos DESC, cent_id) produces.
-        scored = F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (-(dot(vec, c["cent_vec"]) / (F.col("_nrm") * c["cnrm"]))).alias(
-                    "negcos"
-                ),
-                c["cent_id"].alias("cent_id"),
-            ),
-        )
-        return F.transform(
-            F.slice(F.array_sort(scored), 1, n_assign), lambda s: s["cent_id"]
-        )
-
     assigned = (
         _with_norm(emb, "embedding", "_nrm")
         .join(F.broadcast(cent_row))
         .select(
-            "vec_id", F.explode(top_cells(F.col("embedding"))).alias("cell")
+            "vec_id",
+            F.explode(
+                _topm_cells(F.col("embedding"), n_assign)
+            ).alias("cell"),
         )
     )
     # Intra-cell pair generation by cell-keyed EQUI-join, not the
@@ -412,11 +398,14 @@ def _argmax_cell(vec: F.Column) -> F.Column:
 
 
 def _topm_cells(vec: F.Column, m: int) -> F.Column:
-    """Top-``m`` cell ids for IVF multi-assignment, ordered by the
-    SAME (cos DESC, cent_id ASC) rule as ``_argmax_cell`` — ascending
-    struct sort then reverse puts the highest cosine first and, on
-    ties, the larger negid (= smaller cent_id) first. Requires
-    ``_nrm`` + broadcast ``_cents`` staged on the input row."""
+    """Top-``m`` cell ids for IVF multi-assignment — the SINGLE shared
+    implementation of the (cos DESC, cent_id ASC) cell ordering that
+    every IVF oracle's ROW_NUMBER mirrors (used by both ivf_ann_topk
+    and ivf_cell_near_dups; ``_argmax_cell`` is its m=1 fast path via
+    array_max). Ascending struct sort then reverse puts the highest
+    cosine first and, on ties, the larger negid (= smaller cent_id)
+    first. Requires ``_nrm`` + broadcast ``_cents`` staged on the
+    input row."""
     scored_cells = F.transform(
         F.col("_cents"),
         lambda c: F.struct(

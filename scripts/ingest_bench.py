@@ -104,7 +104,10 @@ def main() -> int:
                 runner(
                     spark, src, out,
                     max_files_per_trigger=MAX_FILES_PER_TRIGGER,
-                )
+                ),
+                # scale the drain deadline with the replay size — the
+                # default 120 s would abort (not measure) large runs
+                timeout_sec=max(120.0, n / 2000),
             )
             elapsed = time.monotonic() - t0
             table = "apache_access" if name == "apache" else "authfail"

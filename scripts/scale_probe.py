@@ -22,7 +22,8 @@ groups and grow the ANSWER quadratically in group size):
   disjoint slice of the originals (doc_id % 100 == copy: every 25th
   word replaced with a unique token → word-bigram jaccard ≈ 0.92,
   char-trigram jaccard ≈ 0.9, word-trigram containment ≈ 0.86;
-  embeddings perturbed v + 0.15·noise → cosine ≈ 0.99), so every
+  embeddings perturbed v + 0.03·noise, where the raw noise vector has
+  norm ≈ 4.6 → perturbation norm ≈ 0.14 → cosine ≈ 0.99), so every
   planted pair is its own 2-element group and the true answer grows
   LINEARLY with the data. The probe measures both the time ratio AND
   the recall on planted pairs, so the scale path's quality is verified
@@ -341,8 +342,12 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SRC).count()
             t_small = time.perf_counter() - t0
+            # persist so the timed 10x run is executed ONCE and the
+            # recall filter reads the materialized pairs instead of
+            # re-running the whole pipeline
+            big = fn(spark, DST).persist()
             t0 = time.perf_counter()
-            fn(spark, DST).count()
+            big.count()
             t_big = time.perf_counter() - t0
             corpus[name] = {
                 "sf0.1_s": round(t_small, 3),
@@ -353,8 +358,9 @@ def main() -> None:
                 total = (n_emb_planted if name.startswith("dedup_embedding")
                          else n_doc_planted)
                 corpus[name].update(
-                    _recall_on_planted(fn(spark, DST), total, eligible[name])
+                    _recall_on_planted(big, total, eligible[name])
                 )
+            big.unpersist()
     print(json.dumps({"copies": COPIES, "queries": results, "corpus": corpus}))
 
 

@@ -662,3 +662,51 @@ def test_sessionize_matches_python_reference(spark, rows):
         for s_ in sess:
             want.add((u, s_[0][0], s_[-1][0], len(s_)))
     assert got == want
+
+
+@given(
+    blobs=st.lists(st.binary(min_size=0, max_size=256), min_size=1, max_size=50),
+    dims=st.lists(
+        st.tuples(st.integers(1, 80), st.integers(1, 60)),
+        min_size=1, max_size=10,
+    ),
+    wavs=st.lists(
+        st.tuples(st.integers(1, 2), st.sampled_from([8000, 16000, 44100]),
+                  st.binary(min_size=0, max_size=64)),
+        min_size=1, max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_media_header_parse_total_and_roundtrips(blobs, dims, wavs):
+    """parse_media_header is TOTAL (arbitrary bytes — including bytes
+    that start with a real magic number then truncate — never raise;
+    they classify as 'unknown' or parse as far as the structure
+    allows) and exactly inverts the real builders for every generated
+    PNG geometry and WAV format combination. Pure Python: no Spark
+    job needed — the Arrow-kernel equivalence is pinned separately in
+    tests/test_multimodal.py."""
+    from logsdb_spark.operators.multimodal import (
+        build_png,
+        build_wav,
+        parse_media_header,
+    )
+
+    for b in blobs:
+        out = parse_media_header(b)  # must not raise
+        assert out["fmt"] in ("unknown", "png", "jpeg", "gif", "wav")
+        # adversarial: magic-prefixed truncations must not raise either
+        for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF",
+                      b"GIF89a"):
+            parse_media_header(magic + b)
+
+    for w, h in dims:
+        got = parse_media_header(build_png(w, h, b"xy"))
+        assert (got["fmt"], got["width"], got["height"]) == ("png", w, h)
+
+    for n_ch, rate, pcm in wavs:
+        got = parse_media_header(build_wav(n_ch, rate, 16, pcm))
+        bpf = n_ch * 2
+        frames = (len(pcm) + bpf - 1) // bpf
+        assert (got["fmt"], got["n_channels"], got["sample_rate_hz"],
+                got["bit_depth"], got["n_frames"]) == (
+            "wav", n_ch, rate, 16, frames)
