@@ -1235,6 +1235,83 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    hot AS (
+      SELECT tok FROM toks, n_docs
+      WHERE tok != ''
+      GROUP BY tok, n
+      HAVING COUNT(DISTINCT doc_id) > 0.8 * n
+    ),
+    hotlist AS (SELECT COALESCE(list(tok), []) AS h FROM hot),
+    cleaned AS (
+      SELECT d.doc_id,
+             COALESCE(array_to_string(
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           t -> t != '' AND NOT list_contains(h, t)),
+               ' '), '') AS clean_text,
+             len(list_filter(string_split({_NORM_SQL}, ' '),
+                             t -> t != '' AND list_contains(h, t)))
+               AS n_removed
+      FROM documents d, hotlist
+    )
+    SELECT doc_id, clean_text, CAST(n_removed AS BIGINT) AS n_removed
+    FROM cleaned
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal at token granularity (this
+    corpus is single-line, so the classic frequent-LINE filter
+    degenerates; the unit of repetition here is the token): tokens
+    whose document frequency exceeds 80% of the corpus are boilerplate
+    and are stripped from every document, preserving order; n_removed
+    counts the stripped occurrences per doc.
+
+    Scale shape — two passes, no fact-fact join: (1) one
+    map-side-combinable (token → distinct-doc-count) aggregate over
+    the exploded scan produces the hot set, which is
+    VOCABULARY-sized and broadcasts (collected into a 1-row set
+    column, like the tf-idf N and anchor patterns); (2) a scan-local
+    array filter per document against the broadcast set. At 100 TB
+    the only shuffle is the token aggregate."""
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_row = docs.agg(F.count(F.lit(1)).alias("_n"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .join(F.broadcast(n_row))
+        .filter(F.col("_df") > 0.8 * F.col("_n"))
+        .agg(F.array_sort(F.collect_set("tok")).alias("_hot"))
+    )
+    words = F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
+    return (
+        docs.join(F.broadcast(hot))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.filter(words, lambda t: ~F.array_contains(F.col("_hot"), t)),
+                " ",
+            ).alias("clean_text"),
+            F.size(
+                F.filter(words, lambda t: F.array_contains(F.col("_hot"), t))
+            ).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_metadata",
     oracle="""
     SELECT doc_id,
