@@ -57,8 +57,13 @@ from logsdb_spark.registry import all_queries  # noqa: E402
 from logsdb_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/logsdb_scale_probe/sf1"
+# --copies N picks the replication factor (default 10); each factor
+# gets its own dataset dir so 10x and 30x probes can coexist.
 COPIES = 10
+for _i, _a in enumerate(sys.argv):
+    if _a == "--copies" and _i + 1 < len(sys.argv):
+        COPIES = int(sys.argv[_i + 1])
+DST = f"/tmp/logsdb_scale_probe/x{COPIES}"
 
 # key columns that must stay unique per copy (shifted by copy index);
 # FK columns shift with their PK so join fan-in is preserved per copy.
