@@ -82,6 +82,40 @@ def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).parquet(target)
 
 
+def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
+                             n_buckets: int = 8) -> tuple[str, str]:
+    """Session-registered bucketed copies of orders and lineitem,
+    hash-bucketed AND sorted by their order key — the layout that
+    makes every orderkey equi-join (q3/q18/q21's fact-fact spine) an
+    exchange-free sort-merge join. Materialized once per source mtime
+    into the layout root (external tables, so the parquet survives
+    the session; the CATALOG entry is per-session and re-registered
+    cheaply by saveAsTable when a fresh session first asks). Stale
+    mtimes are dropped, same contract as the date-partitioned silver.
+    Returns (orders_table_name, lineitem_table_name)."""
+    from .scale import write_bucketed
+
+    _pin_session_confs(spark)
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    names = []
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        mtime = _source_mtime(os.path.join(sf_dir, f"{tbl}.parquet"))
+        name = f"{tbl}_bkt_{digest}_{mtime}"
+        if not spark.catalog.tableExists(name):
+            write_bucketed(
+                load_table(spark, sf_dir, tbl), name, key, n_buckets,
+                path=os.path.join(_SILVER_ROOT, name),
+            )
+            for old in spark.catalog.listTables():
+                if (old.name.startswith(f"{tbl}_bkt_{digest}_")
+                        and old.name != name):
+                    spark.sql(f"DROP TABLE IF EXISTS {old.name}")
+                    shutil.rmtree(os.path.join(_SILVER_ROOT, old.name),
+                                  ignore_errors=True)
+        names.append(name)
+    return names[0], names[1]
+
+
 def last_day_silver(spark: SparkSession, sf_dir: str,
                     days: int = 1) -> DataFrame:
     """The P2 daily window over the date-partitioned silver: the

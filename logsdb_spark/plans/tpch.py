@@ -113,6 +113,59 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q3_bucketed",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderdate) - INTERVAL 60 DAY AS d FROM orders)
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < (SELECT d FROM cut)
+      AND l.l_shipdate > (SELECT d FROM cut)
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 routed through the BUCKETED fact layout
+    (operators/silver.bucketed_orderkey_tables): orders and lineitem
+    are hash-bucketed + sorted by their order key, so the fact-fact
+    spine joins with NO Exchange on either side — the shuffle that
+    dominates q3/q18/q21 at 100 TB is paid once at layout time
+    instead of per query. Identical semantics and oracle to
+    tpch_q3_shipping_priority; the exchange-free join is pinned in
+    tests/test_scale_ops.py::test_q3_bucketed_joins_without_exchange."""
+    from ..operators.silver import bucketed_orderkey_tables
+
+    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
+    orders = spark.table(o_name)
+    li = spark.table(l_name)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cut = orders.agg((F.max("o_orderdate") - F.expr("INTERVAL 60 DAY")).alias("_cut"))
+    o = orders.join(F.broadcast(cut)).filter(F.col("o_orderdate") < F.col("_cut"))
+    l = li.join(F.broadcast(cut)).filter(F.col("l_shipdate") > F.col("_cut"))
+    return (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,

@@ -117,6 +117,27 @@ def test_last_day_silver_partition_prunes(spark):
     assert got == want and len(got) > 0
 
 
+def test_q3_bucketed_joins_without_exchange(spark, no_broadcast):
+    """tpch_q3_bucketed routes the fact-fact spine through the
+    bucketed orderkey layout: the executed plan must contain a
+    SortMergeJoin and ZERO hash-partitioning Exchanges — the orderkey
+    shuffle is paid at layout time, and even the (orderkey, orderdate)
+    aggregation reuses the bucket partitioning (alias-aware
+    propagation). The only Exchanges allowed are the 1-row cut /
+    customer broadcasts. Results must equal the plain q3."""
+    from logsdb_spark.registry import all_queries
+
+    queries = all_queries()
+    bucketed = queries["tpch_q3_bucketed"](spark, SF_DIR)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    plain = queries["tpch_q3_shipping_priority"](spark, SF_DIR)
+    assert [tuple(r) for r in bucketed.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
 def test_q21_aggregates_without_expand(spark):
     """The double COUNT(DISTINCT) in q21 is hand-lowered to a two-level
     aggregation; Spark's default multi-distinct plan inserts an Expand
