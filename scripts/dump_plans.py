@@ -32,6 +32,19 @@ PICKS = {
         "Multi-join TPC-H shape: dims broadcast, fact-fact shuffles only on "
         "join keys, partial aggregation before the single exchange."
     ),
+    "tpch_q3_bucketed": (
+        "Q3 over the bucketed fact layout: orders and lineitem are "
+        "hash-bucketed + sorted by their order key, so the fact-fact spine "
+        "is a SortMergeJoin with ZERO hash Exchanges and the (orderkey, "
+        "orderdate) aggregation reuses the bucket partitioning — the "
+        "orderkey shuffle is paid once at layout time, not per query."
+    ),
+    "text_boilerplate_strip": (
+        "CCNet-style boilerplate removal: one map-side-combinable token "
+        "df aggregate, vocabulary-sized hot set broadcast as a 1-row "
+        "array, scan-local array filter per document — the only shuffle "
+        "is the token aggregate."
+    ),
     "tpch_q21_waiting_suppliers": (
         "Single-scan Q21: lineitem and orders shuffle once each for the "
         "join; both stacked groupBys — (l_orderkey, l_suppkey) then "
