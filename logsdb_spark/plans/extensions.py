@@ -951,6 +951,102 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_keep",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    ),
+    k AS (
+      SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS n_cents
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n
+      WHERE vec_id < (SELECT n_cents FROM k)
+    ),
+    scored AS (
+      SELECT n.vec_id, c.cent_id,
+             list_sum(list_transform(list_zip(n.e, c.ce), z -> z[1]*z[2]))
+               / (n.nrm * c.cnrm) AS ccos
+      FROM n CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               ROUND(list_sum(list_transform(list_zip(na.e, nb.e),
+                                             z -> z[1]*z[2]))
+                     / (na.nrm * nb.nrm), 4) AS cos_sim
+        FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+      ) WHERE cos_sim >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comps AS (
+      SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster
+      FROM reach GROUP BY u
+    )
+    SELECT em.vec_id,
+           COALESCE(c.cluster, em.vec_id) AS cluster_rep,
+           COALESCE(c.cluster, em.vec_id) = em.vec_id AS kept
+    FROM embeddings em LEFT JOIN comps c ON c.vec_id = em.vec_id
+    ORDER BY em.vec_id
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication, end to end and
+    hash-gated: IVF-blocked embedding near-dup pairs (cosine ≥ 0.4,
+    the corpus's similarity ceiling regime) → connected components →
+    keep the component-minimum vector, drop the rest. Every vector
+    gets a row: (vec_id, cluster_rep, kept) — the keep/drop decision
+    a training-data pipeline actually applies, not just the pairwise
+    evidence. Scale shape: the pair stage is the bucketed IVF path
+    (one cell shuffle), components converge in O(diameter) tiny
+    rounds, and the final decision is a narrow left join of the
+    corpus against the (small) clustered-node set."""
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import ivf_cell_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = ivf_cell_near_dups(emb, threshold=0.4, n_assign=2)
+    comps = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(comps, emb.vec_id == comps.doc_id, "left")
+        .select(
+            emb.vec_id,
+            F.coalesce(F.col("cluster"), emb.vec_id).alias("cluster_rep"),
+            (F.coalesce(F.col("cluster"), emb.vec_id) == emb.vec_id).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "dedup_embedding_ann_linear",
     oracle="""
     WITH v AS (
