@@ -87,12 +87,18 @@ def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
     """Session-registered bucketed copies of orders and lineitem,
     hash-bucketed AND sorted by their order key — the layout that
     makes every orderkey equi-join (q3/q18/q21's fact-fact spine) an
-    exchange-free sort-merge join. Materialized once per source mtime
-    into the layout root (external tables, so the parquet survives
-    the session; the CATALOG entry is per-session and re-registered
-    cheaply by saveAsTable when a fresh session first asks). Stale
-    mtimes are dropped, same contract as the date-partitioned silver.
-    Returns (orders_table_name, lineitem_table_name)."""
+    exchange-free sort-merge join.
+
+    Materialization contract (same as the date-partitioned silver):
+    the PARQUET is written at most once per source mtime — into a
+    tmp dir, then atomically renamed, so concurrent sessions race
+    benignly and readers never see partial files. A fresh session
+    that finds the layout already on disk only REGISTERS it (an
+    external CREATE TABLE ... CLUSTERED BY DDL — metadata only, no
+    re-shuffle/rewrite). Stale-mtime layouts are evicted by scanning
+    the layout ROOT on disk, not the session catalog, so a
+    regenerated source cleans up layouts written by prior sessions
+    too. Returns (orders_table_name, lineitem_table_name)."""
     from .scale import write_bucketed
 
     _pin_session_confs(spark)
@@ -101,17 +107,35 @@ def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         mtime = _source_mtime(os.path.join(sf_dir, f"{tbl}.parquet"))
         name = f"{tbl}_bkt_{digest}_{mtime}"
+        loc = os.path.join(_SILVER_ROOT, name)
+        src = load_table(spark, sf_dir, tbl)
+        if not os.path.isdir(loc):
+            os.makedirs(_SILVER_ROOT, exist_ok=True)
+            tmp_name = f"{name}_tmp{os.getpid()}"
+            tmp_loc = f"{loc}.tmp.{os.getpid()}"
+            write_bucketed(src, tmp_name, key, n_buckets, path=tmp_loc)
+            # external table: dropping the entry keeps the files
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+            try:
+                os.rename(tmp_loc, loc)
+            except OSError:
+                shutil.rmtree(tmp_loc, ignore_errors=True)
         if not spark.catalog.tableExists(name):
-            write_bucketed(
-                load_table(spark, sf_dir, tbl), name, key, n_buckets,
-                path=os.path.join(_SILVER_ROOT, name),
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in src.schema.fields
             )
-            for old in spark.catalog.listTables():
-                if (old.name.startswith(f"{tbl}_bkt_{digest}_")
-                        and old.name != name):
-                    spark.sql(f"DROP TABLE IF EXISTS {old.name}")
-                    shutil.rmtree(os.path.join(_SILVER_ROOT, old.name),
-                                  ignore_errors=True)
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+            )
+        for d in os.listdir(_SILVER_ROOT):
+            if (d.startswith(f"{tbl}_bkt_{digest}_") and d != name
+                    and ".tmp." not in d):
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(os.path.join(_SILVER_ROOT, d),
+                              ignore_errors=True)
         names.append(name)
     return names[0], names[1]
 

@@ -879,10 +879,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cosine_dedup(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_embedding_ann",
-    oracle="""
-    WITH v AS (
+# Shared oracle fragment: the IVF-blocked candidate-pair CTE chain
+# (sqrt-cells codebook, top-2 multi-assignment, intra-cell pairs) used
+# by BOTH dedup_embedding_ann and semantic_dedup_keep — one copy, so
+# the assignment semantics cannot silently diverge between the two
+# hash gates (mirrors operators/similarity.ivf_cell_near_dups).
+_IVF_CAND_SQL = """v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ),
@@ -915,7 +917,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM assign a JOIN assign b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-    )
+    )"""
+
+
+@register(
+    "dedup_embedding_ann",
+    oracle="WITH "
+    + _IVF_CAND_SQL
+    + """
     SELECT id_a, id_b, cos_sim FROM (
       SELECT id_a, id_b,
              ROUND(list_sum(list_transform(list_zip(na.e, nb.e),
@@ -952,41 +961,9 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_keep",
-    oracle="""
-    WITH RECURSIVE v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ),
-    n AS (
-      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
-    ),
-    k AS (
-      SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS n_cents
-      FROM embeddings
-    ),
-    cents AS (
-      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n
-      WHERE vec_id < (SELECT n_cents FROM k)
-    ),
-    scored AS (
-      SELECT n.vec_id, c.cent_id,
-             list_sum(list_transform(list_zip(n.e, c.ce), z -> z[1]*z[2]))
-               / (n.nrm * c.cnrm) AS ccos
-      FROM n CROSS JOIN cents c
-    ),
-    assign AS (
-      SELECT vec_id, cent_id AS cell FROM (
-        SELECT vec_id, cent_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ccos DESC, cent_id) AS rn
-        FROM scored
-      ) WHERE rn <= 2
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM assign a JOIN assign b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
-    ),
+    oracle="WITH RECURSIVE "
+    + _IVF_CAND_SQL
+    + """,
     pairs AS (
       SELECT id_a, id_b FROM (
         SELECT id_a, id_b,
@@ -1027,7 +1004,14 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence. Scale shape: the pair stage is the bucketed IVF path
     (one cell shuffle), components converge in O(diameter) tiny
     rounds, and the final decision is a narrow left join of the
-    corpus against the (small) clustered-node set."""
+    corpus against the (small) clustered-node set.
+
+    EAGER-CONSTRUCTION EXCEPTION (shared with dedup_minhash_clusters):
+    connected_components is genuinely iterative — building this query
+    runs the pair pipeline and the label-propagation rounds (driver
+    convergence test + localCheckpoint per round), unlike the rest of
+    the registry whose construction is analysis-only. Callers timing
+    the returned DataFrame's action see only the final join."""
     from ..operators.dedup import connected_components
     from ..operators.similarity import ivf_cell_near_dups
 
@@ -1390,18 +1374,29 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_df") > 0.8 * F.col("_n"))
         .agg(F.array_sort(F.collect_set("tok")).alias("_hot"))
     )
-    words = F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
+    # stage the tokenized array ONCE as a column — HOF lambdas get no
+    # codegen subexpression elimination, so referencing the split
+    # expression three times in one projection would recompute the
+    # normalize+split+filter per reference (the winnowing lesson)
+    staged = docs.join(F.broadcast(hot)).select(
+        "doc_id",
+        "_hot",
+        F.filter(
+            F.split(normalize_text("text"), " "), lambda t: t != ""
+        ).alias("_words"),
+    )
+    kept = staged.select(
+        "doc_id",
+        F.size("_words").alias("_n_words"),
+        F.filter(
+            F.col("_words"), lambda t: ~F.array_contains(F.col("_hot"), t)
+        ).alias("_kept"),
+    )
     return (
-        docs.join(F.broadcast(hot))
-        .select(
+        kept.select(
             "doc_id",
-            F.array_join(
-                F.filter(words, lambda t: ~F.array_contains(F.col("_hot"), t)),
-                " ",
-            ).alias("clean_text"),
-            F.size(
-                F.filter(words, lambda t: F.array_contains(F.col("_hot"), t))
-            ).cast("long").alias("n_removed"),
+            F.array_join(F.col("_kept"), " ").alias("clean_text"),
+            (F.col("_n_words") - F.size("_kept")).cast("long").alias("n_removed"),
         )
         .orderBy("doc_id")
     )

@@ -66,9 +66,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tpch_q3_shipping_priority",
-    oracle="""
+# ONE oracle + ONE plan body for both q3 variants — the bucketed
+# routing differs ONLY in where orders/lineitem come from, so the
+# semantics cannot silently diverge between the two hash gates.
+_Q3_ORACLE = """
     WITH cut AS (SELECT MAX(o_orderdate) - INTERVAL 60 DAY AS d FROM orders)
     SELECT l.l_orderkey AS orderkey,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
@@ -82,18 +83,14 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.l_orderkey, o.o_orderdate
     ORDER BY revenue DESC, orderkey
     LIMIT 10
-    """,
-)
-def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: selective dim filter → broadcast join chain → top-k.
-    customer(BUILDING) broadcasts into orders; the joined key set
-    broadcasts into lineitem; TakeOrderedAndProject caps the sort at
-    k=10 so no global sort materializes."""
+"""
+
+
+def _q3_plan(spark: SparkSession, sf_dir: str, orders: DataFrame,
+             li: DataFrame) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
     cut = orders.agg((F.max("o_orderdate") - F.expr("INTERVAL 60 DAY")).alias("_cut"))
     o = orders.join(F.broadcast(cut)).filter(F.col("o_orderdate") < F.col("_cut"))
     l = li.join(F.broadcast(cut)).filter(F.col("l_shipdate") > F.col("_cut"))
@@ -113,22 +110,24 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q3_shipping_priority",
+    oracle=_Q3_ORACLE,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter → broadcast join chain → top-k.
+    customer(BUILDING) broadcasts into orders; the joined key set
+    broadcasts into lineitem; TakeOrderedAndProject caps the sort at
+    k=10 so no global sort materializes."""
+    return _q3_plan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
     "tpch_q3_bucketed",
-    oracle="""
-    WITH cut AS (SELECT MAX(o_orderdate) - INTERVAL 60 DAY AS d FROM orders)
-    SELECT l.l_orderkey AS orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-           o.o_orderdate AS orderdate
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < (SELECT d FROM cut)
-      AND l.l_shipdate > (SELECT d FROM cut)
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, orderkey
-    LIMIT 10
-    """,
+    oracle=_Q3_ORACLE,
 )
 def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 routed through the BUCKETED fact layout
@@ -142,27 +141,7 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.silver import bucketed_orderkey_tables
 
     o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
-    orders = spark.table(o_name)
-    li = spark.table(l_name)
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    cut = orders.agg((F.max("o_orderdate") - F.expr("INTERVAL 60 DAY")).alias("_cut"))
-    o = orders.join(F.broadcast(cut)).filter(F.col("o_orderdate") < F.col("_cut"))
-    l = li.join(F.broadcast(cut)).filter(F.col("l_shipdate") > F.col("_cut"))
-    return (
-        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
-        .join(l, F.col("o_orderkey") == l.l_orderkey)
-        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
-        )
-        .select("orderkey", "revenue", "orderdate")
-        .orderBy(F.desc("revenue"), F.asc("orderkey"))
-        .limit(10)
-    )
+    return _q3_plan(spark, sf_dir, spark.table(o_name), spark.table(l_name))
 
 
 @register(

@@ -37,7 +37,10 @@ PICKS = {
         "hash-bucketed + sorted by their order key, so the fact-fact spine "
         "is a SortMergeJoin with ZERO hash Exchanges and the (orderkey, "
         "orderdate) aggregation reuses the bucket partitioning — the "
-        "orderkey shuffle is paid once at layout time, not per query."
+        "orderkey shuffle is paid once at layout time, not per query. "
+        "(Dumped with auto-broadcast disabled: at sf0.01 both facts fit "
+        "under the broadcast threshold, which would hide the SMJ the "
+        "layout exists to serve at scale.)"
     ),
     "text_boilerplate_strip": (
         "CCNet-style boilerplate removal: one map-side-combinable token "
@@ -111,9 +114,22 @@ def main() -> None:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    # queries whose advertised plan property only shows when the
+    # small-sf sides don't auto-broadcast (at sf0.01 everything fits
+    # under the threshold, which would hide the SMJ the bucketed
+    # layout exists for)
+    NO_AUTO_BROADCAST = {"tpch_q3_bucketed"}
     for name, note in PICKS.items():
-        df = REGISTRY[name].spark_fn(spark, SF)
-        plan = df._jdf.queryExecution().explainString(mode)
+        default_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        if name in NO_AUTO_BROADCAST:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = REGISTRY[name].spark_fn(spark, SF)
+            plan = df._jdf.queryExecution().explainString(mode)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", default_thresh
+            )
         blocks = plan.split("\n\n")
         tree = blocks[0]
         # keep each scan node's detail block: PushedFilters/ReadSchema

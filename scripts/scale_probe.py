@@ -36,8 +36,10 @@ background overlap (documented at plans/extensions.dedup_embedding_ann),
 which no replication scheme can linearize.
 
 Usage: python scripts/scale_probe.py  [--rebuild] [--skip-corpus]
-Writes the replicated dataset to /tmp/logsdb_scale_probe/sf1 once and
-reuses it; --rebuild forces a rewrite.
+                                      [--copies N]
+Writes the replicated dataset to /tmp/logsdb_scale_probe/x{N} once per
+replication factor and reuses it; --rebuild forces a rewrite. Output
+JSON keys are base_s (the sf0.1 run) and scaled_s (the Nx run).
 """
 
 from __future__ import annotations
@@ -297,8 +299,8 @@ def main() -> None:
         fn(spark, DST).count()
         t_big = time.perf_counter() - t0
         results[name] = {
-            "sf0.1_s": round(t_small, 3),
-            "sf1_s": round(t_big, 3),
+            "base_s": round(t_small, 3),
+            "scaled_s": round(t_big, 3),
             "ratio": round(t_big / t_small, 2),
         }
 
@@ -355,8 +357,8 @@ def main() -> None:
             big.count()
             t_big = time.perf_counter() - t0
             corpus[name] = {
-                "sf0.1_s": round(t_small, 3),
-                "sf1_s": round(t_big, 3),
+                "base_s": round(t_small, 3),
+                "scaled_s": round(t_big, 3),
                 "ratio": round(t_big / t_small, 2),
             }
             if name in eligible:
