@@ -614,9 +614,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tpch_q18_large_orders",
-    oracle="""
+# ONE oracle + ONE plan body for both q18 variants (same pattern as q3).
+_Q18_ORACLE = """
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
            ROUND(SUM(l.l_quantity), 4) AS sum_qty
     FROM customer c
@@ -629,21 +628,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
     ORDER BY o.o_totalprice DESC, o.o_orderkey
     LIMIT 100
-    """,
-)
-def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: orders whose total quantity exceeds 250. The output
-    grouping keys (c_name, c_custkey, o_orderkey, o_orderdate,
-    o_totalprice) are all functionally determined by o_orderkey, so
-    the classic IN-subquery + outer re-aggregation collapses to ONE
-    lineitem scan: per-order sum → HAVING filter → join the
-    (already tiny, post-filter) order totals to orders, broadcast
-    customer, TakeOrderedAndProject caps at 100. Shuffle budget:
-    lineitem once (the groupBy), orders once (the join) — vs two
-    lineitem scans + two orders shuffles in the textbook shape."""
+"""
+
+
+def _q18_plan(spark: SparkSession, sf_dir: str, orders: DataFrame,
+              li: DataFrame) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li = li.select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_qty"))
@@ -660,6 +651,45 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=_Q18_ORACLE,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 250. The output
+    grouping keys (c_name, c_custkey, o_orderkey, o_orderdate,
+    o_totalprice) are all functionally determined by o_orderkey, so
+    the classic IN-subquery + outer re-aggregation collapses to ONE
+    lineitem scan: per-order sum → HAVING filter → join the
+    (already tiny, post-filter) order totals to orders, broadcast
+    customer, TakeOrderedAndProject caps at 100. Shuffle budget:
+    lineitem once (the groupBy), orders once (the join) — vs two
+    lineitem scans + two orders shuffles in the textbook shape."""
+    return _q18_plan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "tpch_q18_bucketed",
+    oracle=_Q18_ORACLE,
+)
+def tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 over the bucketed fact layout (shared with tpch_q3_bucketed
+    via operators/silver.bucketed_orderkey_tables): the per-order
+    quantity aggregate reuses lineitem's bucket partitioning and the
+    orders join reuses orders' — ZERO fact-scale Exchanges end to end
+    (plan-pinned in tests/test_scale_ops.py::
+    test_q18_bucketed_joins_without_exchange). Identical semantics and
+    oracle to tpch_q18_large_orders."""
+    from ..operators.silver import bucketed_orderkey_tables
+
+    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
+    return _q18_plan(spark, sf_dir, spark.table(o_name), spark.table(l_name))
 
 
 @register(

@@ -138,6 +138,23 @@ def test_q3_bucketed_joins_without_exchange(spark, no_broadcast):
     ]
 
 
+def test_q18_bucketed_joins_without_exchange(spark, no_broadcast):
+    """tpch_q18_bucketed: the per-order quantity aggregate reuses
+    lineitem's bucket partitioning and the orders join reuses orders'
+    — zero fact-scale hash Exchanges, results equal the plain q18."""
+    from logsdb_spark.registry import all_queries
+
+    queries = all_queries()
+    bucketed = queries["tpch_q18_bucketed"](spark, SF_DIR)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    plain = queries["tpch_q18_large_orders"](spark, SF_DIR)
+    assert [tuple(r) for r in bucketed.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
 def test_q21_aggregates_without_expand(spark):
     """The double COUNT(DISTINCT) in q21 is hand-lowered to a two-level
     aggregation; Spark's default multi-distinct plan inserts an Expand
