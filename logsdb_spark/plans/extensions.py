@@ -1978,6 +1978,53 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, ROUND(SUM(value), 4) AS total_value,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, total_value, n_events,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+    FROM spend
+    WINDOW w AS (ORDER BY total_value DESC, user_id ASC)
+    ORDER BY user_id
+    """,
+)
+def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions (ntile / percent_rank /
+    cume_dist — SQL-standard semantics on both engines) over per-user
+    spend. The global window runs AFTER the per-user aggregate, so its
+    input is |users| (dim-scale), not |events| — the same documented
+    rule every other unpartitioned window here follows; the fact-scale
+    work is one map-side-combinable aggregate. Ties are impossible in
+    the ordering ((total DESC, user_id ASC) is a total order), so the
+    rank family is deterministic and hash-gated exactly."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        spend.select(
+            "user_id",
+            "total_value",
+            "n_events",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "event_value_quantiles",
     oracle="""
     SELECT event_type,
