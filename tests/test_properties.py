@@ -710,3 +710,69 @@ def test_media_header_parse_total_and_roundtrips(blobs, dims, wavs):
         assert (got["fmt"], got["n_channels"], got["sample_rate_hz"],
                 got["bit_depth"], got["n_frames"]) == (
             "wav", n_ch, rate, 16, frames)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon",
+                             "zeta", "rare1", "rare2", "rare3"]),
+            min_size=1, max_size=12,
+        ).map(" ".join),
+        min_size=3, max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_boilerplate_strip_matches_python_reference(spark, texts):
+    """text_boilerplate_strip's hot-set + strip semantics vs a direct
+    Python reference: tokens in > 80% of docs are removed, order
+    preserved, counts exact — on hypothesis-generated corpora whose
+    token document-frequencies straddle the threshold."""
+    from pyspark.sql import Row
+
+    from logsdb_spark.functions.text import normalize_text  # noqa: F401
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    n = len(texts)
+    df_count: dict[str, int] = {}
+    for t in texts:
+        for tok in set(t.split()):
+            df_count[tok] = df_count.get(tok, 0) + 1
+    hot = {tok for tok, c in df_count.items() if c > 0.8 * n}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        kept = [x for x in toks if x not in hot]
+        want[i] = (" ".join(kept), len(toks) - len(kept))
+
+    # same pipeline as the registered query, parameterized on the frame
+    n_row = docs.agg(F.count(F.lit(1)).alias("_n"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hot_df = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .join(F.broadcast(n_row))
+        .filter(F.col("_df") > 0.8 * F.col("_n"))
+        .agg(F.array_sort(F.collect_set("tok")).alias("_hot"))
+    )
+    got_rows = (
+        docs.join(F.broadcast(hot_df))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda t: (t != "") & ~F.array_contains(F.col("_hot"), t),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .collect()
+    )
+    for r in got_rows:
+        assert r.clean_text == want[r.doc_id][0], (r.doc_id, r.clean_text)

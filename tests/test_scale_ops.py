@@ -487,3 +487,34 @@ def test_approx_quantiles_within_rank_tolerance(spark):
         assert row.e49 <= got.p50 <= row.e51, (row.event_type, "p50")
         assert row.e89 <= got.p90 <= row.e91, (row.event_type, "p90")
         assert row.e98 <= got.p99 <= row.e100, (row.event_type, "p99")
+
+
+def test_bucketed_layout_registers_without_rewrite(spark):
+    """A session that finds the bucketed layout already on disk must
+    REGISTER it (metadata-only DDL), not rewrite it: the parquet part
+    files' mtimes are unchanged across a sibling-session call, and the
+    sibling reads identical rows through the registered table."""
+    import os
+
+    from logsdb_spark.operators.silver import (
+        _SILVER_ROOT,
+        bucketed_orderkey_tables,
+    )
+
+    o_name, l_name = bucketed_orderkey_tables(spark, SF_DIR)
+    loc = os.path.join(_SILVER_ROOT, l_name)
+    before = {
+        f: os.stat(os.path.join(loc, f)).st_mtime_ns
+        for f in os.listdir(loc) if f.startswith("part-")
+    }
+    assert before, "layout has no part files"
+
+    sibling = spark.newSession()
+    o2, l2 = bucketed_orderkey_tables(sibling, SF_DIR)
+    assert (o2, l2) == (o_name, l_name)
+    after = {
+        f: os.stat(os.path.join(loc, f)).st_mtime_ns
+        for f in os.listdir(loc) if f.startswith("part-")
+    }
+    assert after == before, "sibling session rewrote the layout"
+    assert sibling.table(l2).count() == spark.table(l_name).count()
