@@ -94,6 +94,31 @@ def a1_top_event_types_partitioned(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "a3_top_users_partitioned",
+    oracle="""
+    SELECT user_id, COUNT(*) AS qty
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+    GROUP BY user_id
+    ORDER BY qty DESC, user_id ASC
+    """,
+)
+def a3_top_users_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 routed through the date-partitioned silver — second windowed
+    query on the layout (with a1_top_event_types_partitioned), showing
+    the PartitionFilters path generalizes across the P2 family rather
+    than being a single-query demo."""
+    from ..operators.silver import last_day_silver
+
+    ev = last_day_silver(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("qty"))
+        .orderBy(F.desc("qty"), F.asc("user_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # A2 — grand totals with empty-set-as-zero (apache_access.py:57-58,71-76)
 # ---------------------------------------------------------------------------
