@@ -65,12 +65,17 @@ HEADLINE = [
     "salted_top_users",
     "dq_expectations_events",
     "snapshot_diff_events",
-    # round-4 additions: the daily window over the date-partitioned
-    # silver (PartitionFilters pruning; first run pays the one-time
-    # silver materialization, by design), real media header decode
-    # through the Arrow kernel
-    "a1_top_event_types_partitioned",
+    # round-4 additions: real media header decode through the Arrow
+    # kernel. (Round 5 made the date-partitioned silver the DEFAULT
+    # a1 route — the monolithic baseline below keeps the layout win
+    # measurable; the silver-routed default is the a1 entry at top.)
+    "a1_top_event_types_monolithic",
     "multimodal_real_headers",
+    # round-5 additions: bucketed-layout routing for the remaining
+    # orders⋈lineitem passes (the orderkey shuffle paid at layout
+    # time, zero fact-scale Exchanges per query)
+    "tpch_q21_bucketed",
+    "tpch_q12_bucketed",
 ]
 
 

@@ -32,7 +32,27 @@ from pyspark.sql import functions as F
 
 from ..catalog import _pin_session_confs, _source_mtime, load_table
 
-_SILVER_ROOT = os.path.join(tempfile.gettempdir(), "logsdb_spark_silver")
+# Per-user root (uid in the name + mode 0o700 + ownership check below):
+# a FIXED path under the world-writable tempdir would let another local
+# user pre-create it and plant parquet layouts that silver-routed
+# queries silently read. LOGSDB_SPARK_SILVER_ROOT overrides for
+# deployments with a managed scratch location.
+_SILVER_ROOT = os.environ.get(
+    "LOGSDB_SPARK_SILVER_ROOT",
+    os.path.join(tempfile.gettempdir(), f"logsdb_spark_silver_{os.getuid()}"),
+)
+
+
+def _ensure_silver_root() -> None:
+    """Create the layout root 0o700 and refuse one owned by someone
+    else (symlink swaps / pre-created dirs are rejected, not read)."""
+    os.makedirs(_SILVER_ROOT, mode=0o700, exist_ok=True)
+    st = os.stat(_SILVER_ROOT)
+    if st.st_uid != os.getuid():
+        raise PermissionError(
+            f"silver root {_SILVER_ROOT} is owned by uid {st.st_uid}, "
+            f"not the current user — refusing to reuse it"
+        )
 
 
 def _silver_target(sf_dir: str) -> tuple[str, str]:
@@ -58,7 +78,7 @@ def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest, target = _silver_target(sf_dir)
     bronze = load_table(spark, sf_dir, "events")
     if not os.path.isdir(target):
-        os.makedirs(_SILVER_ROOT, exist_ok=True)
+        _ensure_silver_root()
         tmp = f"{target}.tmp.{os.getpid()}"
         (
             bronze
@@ -72,9 +92,14 @@ def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             # concurrent writer won the rename: keep theirs
             shutil.rmtree(tmp, ignore_errors=True)
-        # evict silvers of older mtimes for this source
+        # evict silvers of older mtimes for this source; skip in-flight
+        # '*.tmp.*' dirs — rmtree'ing a concurrent materializer's tmp
+        # mid-write would fail ITS Spark job, breaking the benign-race
+        # contract (same exclusion bucketed_orderkey_tables applies)
         for d in os.listdir(_SILVER_ROOT):
-            if d.startswith(f"ev_{digest}_") and d != os.path.basename(target):
+            if (d.startswith(f"ev_{digest}_")
+                    and d != os.path.basename(target)
+                    and ".tmp." not in d):
                 shutil.rmtree(os.path.join(_SILVER_ROOT, d), ignore_errors=True)
     schema = StructType(
         list(bronze.schema.fields) + [StructField("event_date", DateType())]
@@ -110,7 +135,7 @@ def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
         loc = os.path.join(_SILVER_ROOT, name)
         src = load_table(spark, sf_dir, tbl)
         if not os.path.isdir(loc):
-            os.makedirs(_SILVER_ROOT, exist_ok=True)
+            _ensure_silver_root()
             tmp_name = f"{name}_tmp{os.getpid()}"
             tmp_loc = f"{loc}.tmp.{os.getpid()}"
             write_bucketed(src, tmp_name, key, n_buckets, path=tmp_loc)

@@ -3680,8 +3680,10 @@ def gate_approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "gate_ann_lsh_recall",
     oracle="""
-    SELECT CAST(50 AS BIGINT) AS n_truth, TRUE AS recall_ok
-    FROM (SELECT 1)
+    SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 5)
+                * LEAST(10, (SELECT COUNT(*) FROM embeddings))
+                AS BIGINT) AS n_truth,
+           TRUE AS recall_ok
     """,
 )
 def gate_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3689,8 +3691,10 @@ def gate_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes vs exact brute-force ground truth, judged against the
     pinned floor 0.1 (measured ≈0.2 on this structure-free corpus —
     tests/test_dedup_similarity.py::test_lsh_ann_recall_floor).
-    n_truth = 5 probes × k=10 is structurally fixed, which is what
-    lets the oracle state it exactly; the boolean carries the
+    n_truth is computed FROM the data on both sides — |probes| ×
+    min(k, |corpus|), since brute_force_topk keeps self-matches — so
+    a short corpus changes both engines identically instead of
+    hash-mismatching on fixture structure; the boolean carries the
     hash-gated quality claim the raw LSH rows cannot."""
     from ..operators.similarity import brute_force_topk, lsh_ann_topk
 
@@ -3760,19 +3764,27 @@ def gate_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = loose.filter(F.col("jac") >= 0.9).select("id_a", "id_b")
     got = simhash_near_dups(docs).select("id_a", "id_b", F.lit(1).alias("_hit"))
-    rec = truth.join(got.drop("_good"), ["id_a", "id_b"], "left").agg(
+    rec = truth.join(got, ["id_a", "id_b"], "left").agg(
         F.count(F.lit(1)).alias("n_truth"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_rec_hits"),
     )
+    # coalesce(sum, 0): a zero-pair simhash output must judge as an
+    # explicit FALSE (0 >= 0.6*0 would read vacuously true; NULL would
+    # hash-mismatch confusingly), so compare counts only when got != 0
     prec = got.join(loose, ["id_a", "id_b"], "left").agg(
-        F.count(F.lit(1)).alias("_n_got"),
-        F.sum(F.coalesce(F.col("_good"), F.lit(0))).alias("_prec_hits"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("_n_got"),
+        F.coalesce(F.sum(F.coalesce(F.col("_good"), F.lit(0))), F.lit(0)).alias(
+            "_prec_hits"
+        ),
     )
     return (
         rec.join(F.broadcast(prec))
         .select(
             "n_truth",
             (F.col("_rec_hits") >= 0.6 * F.col("n_truth")).alias("recall_ok"),
-            (F.col("_prec_hits") >= 0.6 * F.col("_n_got")).alias("precision_ok"),
+            (
+                (F.col("_n_got") > 0)
+                & (F.col("_prec_hits") >= 0.6 * F.col("_n_got"))
+            ).alias("precision_ok"),
         )
     )

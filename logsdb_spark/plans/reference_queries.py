@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.scalars import email_domain, longint
+from ..operators.silver import last_day_silver
 from ..operators.windows import last_day_table
 from ..registry import register
 
@@ -31,12 +32,19 @@ from ..registry import register
 # reqline ORDER BY qty DESC, reqline — analogue: events by event_type.
 # Scale: partial (map-side) + final hash agg; low-cardinality group key
 # so the shuffle moves only |distinct keys| * partitions rows.
+#
+# DEFAULT ROUTING (round 5): every P2 windowed query below reads the
+# DATE-PARTITIONED silver layout (operators/silver.last_day_silver) —
+# the daily window prunes day-directories via PartitionFilters, the
+# production plan at 100 TB where the reference leans on PostgreSQL's
+# index (core.py:60-61) and we lean on layout. One explicitly-named
+# ``a1_top_event_types_monolithic`` baseline keeps the literal-anchor
+# row-group-pruning path measurable for comparison. The routed set's
+# PartitionFilters are pinned in tests/test_scale_ops.py::
+# test_last_day_silver_partition_prunes_routed_set.
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "a1_top_event_types",
-    oracle="""
+_A1_ORACLE = """
     SELECT event_type,
            COUNT(*) AS qty,
            ROUND(SUM(value), 4) AS sum_value
@@ -44,79 +52,36 @@ from ..registry import register
     WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
     GROUP BY event_type
     ORDER BY qty DESC, event_type ASC
-    """,
-)
+"""
+
+
+def _a1_plan(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("qty"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(F.desc("qty"), F.asc("event_type"))
+    )
+
+
+@register("a1_top_event_types", oracle=_A1_ORACLE)
 def a1_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+P1+P2+O1: windowed hash-agg with multi-key mixed-direction sort
-    (apache_access.py:59-70; sort O1 at :69)."""
-    ev = last_day_table(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("qty"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .orderBy(F.desc("qty"), F.asc("event_type"))
-    )
+    (apache_access.py:59-70; sort O1 at :69), routed through the
+    date-partitioned silver by default (see module-section note)."""
+    return _a1_plan(last_day_silver(spark, sf_dir))
 
 
-@register(
-    "a1_top_event_types_partitioned",
-    oracle="""
-    SELECT event_type,
-           COUNT(*) AS qty,
-           ROUND(SUM(value), 4) AS sum_value
-    FROM events
-    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
-    GROUP BY event_type
-    ORDER BY qty DESC, event_type ASC
-    """,
-)
-def a1_top_event_types_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 routed through the DATE-PARTITIONED silver layout
-    (operators/silver.last_day_silver): identical semantics and oracle
-    to a1_top_event_types, but the daily window prunes day-directories
-    via PartitionFilters instead of (only) parquet row groups — the
-    production P2 path at 100 TB, where the reference leans on
-    PostgreSQL's index (core.py:60-61) and we lean on layout. The
-    silver materializes once per source mtime; the plan pin lives in
-    tests/test_scale_ops.py::test_last_day_silver_partition_prunes."""
-    from ..operators.silver import last_day_silver
-
-    ev = last_day_silver(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("qty"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .orderBy(F.desc("qty"), F.asc("event_type"))
-    )
-
-
-@register(
-    "a3_top_users_partitioned",
-    oracle="""
-    SELECT user_id, COUNT(*) AS qty
-    FROM events
-    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
-    GROUP BY user_id
-    ORDER BY qty DESC, user_id ASC
-    """,
-)
-def a3_top_users_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 routed through the date-partitioned silver — second windowed
-    query on the layout (with a1_top_event_types_partitioned), showing
-    the PartitionFilters path generalizes across the P2 family rather
-    than being a single-query demo."""
-    from ..operators.silver import last_day_silver
-
-    ev = last_day_silver(spark, sf_dir)
-    return (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("qty"))
-        .orderBy(F.desc("qty"), F.asc("user_id"))
-    )
+@register("a1_top_event_types_monolithic", oracle=_A1_ORACLE)
+def a1_top_event_types_monolithic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 over the MONOLITHIC bronze parquet — the explicit baseline for
+    the silver-routed default: same oracle and plan body, window pruning
+    via the pushed literal anchor's row-group statistics only
+    (operators/windows.last_day_table). Kept registered so the layout
+    win stays measurable per round in bench.py."""
+    return _a1_plan(last_day_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -135,8 +100,9 @@ def a3_top_users_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a2_grand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: SUM-of-window totals; empty window must yield 0 not NULL
-    (§4 trap 4 — Python totals start at 0, apache_access.py:57-58)."""
-    ev = last_day_table(spark, sf_dir)
+    (§4 trap 4 — Python totals start at 0, apache_access.py:57-58).
+    Silver-routed by default (module-section note above)."""
+    ev = last_day_silver(spark, sf_dir)
     return ev.agg(
         F.count(F.lit(1)).alias("qty"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("total_value"),
@@ -161,8 +127,9 @@ def a2_grand_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a3_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: COUNT('*') per key in the 24 h window (authfail.py:34-38).
-    COUNT('*') counts a never-null constant == count(lit(1)) (§4 trap 3)."""
-    ev = last_day_table(spark, sf_dir)
+    COUNT('*') counts a never-null constant == count(lit(1)) (§4 trap 3).
+    Silver-routed by default (module-section note above)."""
+    ev = last_day_silver(spark, sf_dir)
     return (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("qty"))
@@ -186,8 +153,10 @@ def a3_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a4_window_empty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: `if not newmail:` empty-branch semantics (maillog.py:115-116)."""
-    ev = last_day_table(spark, sf_dir).filter(
+    """A4: `if not newmail:` empty-branch semantics (maillog.py:115-116).
+    Silver-routed by default; the event_type predicate pushes into the
+    pruned-partition scan alongside the ts refinement."""
+    ev = last_day_silver(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
     return ev.agg(
@@ -431,8 +400,9 @@ def o2_stable_chronological(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines read ts at different sub-second precision (ns vs µs); the
     event_id tiebreaker then pins a total order identically on both
     sides. The single-partition window is test-only visibility of the
-    order; at scale rank assignment is a range-partitioned sort."""
-    ev = last_day_table(spark, sf_dir)
+    order; at scale rank assignment is a range-partitioned sort.
+    Silver-routed by default (module-section note above)."""
+    ev = last_day_silver(spark, sf_dir)
     w = Window.orderBy(F.asc(F.date_trunc("second", F.col("ts"))), F.asc("event_id"))
     return ev.select(F.row_number().over(w).alias("rn"), "event_id").orderBy("rn")
 
@@ -456,10 +426,11 @@ def o2_total_order_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window over the fact table — this is the
     demonstrated 100 TB total-order plan the o2 docstring promises.
     The plan test pins that the only Exchange SinglePartition feeds
-    the #partitions-row offset aggregate, never the events scan."""
+    the #partitions-row offset aggregate, never the events scan.
+    Silver-routed by default (module-section note above)."""
     from ..operators.ordering import global_row_number
 
-    ev = last_day_table(spark, sf_dir).select(
+    ev = last_day_silver(spark, sf_dir).select(
         F.date_trunc("second", F.col("ts")).alias("_ts_s"), "event_id"
     )
     ranked = global_row_number(

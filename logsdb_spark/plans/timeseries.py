@@ -24,7 +24,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..operators.silver import silver_events
 from ..registry import register
+
+# DEFAULT ROUTING (round 5): the DAILY queries below read the
+# date-partitioned silver (operators/silver.silver_events) and group on
+# its ``event_date`` partition column instead of computing to_date(ts)
+# per row from the monolithic bronze. Semantics are identical
+# (event_date IS to_date(ts), materialized at layout time); at 100 TB
+# the partitioned layout is what makes per-day work schedulable
+# (day-aligned splits, directory-level lifecycle) and the day key comes
+# from directory metadata, not a per-row cast. The plan pin lives in
+# tests/test_scale_ops.py::test_daily_queries_route_through_silver.
 
 # Zero-padded "(epoch_us, event_id)" composite sort key, identical in
 # both engines: 20 digits hold any positive epoch-µs, 12 digits any
@@ -91,10 +102,10 @@ def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spine x types grid is tiny and stays broadcast-side in the
     left join, so scaling the corpus 100x changes only the first
     aggregate's input."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = silver_events(spark, sf_dir)
     vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
     c = (
-        ev.select(F.to_date("ts").alias("day"), "event_type", vi.alias("vi"))
+        ev.select(F.col("event_date").alias("day"), "event_type", vi.alias("vi"))
         .groupBy("day", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -159,10 +170,10 @@ def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is bounded by the calendar, not the data. (For a per-user
     LOCF at 100 TB the same plan applies with user_id in the partition
     key: state stays one row per partition via last(ignorenulls).)"""
-    ev = load_table(spark, sf_dir, "events")
+    ev = silver_events(spark, sf_dir)
     vi = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
     a = (
-        ev.select(F.to_date("ts").alias("day"), "event_type", vi.alias("vi"))
+        ev.select(F.col("event_date").alias("day"), "event_type", vi.alias("vi"))
         .groupBy("day", "event_type")
         .agg(
             (
@@ -217,10 +228,10 @@ def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Values pass through untouched (no arithmetic), so no rounding is
     needed for cross-engine parity."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = silver_events(spark, sf_dir)
     key = _BAR_KEY_SPARK()
     return (
-        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        ev.groupBy(F.col("event_date").alias("day"), "event_type")
         .agg(
             F.min_by("value", key).alias("open"),
             F.max("value").alias("high"),
@@ -326,9 +337,9 @@ def anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded regardless of corpus size. Inputs to mu/sd are
     exact integer counts over an identical 14-row frame in both
     engines, so the rounded z-scores agree."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = silver_events(spark, sf_dir)
     c = ev.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
+        F.col("event_date").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n")).persist()
     d = _daily_grid(c).join(c, ["day", "event_type"], "left").select(
         "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")

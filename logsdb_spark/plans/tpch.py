@@ -220,9 +220,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tpch_q4_order_priority",
-    oracle="""
+# ONE oracle + ONE plan body for both q4 variants (q3/q18 pattern).
+_Q4_ORACLE = """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders o
     WHERE EXISTS (
@@ -231,14 +230,11 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
-    """,
-)
-def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 (adapted): EXISTS → left-semi join. The semi join needs
-    only (l_orderkey, l_shipdate) from lineitem — column pruning keeps
-    the probe side narrow."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+"""
+
+
+def _q4_plan(orders: DataFrame, li: DataFrame) -> DataFrame:
+    li = li.select("l_orderkey", "l_shipdate")
     return (
         orders.join(
             li,
@@ -249,6 +245,32 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register("tpch_q4_order_priority", oracle=_Q4_ORACLE)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted): EXISTS → left-semi join. The semi join needs
+    only (l_orderkey, l_shipdate) from lineitem — column pruning keeps
+    the probe side narrow."""
+    return _q4_plan(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("tpch_q4_bucketed", oracle=_Q4_ORACLE)
+def tpch_q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 over the bucketed orderkey layout
+    (operators/silver.bucketed_orderkey_tables, shared with
+    q3/q12/q18/q21): the orders⋈lineitem semi join runs bucket-local —
+    zero fact-scale Exchanges (plan-pinned in tests/test_scale_ops.py::
+    test_q4_q12_q21_bucketed_join_without_exchange); the only shuffle
+    left is the 5-row priority aggregate. Identical semantics and
+    oracle to tpch_q4_order_priority."""
+    from ..operators.silver import bucketed_orderkey_tables
+
+    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
+    return _q4_plan(spark.table(o_name), spark.table(l_name))
 
 
 @register(
@@ -467,9 +489,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tpch_q12_late_shipments",
-    oracle="""
+# ONE oracle + ONE plan body for both q12 variants (q3/q18 pattern).
+_Q12_ORACLE = """
     SELECT o.o_orderpriority,
            CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
                     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
@@ -477,18 +498,12 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
-    """,
-)
-def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 (adapted — no shipmode/receiptdate columns): late-line
-    counts (shipped >30 days after order) per order priority. The join
-    predicate needs only 2 columns from each side — column pruning keeps
-    the orderkey shuffle narrow; conditional count is map-side
-    combined."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+"""
+
+
+def _q12_plan(orders: DataFrame, li: DataFrame) -> DataFrame:
+    orders = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = li.select("l_orderkey", "l_shipdate")
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
     ).cast("long")
@@ -501,6 +516,32 @@ def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register("tpch_q12_late_shipments", oracle=_Q12_ORACLE)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted — no shipmode/receiptdate columns): late-line
+    counts (shipped >30 days after order) per order priority. The join
+    predicate needs only 2 columns from each side — column pruning keeps
+    the orderkey shuffle narrow; conditional count is map-side
+    combined."""
+    return _q12_plan(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("tpch_q12_bucketed", oracle=_Q12_ORACLE)
+def tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 over the bucketed orderkey layout: the orders⋈lineitem join
+    runs bucket-local (zero fact-scale Exchanges, plan-pinned in
+    tests/test_scale_ops.py::test_q4_q12_q21_bucketed_join_without_exchange);
+    only the 5-row priority aggregate shuffles. Identical semantics
+    and oracle to tpch_q12_late_shipments."""
+    from ..operators.silver import bucketed_orderkey_tables
+
+    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
+    return _q12_plan(spark.table(o_name), spark.table(l_name))
 
 
 @register(
@@ -1081,9 +1122,8 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tpch_q21_waiting_suppliers",
-    oracle="""
+# ONE oracle + ONE plan body for both q21 variants (q3/q18 pattern).
+_Q21_ORACLE = """
     WITH l1 AS (
       SELECT l.l_orderkey, l.l_suppkey,
              (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
@@ -1102,36 +1142,13 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l1.late AND st.n_supp > 1 AND st.n_late = 1
     GROUP BY s.s_name
     ORDER BY numwait DESC, sname
-    """,
-)
-def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 (adapted — no l_commitdate/l_receiptdate in the
-    testdata, so "late" = shipped >60 days after the order date):
-    suppliers who were the SOLE late supplier on a multi-supplier
-    finalized order.
+"""
 
-    The classic EXISTS + NOT-EXISTS pair of lineitem self-joins
-    collapses into stacked aggregations over ONE lineitem scan —
-    late-row ⇒ own supplier is late, so "no OTHER late supplier" ≡
-    n_late = 1 and "some other supplier" ≡ n_supp > 1. Because the
-    qualifying order has EXACTLY ONE late supplier, the final per-name
-    count doesn't need to re-join the fact rows: carry the sole late
-    supplier's key and its late-row count up through the same
-    aggregation tree (max/sum over `CASE WHEN _is_late`), then
-    broadcast-join the supplier dim on the carried key.
 
-    Shuffle budget (the r3 probe measured 2.9x wall at 10x for the
-    two-pass form this replaces): lineitem and orders each shuffle
-    ONCE on the order key for the join; both stacked groupBys —
-    (l_orderkey, l_suppkey) then (l_orderkey) — reuse that
-    HashPartitioning(l_orderkey) (partitioning on a subset of the
-    grouping keys satisfies ClusteredDistribution), so the plan has
-    zero further fact-scale Exchanges and the fact is scanned once,
-    vs twice + a third fact-scale shuffle before."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
+def _q21_plan(spark: SparkSession, sf_dir: str, li: DataFrame,
+              orders: DataFrame) -> DataFrame:
+    li = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = orders.filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -1159,3 +1176,54 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_waits").alias("numwait"))
         .orderBy(F.desc("numwait"), "sname")
     )
+
+
+@register("tpch_q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted — no l_commitdate/l_receiptdate in the
+    testdata, so "late" = shipped >60 days after the order date):
+    suppliers who were the SOLE late supplier on a multi-supplier
+    finalized order.
+
+    The classic EXISTS + NOT-EXISTS pair of lineitem self-joins
+    collapses into stacked aggregations over ONE lineitem scan —
+    late-row ⇒ own supplier is late, so "no OTHER late supplier" ≡
+    n_late = 1 and "some other supplier" ≡ n_supp > 1. Because the
+    qualifying order has EXACTLY ONE late supplier, the final per-name
+    count doesn't need to re-join the fact rows: carry the sole late
+    supplier's key and its late-row count up through the same
+    aggregation tree (max/sum over `CASE WHEN _is_late`), then
+    broadcast-join the supplier dim on the carried key.
+
+    Shuffle budget (the r3 probe measured 2.9x wall at 10x for the
+    two-pass form this replaces): lineitem and orders each shuffle
+    ONCE on the order key for the join; both stacked groupBys —
+    (l_orderkey, l_suppkey) then (l_orderkey) — reuse that
+    HashPartitioning(l_orderkey) (partitioning on a subset of the
+    grouping keys satisfies ClusteredDistribution), so the plan has
+    zero further fact-scale Exchanges and the fact is scanned once,
+    vs twice + a third fact-scale shuffle before."""
+    return _q21_plan(
+        spark, sf_dir,
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register("tpch_q21_bucketed", oracle=_Q21_ORACLE)
+def tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 over the bucketed orderkey layout: the single remaining
+    per-query orderkey shuffle of the single-scan form (the
+    lineitem⋈orders join) disappears — both facts arrive
+    bucket-partitioned and SORTED by the order key, so the join is a
+    bucket-local sort-merge and both stacked groupBys reuse the bucket
+    partitioning (zero fact-scale Exchanges end to end, plan-pinned in
+    tests/test_scale_ops.py::test_q4_q12_q21_bucketed_join_without_exchange).
+    The r3 probe measured the pre-rewrite two-pass q21 at 2.9× wall for
+    10× data and the single-scan form at 1.0-1.5×; this routing removes
+    the last fact shuffle entirely, paying it once at layout time.
+    Identical semantics and oracle to tpch_q21_waiting_suppliers."""
+    from ..operators.silver import bucketed_orderkey_tables
+
+    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
+    return _q21_plan(spark, sf_dir, spark.table(l_name), spark.table(o_name))

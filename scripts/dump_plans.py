@@ -15,18 +15,19 @@ SF = "/root/testdata/sf0.01"
 
 PICKS = {
     "a1_top_event_types": (
-        "Reference flagship (P1+P2+A1+O1): the 24h predicate is a "
-        "build-time literal on the raw ts column (memoized per "
-        "session+dataset), so it lands in the scan's PushedFilters — ONE "
-        "events scan, row-group pruning, 3-column ReadSchema; single "
-        "map-side-combined hash aggregate."
-    ),
-    "a1_top_event_types_partitioned": (
-        "The same P2 window over the DATE-PARTITIONED silver layout: the "
-        "coarse event_date literal lands in the scan's PartitionFilters "
+        "Reference flagship (P1+P2+A1+O1), DEFAULT-routed through the "
+        "DATE-PARTITIONED silver layout since round 5: the coarse "
+        "event_date literal lands in the scan's PartitionFilters "
         "(directory pruning — at 100 TB the scan lists ~2 of N day "
         "partitions and never opens the rest), the exact ts literal lands "
         "in PushedFilters to refine the boundary day."
+    ),
+    "a1_top_event_types_monolithic": (
+        "The explicit monolithic BASELINE for the silver-routed default: "
+        "the 24h predicate is a build-time literal on the raw ts column "
+        "(memoized per session+dataset), so it lands in the scan's "
+        "PushedFilters — ONE events scan, row-group pruning, 3-column "
+        "ReadSchema; single map-side-combined hash aggregate."
     ),
     "tpch_q5_local_supplier_volume": (
         "Multi-join TPC-H shape: dims broadcast, fact-fact shuffles only on "
@@ -54,6 +55,14 @@ PICKS = {
         "l_orderkey — reuse that HashPartitioning (no further fact-scale "
         "Exchange), and the sole late supplier's key + late-row count are "
         "carried up the aggregation tree so the fact is never re-joined."
+    ),
+    "tpch_q21_bucketed": (
+        "Q21 over the bucketed orderkey layout: even the single remaining "
+        "orderkey shuffle disappears — both facts arrive bucket-partitioned "
+        "and sorted, the join is a bucket-local SortMergeJoin, and the "
+        "stacked groupBys reuse the bucket partitioning. Zero fact-scale "
+        "Exchanges end to end. (Dumped with auto-broadcast disabled, as "
+        "with tpch_q3_bucketed.)"
     ),
     "ann_ivf_kmeans": (
         "Fitted IVF: two lazy Lloyd rounds on the vec_id%2 sample (broadcast "
@@ -118,7 +127,7 @@ def main() -> None:
     # small-sf sides don't auto-broadcast (at sf0.01 everything fits
     # under the threshold, which would hide the SMJ the bucketed
     # layout exists for)
-    NO_AUTO_BROADCAST = {"tpch_q3_bucketed"}
+    NO_AUTO_BROADCAST = {"tpch_q3_bucketed", "tpch_q21_bucketed"}
     for name, note in PICKS.items():
         default_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         if name in NO_AUTO_BROADCAST:

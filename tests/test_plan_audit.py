@@ -73,10 +73,18 @@ def test_windowed_scan_pushes_time_predicate(spark):
     pruning; partition pruning on a date-partitioned production table)
     — reference semantics core.py:60-61, where Postgres serves the same
     predicate from an index. Guards against reintroducing the
-    double-scan broadcast-anchor plan on the catalog path."""
-    from logsdb_spark.plans.reference_queries import a1_top_event_types
+    double-scan broadcast-anchor plan on the catalog path. The DEFAULT
+    a1 is silver-routed since round 5, so the bronze contract is pinned
+    on the monolithic baseline, and the silver default must carry the
+    same ts refinement as a pushed row-group filter ON TOP of its
+    partition pruning (boundary-day rows still skip at row-group
+    granularity)."""
+    from logsdb_spark.plans.reference_queries import (
+        a1_top_event_types,
+        a1_top_event_types_monolithic,
+    )
 
-    qe = a1_top_event_types(spark, SF_DIR)._jdf.queryExecution()
+    qe = a1_top_event_types_monolithic(spark, SF_DIR)._jdf.queryExecution()
     plan = qe.executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     ev_scans = [ln for ln in scans if "events" in ln]
@@ -84,6 +92,16 @@ def test_windowed_scan_pushes_time_predicate(spark):
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in ev_scans[0], (
         f"time predicate not pushed:\n{ev_scans[0]}"
     )
+
+    silver_plan = (
+        a1_top_event_types(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    silver_scans = [
+        ln for ln in silver_plan.splitlines()
+        if "FileScan parquet" in ln and "/ev_" in ln
+    ]
+    assert len(silver_scans) == 1, silver_plan
+    assert "GreaterThanOrEqual(ts," in silver_scans[0], silver_scans[0]
 
 
 def test_anchor_memoized_per_session_and_dir(spark):

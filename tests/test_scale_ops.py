@@ -96,8 +96,8 @@ def test_date_partitioned_sink_prunes(spark, tmp_path):
 
 
 def test_last_day_silver_partition_prunes(spark):
-    """The registered P2 path over the date-partitioned silver
-    (a1_top_event_types_partitioned → operators/silver.last_day_silver)
+    """The DEFAULT P2 path over the date-partitioned silver
+    (a1_top_event_types et al → operators/silver.last_day_silver)
     must plan the daily window as PARTITION pruning: the executed plan's
     scan carries a PartitionFilters entry on event_date, and the silver
     window returns exactly the rows the bronze literal-anchor window
@@ -115,6 +115,58 @@ def test_last_day_silver_partition_prunes(spark):
         tuple(r) for r in last_day_table(spark, SF_DIR).select("event_id", "ts").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_last_day_silver_partition_prunes_routed_set(spark):
+    """Every DEFAULT registry entry of the P2 windowed family must show
+    the PartitionFilters pruning in its executed plan — the round-5
+    routing contract: the silver layout is the path `queries()` runs,
+    not an opt-in sibling. The monolithic baseline must NOT (it is the
+    row-group-pruning comparison point)."""
+    from logsdb_spark.registry import all_queries
+
+    queries = all_queries()
+    routed = [
+        "a1_top_event_types",
+        "a2_grand_totals",
+        "a3_top_users",
+        "a4_window_empty_check",
+        "o2_stable_chronological",
+        "o2_total_order_ranged",
+    ]
+    for name in routed:
+        plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, f"{name}: no PartitionFilters\n{plan}"
+        pf = plan.split("PartitionFilters")[1].split("]")[0]
+        assert "event_date" in pf and ">=" in pf, f"{name}\n{plan}"
+    mono = queries["a1_top_event_types_monolithic"](spark, SF_DIR)
+    mono_plan = mono._jdf.queryExecution().executedPlan().toString()
+    assert "event_date" not in mono_plan, mono_plan
+
+
+def test_daily_queries_route_through_silver(spark):
+    """The timeseries DAILY queries read the date-partitioned silver and
+    take their day key from the event_date PARTITION column — the scan's
+    ReadSchema must not contain ts for queries that only need the day
+    (gap_fill / locf / anomaly group on event_date; ts never leaves the
+    directory metadata), and every routed plan's scan location must be
+    the silver layout, not the bronze events.parquet."""
+    from logsdb_spark.registry import all_queries
+
+    queries = all_queries()
+    for name in ("gap_fill_daily_counts", "locf_daily_values",
+                 "daily_ohlc_bars", "anomaly_daily_counts"):
+        plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "/ev_" in plan, f"{name} does not scan the silver layout\n{plan}"
+        assert "events.parquet" not in plan, f"{name} still scans bronze\n{plan}"
+    # day-only queries: ts must be pruned out of the silver scan
+    gap = queries["gap_fill_daily_counts"](spark, SF_DIR)
+    gap_plan = gap._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [
+        seg.split("<", 1)[1].split(">", 1)[0]
+        for seg in gap_plan.split("ReadSchema: struct")[1:]
+    ]
+    assert read_schemas and all("ts:" not in rs for rs in read_schemas), gap_plan
 
 
 def test_q3_bucketed_joins_without_exchange(spark, no_broadcast):
@@ -153,6 +205,31 @@ def test_q18_bucketed_joins_without_exchange(spark, no_broadcast):
     assert [tuple(r) for r in bucketed.collect()] == [
         tuple(r) for r in plain.collect()
     ]
+
+
+def test_q4_q12_q21_bucketed_join_without_exchange(spark, no_broadcast):
+    """Round-5 routing: q4/q12/q21 over the bucketed orderkey layout
+    must join orders⋈lineitem bucket-locally — NO Exchange may touch a
+    fact-scale relation. The only hash Exchanges allowed are the
+    post-join dimension-sized aggregates (5 priority rows / supplier
+    names); those are recognizable by partitioning on the agg key, not
+    the order key. Results must equal the plain variants row-for-row."""
+    from logsdb_spark.registry import all_queries
+
+    queries = all_queries()
+    for bkt, plain in (
+        ("tpch_q4_bucketed", "tpch_q4_order_priority"),
+        ("tpch_q12_bucketed", "tpch_q12_late_shipments"),
+        ("tpch_q21_bucketed", "tpch_q21_waiting_suppliers"),
+    ):
+        df = queries[bkt](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, f"{bkt}\n{plan}"
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, f"{bkt}\n{plan}"
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, f"{bkt}\n{plan}"
+        got = [tuple(r) for r in df.collect()]
+        want = [tuple(r) for r in queries[plain](spark, SF_DIR).collect()]
+        assert got == want and len(got) > 0, bkt
 
 
 def test_q21_aggregates_without_expand(spark):
