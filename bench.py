@@ -43,9 +43,13 @@ HEADLINE = [
     "winnow_fingerprint",
     "text_quality_stats",
     # round-2 scale-path additions: ranged total order (no global
-    # window) and IVF-blocked embedding dedup (no O(n^2) self-join)
+    # window) and IVF-blocked embedding dedup (no O(n^2) self-join).
+    # Round 5: dedup_embedding_ann now names the LINEAR target-cell
+    # config (was the sqrt-cells coverage form, kept below so its
+    # per-round timing stays traceable under the _coverage name).
     "o2_total_order_ranged",
     "dedup_embedding_ann",
+    "dedup_embedding_ann_coverage",
     # round-2 pipeline analytics: ordered funnel, cohort curves,
     # PII scrub (scan-local regex)
     "funnel_daily_conversion",

@@ -921,7 +921,7 @@ _IVF_CAND_SQL = """v AS (
 
 
 @register(
-    "dedup_embedding_ann",
+    "dedup_embedding_ann_coverage",
     oracle="WITH "
     + _IVF_CAND_SQL
     + """
@@ -936,13 +936,18 @@ _IVF_CAND_SQL = """v AS (
     ORDER BY id_a, id_b
     """,
 )
-def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup on the SCALE path: IVF multi-assignment
-    blocking (each vector → its 2 nearest of ceil(sqrt(n)) centroid
-    cells — the cell count scales with the corpus so intra-cell pair
-    volume stays ~linear), intra-cell candidate pairs, exact-cosine
-    verify ≥ 0.4 — the corpus shuffles once on the cell key and never
-    self-joins, unlike the O(n²) dedup_embedding_cosine baseline.
+def dedup_embedding_ann_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COVERAGE configuration of the IVF-blocked embedding dedup —
+    explicitly NOT the default (round 5 renamed it from
+    ``dedup_embedding_ann``; the plain name now carries the linear
+    production config below): threshold 0.4 with sqrt-cells blocking,
+    whose candidate volume is n^1.5 by documented design — at cosine
+    0.4 the ANSWER itself is quadratic background overlap, so no
+    blocking is linear there, and the r3 probe measured 5.7× wall at
+    10× for this form. It stays registered because it exercises the
+    scaling-cell-count variant end-to-end against an exact oracle
+    mirror; any production caller should reach the plain
+    ``dedup_embedding_ann`` instead.
 
     The oracle mirrors the IVF semantics exactly (assignment is
     deterministic and SQL-expressible), so the hash gate checks the
@@ -1031,7 +1036,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_ann_linear",
+    "dedup_embedding_ann",
     oracle="""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1078,15 +1083,15 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
 )
-def dedup_embedding_ann_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The NEAR-DUP-regime production config of the IVF-blocked
-    embedding dedup, oracle-gated: threshold 0.85 with
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, THE DEFAULT (round 5 promoted the linear
+    config to the plain name — no caller reaches the n^1.5 sqrt-cells
+    plan by default anymore): threshold 0.85 with
     ``target_cell_rows=64`` — cell count scales n/64, so candidate
     volume is n·64, LINEAR in the corpus (the 10x probe measured
     3.9x wall at 10x data with planted-pair recall 1.0; see
-    scripts/scale_probe.py and README). Complements
-    dedup_embedding_ann, whose 0.4-threshold/sqrt-cells coverage
-    configuration has n^1.5 candidate volume by design. The oracle
+    scripts/scale_probe.py and README). The sqrt-cells 0.4-threshold
+    form lives on as ``dedup_embedding_ann_coverage``. The oracle
     mirrors the n/64 cell count and top-2 multi-assignment exactly."""
     from ..operators.similarity import ivf_cell_near_dups
 
@@ -3787,4 +3792,107 @@ def gate_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("_prec_hits") >= 0.6 * F.col("_n_got"))
             ).alias("precision_ok"),
         )
+    )
+
+
+@register(
+    "gate_ngram_lsh_recall",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len({_NORM_SQL}) - 1, 2)),
+               i -> substr({_NORM_SQL}, i, 3))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                   4) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) FILTER (jac >= 0.8) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok
+    FROM pairs
+    """,
+)
+def gate_ngram_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-ngram MinHash-LSH recall gate: the LSH scale path
+    (dedup_ngram_lsh's pipeline) judged in-plan against the registered
+    O(n²) brute-force truth (dedup_ngram_jaccard's pipeline) at
+    recall ≥ 0.9. dedup_ngram_lsh's own oracle already pins OUTPUT
+    equality on this corpus; this gate carries the recall CLAIM as a
+    hash-gated boolean that stays meaningful if a future corpus puts a
+    pair on the S-curve tail (the pytest pin
+    test_ngram_lsh_equals_bruteforce remains the strict local check).
+    n_truth is recomputed independently by the oracle's O(n²) SQL, so
+    the ground truth itself is cross-checked. The brute-force side is a
+    documented gate baseline (allowlisted in the plan audit); the
+    production path remains dedup_ngram_lsh."""
+    from ..operators.dedup import char_ngram_near_dups, char_ngram_near_dups_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = char_ngram_near_dups(docs, n=3, threshold=0.8).select("id_a", "id_b")
+    got = char_ngram_near_dups_lsh(docs, n=3, threshold=0.8).select(
+        "id_a", "id_b", F.lit(1).alias("_hit")
+    )
+    return truth.join(got, ["id_a", "id_b"], "left").agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0)).alias(
+            "_hits"
+        ),
+    ).select(
+        "n_truth",
+        (F.col("_hits") >= 0.9 * F.col("n_truth")).alias("recall_ok"),
+    )
+
+
+@register(
+    "gate_embedding_ann_linear_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]))
+                   / (a.nrm * b.nrm), 4) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(COUNT(*) FILTER (cos_sim >= 0.85) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok
+    FROM pairs
+    """,
+)
+def gate_embedding_ann_linear_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the DEFAULT linear embedding near-dup config
+    (dedup_embedding_ann: target_cell_rows=64, n_assign=2, threshold
+    0.85): its pairs judged in-plan against the registered O(n²)
+    brute-force truth (pairwise_cosine_dedup at the same threshold) at
+    recall ≥ 0.9 — the 10× planted probe measured 1.0. A corpus with
+    zero ≥0.85 pairs judges vacuously TRUE on both sides (0 ≥ 0.9·0),
+    so the gate is stable across SFs; n_truth is recomputed by the
+    oracle's O(n²) SQL so the ground truth is cross-checked. The
+    brute-force side is a documented gate baseline (allowlisted in the
+    plan audit); the production path remains dedup_embedding_ann."""
+    from ..operators.similarity import ivf_cell_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = pairwise_cosine_dedup(emb, threshold=0.85).select("id_a", "id_b")
+    got = ivf_cell_near_dups(
+        emb, threshold=0.85, n_assign=2, target_cell_rows=64
+    ).select("id_a", "id_b", F.lit(1).alias("_hit"))
+    return truth.join(got, ["id_a", "id_b"], "left").agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0)).alias(
+            "_hits"
+        ),
+    ).select(
+        "n_truth",
+        (F.col("_hits") >= 0.9 * F.col("n_truth")).alias("recall_ok"),
     )

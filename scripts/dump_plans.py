@@ -81,7 +81,9 @@ PICKS = {
         "exact verify on candidates only."
     ),
     "dedup_embedding_ann": (
-        "IVF-blocked embedding dedup: centroid argmax in a map stage (1-row "
+        "IVF-blocked embedding dedup, linear production config (round-5 "
+        "default: constant target_cell_rows=64 → cell count n/64 → "
+        "candidate volume LINEAR): centroid argmax in a map stage (1-row "
         "broadcast), cell equi-join pair generation, exact-cosine verify. "
         "No O(n^2) self-join."
     ),

@@ -306,16 +306,12 @@ def main() -> None:
 
     corpus = {}
     if "--skip-corpus" not in sys.argv:
-        from logsdb_spark.catalog import load_table
         from logsdb_spark.operators.dedup import (
             brute_force_near_dups,
             char_ngram_near_dups,
             containment_near_dups,
         )
-        from logsdb_spark.operators.similarity import (
-            ivf_cell_near_dups,
-            pairwise_cosine_dedup,
-        )
+        from logsdb_spark.operators.similarity import pairwise_cosine_dedup
 
         n_doc_planted = _n_planted(spark, "documents", "doc_id")
         n_emb_planted = _n_planted(spark, "embeddings", "vec_id")
@@ -332,19 +328,13 @@ def main() -> None:
                 pairwise_cosine_dedup(emb_parts, threshold=0.85)),
         }
 
-        def emb_fn(spark, sf_dir):
-            # the near-dup-regime production config: constant target
-            # cell size → cell count scales n/64 → candidate volume
-            # LINEAR in the corpus (vs the registered 0.4-coverage
-            # query's sqrt-cells, whose candidate volume is n^1.5 —
-            # see ivf_cell_near_dups docstring)
-            return ivf_cell_near_dups(
-                load_table(spark, sf_dir, "embeddings"),
-                threshold=0.85, n_assign=2, target_cell_rows=64,
-            )
-
+        # dedup_embedding_ann IS the linear production config since
+        # round 5 (constant target-cell size → linear candidate
+        # volume); probe the registered default directly so the
+        # measured plan is exactly what queries() runs.
         probes = [(n, queries[n]) for n in CORPUS_QUERIES]
-        probes.append(("dedup_embedding_ann@0.85", emb_fn))
+        probes.append(("dedup_embedding_ann@0.85",
+                       queries["dedup_embedding_ann"]))
         for name, fn in probes:
             t0 = time.perf_counter()
             fn(spark, SRC).count()

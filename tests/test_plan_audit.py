@@ -30,6 +30,8 @@ BRUTE_FORCE_BASELINES = {
     "knn_cosine_bruteforce",    # exact baseline for ann_lsh/ann_ivf
     "gate_ann_lsh_recall",      # quality gate: judges LSH vs the exact baseline
     "gate_dedup_simhash",       # quality gate: judges simhash vs O(n²) truth
+    "gate_ngram_lsh_recall",    # quality gate: ngram LSH vs O(n²) truth
+    "gate_embedding_ann_linear_recall",  # quality gate: linear IVF vs O(n²)
 }
 
 
