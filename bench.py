@@ -80,6 +80,9 @@ HEADLINE = [
     # time, zero fact-scale Exchanges per query)
     "tpch_q21_bucketed",
     "tpch_q12_bucketed",
+    # round-5: real PNG pixel decode (zlib IDAT + filter reversal)
+    # through the Arrow kernel, oracle-gated on decoded pixel sums
+    "multimodal_png_pixel_stats",
 ]
 
 

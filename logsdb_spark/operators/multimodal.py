@@ -11,8 +11,14 @@ Two decode tiers live here:
   fully. ``build_png``/``build_wav`` construct REAL, spec-conformant
   files (zlib'd IDAT, CRC'd chunks, canonical 44-byte RIFF header) so
   the parse path is exercised on genuine bytes end-to-end.
-- **Pixel/sample decode stays a documented stub** (``_decode_stub``,
-  ``resize_media``): the codec libraries are not in this container.
+- **PNG pixel decode is REAL too** (``decode_png_pixels``): zlib'd
+  IDAT inflation + full per-scanline filter reversal (None/Sub/Up/
+  Average/Paeth) for non-interlaced 8-bit gray/RGB — pure
+  stdlib+numpy, so ``extract_features`` histograms GENUINE pixels for
+  PNG blobs and ``png_pixel_stats`` is oracle-gated on real decoded
+  values. Non-PNG codecs (JPEG entropy decode, audio sample decode)
+  stay documented stubs (``_decode_stub``, ``resize_media``): those
+  codec libraries are not in this container.
 
 Design for 100 TB of blobs: mapInPandas streams Arrow record batches
 through Python, so per-row overhead is amortized; blobs never pass
@@ -276,6 +282,86 @@ def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(synth, schema)
 
 
+def decode_png_pixels(payload: bytes) -> dict | None:
+    """REAL PNG pixel decode, pure stdlib+numpy: zlib-inflate the IDAT
+    stream and reverse the per-scanline filters (None/Sub/Up/Average/
+    Paeth — the full spec set) for non-interlaced 8-bit grayscale
+    (color type 0) and RGB (color type 2) images. Returns
+    ``{"width", "height", "n_channels", "pixels": bytes}`` with pixels
+    in row-major scanline order, or None when the payload is not a PNG
+    this decoder supports (other color types, 16-bit, interlaced,
+    truncated) — callers fall back rather than crash the Arrow batch.
+
+    This is the honest next increment past header decode
+    (multimodal_real_headers): the bytes fed to feature extraction are
+    genuine decompressed image pixels, not container bytes."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    try:
+        w, h = struct.unpack(">II", b[16:24])
+        depth, color, _comp, _filt, interlace = b[24:29]
+        if depth != 8 or color not in (0, 2) or interlace != 0 or not w or not h:
+            return None
+        nch = 1 if color == 0 else 3
+        # concatenate every IDAT chunk in stream order
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(b):
+            clen = struct.unpack(">I", b[i: i + 4])[0]
+            ctag = b[i + 4: i + 8]
+            if ctag == b"IDAT":
+                idat += b[i + 8: i + 8 + clen]
+            elif ctag == b"IEND":
+                break
+            i += 12 + clen  # len + tag + body + crc
+        raw = zlib.decompress(bytes(idat))
+        stride = w * nch
+        if len(raw) < h * (1 + stride):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        pos = 0
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            ftype = raw[pos]
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+            pos += 1 + stride
+            if ftype == 0:  # None
+                cur = line.copy()
+            elif ftype == 2:  # Up
+                cur = (line.astype(np.int32) + prev) % 256
+                cur = cur.astype(np.uint8)
+            else:  # Sub / Average / Paeth need the running left pixel
+                cur = np.zeros(stride, dtype=np.uint8)
+                for x in range(stride):
+                    left = int(cur[x - nch]) if x >= nch else 0
+                    up = int(prev[x])
+                    ul = int(prev[x - nch]) if x >= nch else 0
+                    if ftype == 1:  # Sub
+                        pred = left
+                    elif ftype == 3:  # Average
+                        pred = (left + up) // 2
+                    elif ftype == 4:  # Paeth
+                        p = left + up - ul
+                        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                        pred = left if pa <= pb and pa <= pc else (
+                            up if pb <= pc else ul
+                        )
+                    else:
+                        return None
+                    cur[x] = (int(line[x]) + pred) % 256
+            out[y] = cur
+            prev = cur
+        return {
+            "width": int(w), "height": int(h), "n_channels": nch,
+            "pixels": out.tobytes(),
+        }
+    except (struct.error, IndexError, zlib.error, ValueError):
+        return None
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int]:
     """STUB for the real media decode (PIL.Image.open etc. — not
     installed here). Deterministic fake dimensions derived from the
@@ -319,9 +405,13 @@ def frame_sample_plan(blobs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
 
 def extract_features(blobs: DataFrame, n_bins: int = 64) -> DataFrame:
     """Feature extraction: binary payload → dense ``array<float>``
-    embedding, here a normalized byte histogram (the deterministic
-    stand-in for a real image/audio encoder — CLIP, wav2vec, … — whose
-    output shape this matches: fixed-dim float vector per blob).
+    embedding — a normalized value histogram over the blob's DECODED
+    PIXELS when the payload is a PNG this decoder supports
+    (decode_png_pixels — real zlib+filter-reversal decode), falling
+    back to the raw-byte histogram for other payloads (the
+    deterministic stand-in for codec encoders not in this container:
+    CLIP, wav2vec, …; the output shape matches either way — fixed-dim
+    float vector per blob).
 
     mapInPandas so the vectorized numpy histogram runs once per Arrow
     batch; the output column is exactly the embedding shape the
@@ -342,7 +432,10 @@ def extract_features(blobs: DataFrame, n_bins: int = 64) -> DataFrame:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                raw = bytes(p) if p is not None else b""
+                dec = decode_png_pixels(raw)
+                src = dec["pixels"] if dec is not None else raw
+                arr = np.frombuffer(src, dtype=np.uint8)
                 if arr.size == 0:
                     feats.append([0.0] * n_bins)
                     continue
@@ -351,6 +444,54 @@ def extract_features(blobs: DataFrame, n_bins: int = 64) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return blobs.mapInPandas(extract, schema)
+
+
+PNG_PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("mean_pixel_e4", LongType()),
+    ]
+)
+
+
+def png_pixel_stats(blobs: DataFrame) -> DataFrame:
+    """Per-PNG statistics computed from REAL decoded pixels
+    (decode_png_pixels): dimensions, channel count, pixel count, exact
+    pixel-value sum, and the mean pixel value in integer ten-thousandths
+    (``(10000*sum) div n`` — integer arithmetic, so a SQL oracle can
+    recompute it bit-exactly with no float-rounding hazard).
+    Undecodable payloads yield NULL stats rather than failing the
+    batch. Arrow-batched mapInPandas; blobs stay executor-side."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("width", "height", "n_channels", "n_pixels",
+                     "px_sum", "mean_pixel_e4")}
+            for p in pdf["payload"]:
+                dec = decode_png_pixels(bytes(p) if p is not None else b"")
+                if dec is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8)
+                n = dec["width"] * dec["height"] * dec["n_channels"]
+                s = int(arr.sum())
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_channels"].append(dec["n_channels"])
+                rows["n_pixels"].append(n)
+                rows["px_sum"].append(s)
+                rows["mean_pixel_e4"].append((10000 * s) // n if n else None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, PNG_PIXEL_STATS_SCHEMA)
 
 
 def resize_media(blobs: DataFrame, target_bytes: int = 256) -> DataFrame:

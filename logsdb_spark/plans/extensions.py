@@ -1470,6 +1470,61 @@ def multimodal_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 48 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    s AS (
+      SELECT doc_id, w, h, L, w * h AS n,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+                            i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, w, h, n,
+             (n // L) * COALESCE(list_sum(bs), 0)
+               + COALESCE(list_sum(bs[1:CAST(n % L AS INTEGER)]), 0) AS px_sum
+      FROM s
+    )
+    SELECT doc_id,
+           w AS width, h AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST((10000 * px_sum) // n AS BIGINT) AS mean_pixel_e4
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode, hash-gated end to end — the round-5
+    increment past header decode: even-doc_id documents are wrapped
+    into genuine PNGs (zlib'd IDAT, CRC'd chunks —
+    operators/multimodal.build_png), then decode_png_pixels inflates
+    the IDAT and reverses the scanline filters inside an Arrow-batched
+    mapInPandas kernel, and the query emits per-image stats computed
+    from the DECODED pixel bytes (exact sum + integer-e4 mean — no
+    float rounding hazard). Because build_png cycles the document's
+    utf-8 bytes into the pixel stream, the DuckDB oracle recomputes
+    every stat independently from the text (ASCII corpus: byte value =
+    codepoint) — a decoder that misreads any filter, chunk offset, or
+    the zlib stream hash-mismatches. Scale shape: two mapInPandas
+    stages, embarrassingly parallel, blobs never near the driver, no
+    shuffle until the presentation sort."""
+    from ..operators.multimodal import png_pixel_stats, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    return png_pixel_stats(synthesize_media(docs)).orderBy("doc_id")
+
+
+@register(
     "vector_stats",
     oracle="""
     WITH v AS (

@@ -210,6 +210,7 @@ def ingest_maillog(
     source_dir: str,
     out_dir: str,
     now=None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """S3 streaming ingest with the upsert choreography (reference
     process: maillog.py:141-163 → insert_entry 80-104): binaryFile
@@ -235,9 +236,13 @@ def ingest_maillog(
     binary_schema = (
         "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
     )
-    files = (
-        spark.readStream.format("binaryFile").schema(binary_schema).load(source_dir)
-    )
+    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    if max_files_per_trigger is not None:
+        # same backpressure knob as the text sources: a backfill over a
+        # large maildir is split into bounded micro-batches (one message
+        # per file, so the knob bounds messages per batch directly)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(source_dir)
     parsed = maillog.parse_email_messages(files, now=now)
 
     contacts_path = os.path.join(out_dir, "inbox_contacts")

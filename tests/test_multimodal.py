@@ -156,6 +156,132 @@ def test_parse_media_header_real_bytes():
         assert parse_media_header(junk)["fmt"] == "unknown"
 
 
+def test_decode_png_pixels_all_filters():
+    """decode_png_pixels must invert EVERY spec filter type. A PNG is
+    hand-assembled with one scanline per filter (None/Sub/Up/Average/
+    Paeth) whose filtered bytes are computed forward here from known
+    pixels; the decoder must return exactly those pixels — and agree
+    with numpy on build_png's filter-0 images."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        _png_chunk,
+        build_png,
+        decode_png_pixels,
+    )
+
+    # --- forward-filter known grayscale pixels (w=4, one row per type)
+    pixels = [
+        [10, 20, 30, 40],      # filter 0: raw
+        [5, 9, 14, 200],       # filter 1: Sub
+        [7, 22, 250, 41],      # filter 2: Up
+        [100, 50, 25, 12],     # filter 3: Average
+        [90, 91, 92, 93],      # filter 4: Paeth
+    ]
+    w, h = 4, 5
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, row in enumerate(pixels):
+        ftype = y  # row y uses filter type y
+        raw.append(ftype)
+        for x, v in enumerate(row):
+            left = row[x - 1] if x else 0
+            up = pixels[y - 1][x] if y else 0
+            ul = pixels[y - 1][x - 1] if y and x else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                    4: paeth(left, up, ul)}[ftype]
+            raw.append((v - pred) % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    dec = decode_png_pixels(png)
+    assert dec is not None
+    assert (dec["width"], dec["height"], dec["n_channels"]) == (w, h, 1)
+    got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w)
+    assert got.tolist() == pixels
+
+    # --- build_png round trip: decoded pixels == the cycled content
+    content = b"the quick brown fox"
+    bp = decode_png_pixels(build_png(7, 5, content))
+    want = bytes(content[i % len(content)] for i in range(35))
+    assert bp["pixels"] == want
+
+    # --- multi-IDAT stream: split the compressed bytes across chunks
+    comp = zlib.compress(bytes(raw))
+    png2 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", comp[:7]) + _png_chunk(b"IDAT", comp[7:])
+            + _png_chunk(b"IEND", b""))
+    assert decode_png_pixels(png2)["pixels"] == dec["pixels"]
+
+    # --- unsupported / junk → None, never raises
+    rgb16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", rgb16))
+    assert decode_png_pixels(bad) is None
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(build_png(6, 4, b"zz")[:30]) is None
+
+
+def test_decode_png_pixels_rgb():
+    """RGB (color type 2) decode: 3 channels interleaved, Sub filter
+    predicts from the same channel one PIXEL left (offset nch, not 1)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import _png_chunk, decode_png_pixels
+
+    # 2x2 RGB image, row 0 filter 0, row 1 filter 1 (Sub)
+    row0 = [255, 0, 0, 0, 255, 0]      # red, green
+    row1 = [0, 0, 255, 10, 20, 30]     # blue, dark
+    raw = bytearray([0]) + bytearray(row0) + bytearray([1])
+    for x, v in enumerate(row1):
+        left = row1[x - 3] if x >= 3 else 0
+        raw.append((v - left) % 256)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    dec = decode_png_pixels(png)
+    assert dec["n_channels"] == 3
+    got = np.frombuffer(dec["pixels"], dtype=np.uint8).tolist()
+    assert got == row0 + row1
+
+
+def test_extract_features_histograms_decoded_pixels(spark):
+    """For PNG payloads extract_features must histogram the DECODED
+    pixel values, not the container bytes (zlib'd IDAT bytes would
+    have a near-uniform histogram; the cycled-content pixels do not)."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from logsdb_spark.operators.multimodal import build_png, extract_features
+
+    content = b"aaaaaaabbbbbbbzz"
+    png = build_png(16, 8, content)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    blobs = spark.createDataFrame([(0, png)], schema)
+    feats = extract_features(blobs).collect()[0].features
+    want_pixels = np.frombuffer(
+        bytes(content[i % len(content)] for i in range(16 * 8)), dtype=np.uint8
+    )
+    want, _ = np.histogram(want_pixels, bins=64, range=(0, 256))
+    want = (want / want_pixels.size).astype("float32")
+    assert np.allclose(np.array(feats, dtype="float32"), want)
+
+
 def test_extract_media_headers_kernel_parity(spark):
     """The Arrow mapInPandas kernel must produce exactly what a
     direct Python parse_media_header of the same bytes produces."""

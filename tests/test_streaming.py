@@ -551,3 +551,37 @@ def test_backpressure_max_files_per_trigger(spark, tmp_path):
     compacted = spark.read.parquet(str(tmp_path / "compact"))
     assert compacted.count() == 6
     assert n_files <= len(batch_ids)
+
+
+def test_maillog_backpressure_max_files_per_trigger(spark, tmp_path):
+    """The binaryFile mail source honors the same backpressure knob as
+    the text sources: one message per file, so maxFilesPerTrigger=2
+    over 5 messages must drain in 3 bounded micro-batches — and the
+    upsert choreography must stay correct across them (ids continuous,
+    contacts dim deduped across batches, not just within one)."""
+    from datetime import datetime, timezone
+
+    from logsdb_spark.streaming.ingest import ingest_maillog, run_until_drained
+
+    now = datetime(2026, 8, 12, 12, 0, 0, tzinfo=timezone.utc)
+    src, out = tmp_path / "mail", tmp_path / "out"
+    src.mkdir()
+    for i in range(5):
+        (src / f"m{i}.eml").write_bytes(
+            f'From: "Sender {i % 2}" <s{i % 2}@example.org>\n'
+            f"To: r{i % 3}@example.net\n"
+            f"Date: Tue, 12 Aug 2026 0{i}:00:00 +0000\n"
+            f"Subject: msg {i}\n\nbody {i}\n".encode()
+        )
+    run_until_drained(
+        ingest_maillog(spark, str(src), str(out), now=now,
+                       max_files_per_trigger=2)
+    )
+    inbox = spark.read.parquet(str(out / "inbox"))
+    assert sorted(r.id for r in inbox.collect()) == [1, 2, 3, 4, 5]
+    assert inbox.select("_batch_id").distinct().count() == 3
+    contacts = spark.read.parquet(str(out / "inbox_contacts"))
+    # 2 senders + 3 recipients, each pair inserted exactly once even
+    # though they recur across micro-batches
+    assert contacts.count() == 5
+    assert contacts.count() == contacts.select("id").distinct().count()
