@@ -80,9 +80,11 @@ HEADLINE = [
     # time, zero fact-scale Exchanges per query)
     "tpch_q21_bucketed",
     "tpch_q12_bucketed",
-    # round-5: real PNG pixel decode (zlib IDAT + filter reversal)
-    # through the Arrow kernel, oracle-gated on decoded pixel sums
+    # round-5: real PNG pixel + WAV sample decode (zlib IDAT + filter
+    # reversal / RIFF PCM) through the Arrow kernel, oracle-gated on
+    # decoded pixel/sample sums
     "multimodal_png_pixel_stats",
+    "multimodal_wav_sample_stats",
 ]
 
 

@@ -362,6 +362,102 @@ def decode_png_pixels(payload: bytes) -> dict | None:
         return None
 
 
+def decode_wav_samples(payload: bytes) -> dict | None:
+    """REAL WAV sample decode: RIFF chunk walk to the fmt + data
+    chunks, then the data chunk's PCM bytes interpreted as signed
+    little-endian integer samples (16-bit, the canonical PCM format;
+    8-bit WAV is unsigned per spec and also supported). Returns
+    ``{"n_channels", "sample_rate_hz", "bit_depth", "samples":
+    np.ndarray (int32, interleaved)}`` or None for non-PCM /
+    unsupported depths / truncated containers — the same
+    fall-back-not-crash contract as decode_png_pixels.
+
+    This makes the audio tier symmetric with the image tier: header
+    decode (parse_media_header) AND sample decode are real; only
+    compressed codecs (MP3/AAC) remain out of scope here."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        i = 12
+        fmt = None
+        data = None
+        while i + 8 <= len(b):
+            cid = b[i: i + 4]
+            csz = struct.unpack("<I", b[i + 4: i + 8])[0]
+            if cid == b"fmt " and csz >= 16 and i + 24 <= len(b):
+                fmt = struct.unpack("<HHIIHH", b[i + 8: i + 24])
+            elif cid == b"data":
+                data = b[i + 8: i + 8 + csz]
+            i += 8 + csz + (csz & 1)
+        if fmt is None or data is None:
+            return None
+        audio_fmt, n_ch, rate, _br, _ba, bits = fmt
+        if audio_fmt != 1 or bits not in (8, 16) or not n_ch:
+            return None
+        if bits == 16:
+            samples = np.frombuffer(
+                data[: len(data) - (len(data) % 2)], dtype="<i2"
+            ).astype(np.int32)
+        else:  # 8-bit PCM is unsigned, centered at 128 per spec
+            samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        return {
+            "n_channels": int(n_ch), "sample_rate_hz": int(rate),
+            "bit_depth": int(bits), "samples": samples,
+        }
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+WAV_SAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate_hz", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_sumsq", LongType()),
+        StructField("mean_sample_e4", LongType()),
+    ]
+)
+
+
+def wav_sample_stats(blobs: DataFrame) -> DataFrame:
+    """Per-WAV statistics from REAL decoded PCM samples
+    (decode_wav_samples): interleaved sample count, exact sum and
+    sum-of-squares (64-bit integer — the energy/RMS building blocks),
+    and the integer-e4 mean (``(10000*sum) div n`` — exact arithmetic,
+    no float rounding hazard, same contract as png_pixel_stats).
+    Undecodable payloads yield NULL stats. Arrow-batched mapInPandas."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("n_channels", "sample_rate_hz", "n_samples",
+                     "sample_sum", "sample_sumsq", "mean_sample_e4")}
+            for p in pdf["payload"]:
+                dec = decode_wav_samples(bytes(p) if p is not None else b"")
+                if dec is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                s = dec["samples"].astype(np.int64)
+                n = int(s.size)
+                tot = int(s.sum())
+                rows["n_channels"].append(dec["n_channels"])
+                rows["sample_rate_hz"].append(dec["sample_rate_hz"])
+                rows["n_samples"].append(n)
+                rows["sample_sum"].append(tot)
+                rows["sample_sumsq"].append(int((s * s).sum()))
+                rows["mean_sample_e4"].append((10000 * tot) // n if n else None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, WAV_SAMPLE_STATS_SCHEMA)
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int]:
     """STUB for the real media decode (PIL.Image.open etc. — not
     installed here). Deterministic fake dimensions derived from the

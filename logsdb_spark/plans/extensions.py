@@ -1525,6 +1525,71 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_sample_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST((doc_id // 2) % 2 + 1 AS BIGINT) AS nch,
+             CAST(8000 + doc_id % 4 * 4000 AS BIGINT) AS rate,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    s AS (
+      SELECT doc_id, nch, rate, L, nch * 2 AS bpf,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+             ) AS bs
+      FROM d
+    ),
+    p AS (
+      SELECT doc_id, nch, rate, bs,
+             (((L + bpf - 1) // bpf) * bpf) // 2 AS n
+      FROM s
+    ),
+    sm AS (
+      SELECT doc_id, nch, rate, n,
+             list_transform(range(CAST(n AS INTEGER)),
+               k -> COALESCE(bs[CAST(2*k+1 AS INTEGER)], 0)
+                    + 256 * COALESCE(bs[CAST(2*k+2 AS INTEGER)], 0)) AS samples
+      FROM p
+    )
+    SELECT doc_id,
+           nch AS n_channels,
+           rate AS sample_rate_hz,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_sum(samples), 0) AS BIGINT) AS sample_sum,
+           CAST(COALESCE(list_sum(list_transform(samples, x -> x * x)), 0)
+                AS BIGINT) AS sample_sumsq,
+           CAST((10000 * COALESCE(list_sum(samples), 0)) // n AS BIGINT)
+             AS mean_sample_e4
+    FROM sm
+    ORDER BY doc_id
+    """,
+)
+def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM sample decode, hash-gated end to end — the audio
+    twin of multimodal_png_pixel_stats: odd-doc_id documents are
+    wrapped into canonical RIFF/WAVE files (build_wav), then
+    decode_wav_samples walks the chunk structure and interprets the
+    data chunk as signed little-endian int16 samples inside an
+    Arrow-batched mapInPandas kernel, and the query emits exact
+    integer sample sums / sums-of-squares (the RMS/energy building
+    blocks) plus the integer-e4 mean. The oracle recomputes every
+    value from the document text (ASCII corpus: sample k =
+    byte[2k] + 256*byte[2k+1], zero-padded to whole frames exactly as
+    build_wav pads) — a decoder that misreads chunk offsets, the
+    sample width, or the padding hash-mismatches. Scale shape: two
+    mapInPandas stages, embarrassingly parallel, no shuffle until the
+    presentation sort."""
+    from ..operators.multimodal import synthesize_media, wav_sample_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    return wav_sample_stats(synthesize_media(docs)).orderBy("doc_id")
+
+
+@register(
     "vector_stats",
     oracle="""
     WITH v AS (

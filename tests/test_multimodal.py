@@ -282,6 +282,55 @@ def test_extract_features_histograms_decoded_pixels(spark):
     assert np.allclose(np.array(feats, dtype="float32"), want)
 
 
+def test_decode_wav_samples_signed_and_padded():
+    """decode_wav_samples must interpret PCM as SIGNED little-endian
+    int16 (a high byte >= 0x80 is negative — byte arithmetic alone
+    would get +32768 ranges wrong), honor build_wav's zero padding to
+    whole frames, decode 8-bit PCM as unsigned per spec, and reject
+    non-PCM/truncated containers."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        build_wav,
+        decode_wav_samples,
+    )
+
+    # known samples incl. negatives: -32768, -1, 0, 1, 32767
+    pcm = np.array([-32768, -1, 0, 1, 32767], dtype="<i2").tobytes()
+    dec = decode_wav_samples(build_wav(1, 8000, 16, pcm))
+    assert dec["samples"].tolist() == [-32768, -1, 0, 1, 32767]
+    assert (dec["n_channels"], dec["sample_rate_hz"], dec["bit_depth"]) == (
+        1, 8000, 16,
+    )
+
+    # stereo + odd byte count: build_wav zero-pads to a whole frame
+    dec2 = decode_wav_samples(build_wav(2, 16000, 16, b"abc"))
+    # b'abc' -> pad to 4 bytes -> samples (0x6261, 0x0063)
+    assert dec2["samples"].tolist() == [0x6261, 0x63]
+    assert dec2["n_channels"] == 2
+
+    # empty data chunk decodes to an empty sample array, not None
+    assert decode_wav_samples(build_wav(1, 8000, 16, b""))["samples"].size == 0
+
+    # 8-bit PCM is unsigned per spec
+    import struct as _s
+
+    raw8 = (b"RIFF" + _s.pack("<I", 36 + 3) + b"WAVE"
+            + b"fmt " + _s.pack("<I", 16)
+            + _s.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+            + b"data" + _s.pack("<I", 3) + bytes([0, 128, 255]))
+    assert decode_wav_samples(raw8)["samples"].tolist() == [0, 128, 255]
+
+    # non-PCM (format code 3 = float) and junk → None
+    bad = (b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+           + b"fmt " + _s.pack("<I", 16)
+           + _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+           + b"data" + _s.pack("<I", 0))
+    assert decode_wav_samples(bad) is None
+    assert decode_wav_samples(b"junk") is None
+    assert decode_wav_samples(build_wav(1, 8000, 16, b"xy")[:20]) is None
+
+
 def test_extract_media_headers_kernel_parity(spark):
     """The Arrow mapInPandas kernel must produce exactly what a
     direct Python parse_media_header of the same bytes produces."""
