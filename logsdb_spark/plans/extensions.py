@@ -48,6 +48,20 @@ from ..registry import register
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
+def _silver_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events via the DATE-PARTITIONED silver with ``day`` = the
+    event_date partition column — the round-5 default routing for every
+    query that groups on the event's calendar day (funnel, cohort,
+    affinity, k-anonymity families): the day key comes from directory
+    metadata instead of a per-row to_date(ts) cast, and at 100 TB the
+    layout is what makes per-day work schedulable. Oracles keep
+    computing CAST(ts AS DATE) — event_date IS to_date(ts),
+    materialized at layout time."""
+    from ..operators.silver import silver_events
+
+    return silver_events(spark, sf_dir).withColumnRenamed("event_date", "day")
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -543,8 +557,8 @@ def funnel_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash partitioning reused across all stages (Catalyst collapses the
     co-partitioned joins), and the final per-day rollup is map-side
     combinable."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", F.to_date("ts").alias("day"), "event_type"
+    ev = _silver_day(spark, sf_dir).select(
+        "user_id", "ts", "day", "event_type"
     )
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -602,9 +616,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard retention-curve input. Three keyed operations (first-date
     agg, distinct activity, join + rollup), all on user_id or its
     superset; the firsts side is user-dim-sized and broadcastable."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day")
-    )
+    ev = _silver_day(spark, sf_dir).select("user_id", "day")
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
     activity = ev.distinct()
     return (
@@ -3090,9 +3102,9 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (basket key, then pair key), no join — and basket size bounds the
     pair fan-out at |types| choose 2 per basket, independent of corpus
     size."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _silver_day(spark, sf_dir)
     baskets = (
-        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        ev.groupBy("user_id", "day")
         .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
         .filter(F.size("types") > 1)
     )
@@ -3328,8 +3340,8 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition over identical integers. Both aggregates key on
     (user_id, day) — one partitioning serves the stage chain, and the
     final summary is a single small reduce."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", F.to_date("ts").alias("day"), "event_type"
+    ev = _silver_day(spark, sf_dir).select(
+        "user_id", "ts", "day", "event_type"
     )
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -3398,10 +3410,8 @@ def affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     median) — building this query runs no job, preserving the
     registry's lazy-build contract. Division happens once at the
     output edge, over identical integers in both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    baskets = ev.select(
-        "user_id", F.to_date("ts").alias("day"), "event_type"
-    ).distinct()
+    ev = _silver_day(spark, sf_dir)
+    baskets = ev.select("user_id", "day", "event_type").distinct()
     totals = (
         baskets.select("user_id", "day")
         .distinct()

@@ -155,7 +155,10 @@ def test_daily_queries_route_through_silver(spark):
 
     queries = all_queries()
     for name in ("gap_fill_daily_counts", "locf_daily_values",
-                 "daily_ohlc_bars", "anomaly_daily_counts"):
+                 "daily_ohlc_bars", "anomaly_daily_counts",
+                 "funnel_daily_conversion", "funnel_latency_quantiles",
+                 "cohort_retention", "event_type_affinity",
+                 "affinity_lift"):
         plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "/ev_" in plan, f"{name} does not scan the silver layout\n{plan}"
         assert "events.parquet" not in plan, f"{name} still scans bronze\n{plan}"
