@@ -85,6 +85,7 @@ HEADLINE = [
     # decoded pixel/sample sums
     "multimodal_png_pixel_stats",
     "multimodal_wav_sample_stats",
+    "multimodal_gif_pixel_stats",
 ]
 
 

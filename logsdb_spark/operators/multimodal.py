@@ -362,6 +362,151 @@ def decode_png_pixels(payload: bytes) -> dict | None:
         return None
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompression (LSB-first bit packing, dynamic
+    code width, clear/EOI codes, table growth to 4096) — the actual
+    decoder the GIF89a spec mandates, pure stdlib."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = prev = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # table-full: stop adding (spec)
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            # decoder-lag rule: our table add trails the encoder's by
+            # one code, so the width bumps when the table reaches
+            # 2^W - 1 (the encoder bumped at 2^W before emitting the
+            # code we are about to read)
+            if len(table) == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> dict | None:
+    """REAL GIF pixel decode: logical-screen parse, global color
+    table, first image descriptor, sub-block reassembly, then genuine
+    LZW decompression (_lzw_decode) of the index stream. Returns
+    ``{"width", "height", "pixels": bytes}`` (palette indexes,
+    row-major; non-interlaced only) or None — the same
+    fall-back-not-crash contract as decode_png_pixels."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        packed = b[10]
+        i = 13
+        if packed & 0x80:  # global color table present
+            i += 3 * (2 << (packed & 0x07))
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif blk == 0x2C:  # image descriptor
+                w, h = struct.unpack("<HH", b[i + 5: i + 9])
+                ipacked = b[i + 9]
+                i += 10
+                if ipacked & 0x80:  # local color table
+                    i += 3 * (2 << (ipacked & 0x07))
+                if ipacked & 0x40:  # interlaced: unsupported here
+                    return None
+                min_code = b[i]
+                i += 1
+                data = bytearray()
+                while b[i] != 0:
+                    n = b[i]
+                    data += b[i + 1: i + 1 + n]
+                    i += 1 + n
+                pixels = _lzw_decode(bytes(data), min_code)[: w * h]
+                if len(pixels) < w * h:
+                    return None
+                return {"width": int(w), "height": int(h), "pixels": pixels}
+            elif blk == 0x3B:  # trailer
+                return None
+            else:
+                return None
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def build_gif(width: int, height: int, content: bytes = b"") -> bytes:
+    """A REAL spec-conformant non-interlaced GIF89a: 256-entry
+    grayscale global color table, one image whose palette indexes are
+    ``content`` cycled to width*height, LZW-encoded with the
+    simplest legal strategy (a clear code before every symbol keeps
+    the code width fixed at min_code_size+1 — valid per spec, just
+    uncompressed). Any GIF reader opens it; decode_gif_pixels gets
+    the exact index stream back."""
+    pix = (content or b"\x00") * ((width * height) // max(len(content), 1) + 1)
+    idx = pix[: width * height]
+    header = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = bytes(v for g in range(256) for v in (g, g, g))
+    descriptor = b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    # LZW stream: 8-bit min code size, 9-bit codes, clear before each
+    # pixel so the table never grows past the static entries
+    min_code = 8
+    clear, eoi = 256, 257
+    acc = nbits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for px in idx:
+        emit(clear)
+        emit(px)
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = bytearray([min_code])
+    for off in range(0, len(stream), 255):
+        chunk = stream[off: off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return header + palette + descriptor + bytes(blocks) + b"\x3B"
+
+
 def decode_wav_samples(payload: bytes) -> dict | None:
     """REAL WAV sample decode: RIFF chunk walk to the fmt + data
     chunks, then the data chunk's PCM bytes interpreted as signed
@@ -456,6 +601,75 @@ def wav_sample_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
 
     return blobs.mapInPandas(stats, WAV_SAMPLE_STATS_SCHEMA)
+
+
+def synthesize_gifs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """GIF fixture generator (companion to synthesize_media's PNG/WAV
+    split): every doc's utf-8 bytes become the palette-index stream of
+    a REAL LZW-encoded GIF89a, width = doc_id%32+1, height =
+    doc_id%24+1 — arithmetic a SQL oracle can recompute, same contract
+    as the PNG path."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_gif(
+                    int(doc_id) % 32 + 1,
+                    int(doc_id) % 24 + 1,
+                    str(text).encode("utf-8"),
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(synth, schema)
+
+
+GIF_PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("mean_pixel_e4", LongType()),
+    ]
+)
+
+
+def gif_pixel_stats(blobs: DataFrame) -> DataFrame:
+    """Per-GIF statistics from REAL LZW-decoded palette indexes
+    (decode_gif_pixels) — same exact-integer contract as
+    png_pixel_stats; undecodable payloads yield NULL stats."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("width", "height", "n_pixels", "px_sum", "mean_pixel_e4")}
+            for p in pdf["payload"]:
+                dec = decode_gif_pixels(bytes(p) if p is not None else b"")
+                if dec is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8)
+                n = dec["width"] * dec["height"]
+                s = int(arr.sum())
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_pixels"].append(n)
+                rows["px_sum"].append(s)
+                rows["mean_pixel_e4"].append((10000 * s) // n if n else None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, GIF_PIXEL_STATS_SCHEMA)
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:

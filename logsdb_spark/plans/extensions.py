@@ -1537,6 +1537,55 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 32 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 24 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, h, L, w * h AS n,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+                            i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, w, h, n,
+             (n // L) * COALESCE(list_sum(bs), 0)
+               + COALESCE(list_sum(bs[1:CAST(n % L AS INTEGER)]), 0) AS px_sum
+      FROM s
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST((10000 * px_sum) // n AS BIGINT) AS mean_pixel_e4
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode, hash-gated end to end — the third member
+    of the real-decode family (PNG zlib+filters, WAV PCM, now GIF
+    LZW): every document's utf-8 bytes become the palette-index
+    stream of a genuine LZW-encoded GIF89a (build_gif — 256-entry
+    grayscale table, sub-block framing), then decode_gif_pixels walks
+    the container and runs REAL variable-width LSB-first LZW
+    decompression inside an Arrow-batched mapInPandas kernel. The
+    oracle recomputes the per-image index sums from the text's cycled
+    byte values — a decoder that misreads the bit packing, the
+    clear/EOI protocol, or sub-block reassembly hash-mismatches.
+    Scale shape: two mapInPandas stages, embarrassingly parallel, no
+    shuffle until the presentation sort."""
+    from ..operators.multimodal import gif_pixel_stats, synthesize_gifs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_pixel_stats(synthesize_gifs(docs)).orderBy("doc_id")
+
+
+@register(
     "multimodal_wav_sample_stats",
     oracle="""
     WITH d AS (

@@ -282,6 +282,103 @@ def test_extract_features_histograms_decoded_pixels(spark):
     assert np.allclose(np.array(feats, dtype="float32"), want)
 
 
+def _enc_lzw(data: bytes, min_code: int = 8) -> bytes:
+    """Canonical growing-table GIF-LZW encoder (the convention real
+    encoders use: width bumps when next_code reaches 2^W, adds stop at
+    4096) — exists only to cross-check the decoder's width/KwKwK/
+    table-full handling against real-world streams, since build_gif's
+    clear-per-symbol strategy never grows the table."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(c: int) -> None:
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w])
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_against_canonical_encoder():
+    """_lzw_decode must invert a canonical growing-table encoder across
+    the hard cases: code-width growth through 9→12 bits, the KwKwK
+    self-referencing code, table-full (4096) with continued input, and
+    a small initial alphabet."""
+    import random
+
+    from logsdb_spark.operators.multimodal import _lzw_decode
+
+    rng = random.Random(7)
+    cases = [
+        (bytes(rng.randrange(256) for _ in range(20000)), 8),  # width growth
+        (b"abc" * 5000, 8),                                    # repetitive
+        (bytes(rng.randrange(4) for _ in range(60000)), 2),    # table-full
+        (b"a" * 1000, 8),                                      # KwKwK chain
+        (bytes(range(256)) * 2, 8),                            # boundary
+    ]
+    for data, mc in cases:
+        assert _lzw_decode(_enc_lzw(data, mc), mc) == data
+
+
+def test_decode_gif_pixels_real_container():
+    """decode_gif_pixels walks a real GIF89a (global color table,
+    extensions skipped, sub-block reassembly) and returns the exact
+    index stream build_gif encoded; junk and truncations → None."""
+    from logsdb_spark.operators.multimodal import (
+        build_gif,
+        decode_gif_pixels,
+        parse_media_header,
+    )
+
+    content = b"the quick brown fox jumps over"
+    g = build_gif(11, 6, content)
+    hdr = parse_media_header(g)
+    assert (hdr["fmt"], hdr["width"], hdr["height"]) == ("gif", 11, 6)
+    dec = decode_gif_pixels(g)
+    assert (dec["width"], dec["height"]) == (11, 6)
+    assert dec["pixels"] == bytes(content[i % len(content)] for i in range(66))
+
+    # a graphic-control extension before the image must be skipped
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = g[: 13 + 768] + gce + g[13 + 768:]
+    assert decode_gif_pixels(with_ext)["pixels"] == dec["pixels"]
+
+    # >255-pixel image exercises multi-sub-block reassembly
+    big = build_gif(30, 20, b"xyz")
+    assert len(decode_gif_pixels(big)["pixels"]) == 600
+
+    assert decode_gif_pixels(b"GIF89a") is None
+    assert decode_gif_pixels(b"not a gif") is None
+    assert decode_gif_pixels(g[:40]) is None
+
+
 def test_decode_wav_samples_signed_and_padded():
     """decode_wav_samples must interpret PCM as SIGNED little-endian
     int16 (a high byte >= 0x80 is negative — byte arithmetic alone
