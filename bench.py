@@ -86,6 +86,10 @@ HEADLINE = [
     "multimodal_png_pixel_stats",
     "multimodal_wav_sample_stats",
     "multimodal_gif_pixel_stats",
+    # round-5: self-supervised bigram-LM fluency scoring (two count
+    # shuffles + a model join; the LM table is the product, no
+    # corpus-sized broadcast)
+    "quality_bigram_lm",
 ]
 
 

@@ -4075,3 +4075,134 @@ def gate_embedding_ann_linear_recall(spark: SparkSession, sf_dir: str) -> DataFr
         "n_truth",
         (F.col("_hits") >= 0.9 * F.col("n_truth")).alias("recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical LM quality scoring *[extension]* — the CCNet/Gopher-style
+# "how natural is this text" signal, self-supervised from the corpus
+# itself: a bigram language model fitted on ALL documents scores each
+# document by its average add-one-smoothed bigram probability. Real
+# pipelines use a KenLM perplexity here; the smoothed-bigram form keeps
+# the identical pipeline shape (fit corpus statistics -> broadcast/join
+# -> per-doc score) while staying exactly oracle-checkable: every
+# per-pair probability is computed as ONE integer floor-division
+# (1e9-scaled), so sums are exact 64-bit arithmetic in any order — the
+# fixed-point contract plans/timeseries.py uses for value sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    ug AS (SELECT w, COUNT(*) AS c1 FROM (
+             SELECT unnest(t) AS w FROM toks) GROUP BY w),
+    v AS (SELECT COUNT(*) AS vs FROM ug),
+    scored AS (
+      SELECT p.doc_id,
+             (1000000000 * (bg.c12 + 1)) // (ug.c1 + v.vs) AS pi
+      FROM pairs p
+      JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+      JOIN ug ON ug.w = p.w1
+      CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS nb, SUM(pi) AS sp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per_doc.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(per_doc.sp, 0) AS BIGINT) AS sum_p_e9,
+           CAST(per_doc.sp // per_doc.nb AS BIGINT) AS avg_p_e9
+    FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fitted bigram-LM quality score per document (the
+    self-supervised fluency filter of CCNet-style pipelines, with
+    add-one smoothing instead of an external KenLM): fit bigram and
+    unigram counts over the WHOLE corpus, then score every document by
+    its average smoothed bigram probability
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). Low scores flag unnatural token
+    sequences (boilerplate, shredded text, wrong-language segments).
+
+    Exactness: each pair's probability is one 1e9-scaled integer
+    floor-division over exact corpus counts, so per-doc sums are exact
+    64-bit arithmetic in any order and the DuckDB oracle reproduces
+    every value bit-for-bit — no float log/rounding exposure (a real
+    log-perplexity needs cross-engine transcendentals; the monotone
+    integer surrogate carries the same ranking signal gated, and
+    tests/test_text_ops pins the numpy log-perplexity parity of the
+    same counts).
+
+    Scale shape: one shuffle builds the bigram table (map-side
+    combinable count on (w1,w2)), one the unigram table; the scoring
+    join shuffles pairs on the bigram key (both sides
+    hash-partitioned — no broadcast of the corpus-sized model, unlike
+    the df>0.8 hot-set trick boilerplate_strip uses, because the LM
+    table IS the product); the vocabulary size is a LAZY 1-row
+    broadcast. At 100 TB the standard refinement is pruning the model
+    to top-K bigrams with a default probability for the tail — same
+    plan, smaller right side."""
+    from ..functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(normalize_text("text")).alias("t")
+    )
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = ug.agg(F.count(F.lit(1)).alias("vs"))
+    scored = (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ug.withColumnRenamed("w", "w1"), "w1")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr("(1000000000 * (c12 + 1)) div (c1 + vs)").alias("pi"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("pi").alias("sp")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sp"), F.lit(0)).cast("long").alias("sum_p_e9"),
+            F.expr("sp div nb").cast("long").alias("avg_p_e9"),
+        )
+        .orderBy("doc_id")
+    )

@@ -78,3 +78,57 @@ def test_doc_chunk_windows_empty_text_yields_no_chunks(spark):
         .collect()
     )
     assert [r.doc_id for r in out] == [2]
+
+
+def test_bigram_lm_matches_python_and_tracks_perplexity(spark):
+    """quality_bigram_lm's integer surrogate must equal a pure-Python
+    recompute of the same add-one-smoothed bigram model EXACTLY, and
+    the real log2-perplexity computed from those counts must move
+    opposite to the surrogate (higher avg probability <-> lower
+    perplexity) on the fixture corpus."""
+    import math
+    from collections import Counter
+
+    from conftest import SF_DIR
+    from logsdb_spark.plans.extensions import quality_bigram_lm
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_p_e9, r.avg_p_e9)
+        for r in quality_bigram_lm(spark, SF_DIR).collect()
+    }
+
+    from logsdb_spark.catalog import load_table
+
+    texts = {
+        r.doc_id: " ".join(str(r.text).lower().strip().split())
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    ug = Counter(w for t in toks.values() for w in t)
+    bg = Counter(
+        (t[i], t[i + 1]) for t in toks.values() for i in range(len(t) - 1)
+    )
+    vocab = len(ug)
+
+    ppl = {}
+    for d, t in toks.items():
+        if len(t) < 2:
+            assert got[d] == (0, 0, None), d
+            continue
+        pis = [
+            (1_000_000_000 * (bg[(t[i], t[i + 1])] + 1)) // (ug[t[i]] + vocab)
+            for i in range(len(t) - 1)
+        ]
+        want = (len(pis), sum(pis), sum(pis) // len(pis))
+        assert got[d] == want, (d, got[d], want)
+        logp = [
+            math.log2((bg[(t[i], t[i + 1])] + 1) / (ug[t[i]] + vocab))
+            for i in range(len(t) - 1)
+        ]
+        ppl[d] = 2 ** (-sum(logp) / len(logp))
+
+    # real perplexity must anti-correlate with the gated surrogate:
+    # compare the mean perplexity of the top vs bottom surrogate half
+    ranked = sorted(ppl, key=lambda d: got[d][2])
+    lo, hi = ranked[: len(ranked) // 3], ranked[-len(ranked) // 3:]
+    assert sum(ppl[d] for d in hi) / len(hi) < sum(ppl[d] for d in lo) / len(lo)
