@@ -90,6 +90,8 @@ HEADLINE = [
     # shuffles + a model join; the LM table is the product, no
     # corpus-sized broadcast)
     "quality_bigram_lm",
+    # round-5: span-level dedup (winnowed substring fingerprints)
+    "dedup_substring_winnow",
 ]
 
 
