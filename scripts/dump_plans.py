@@ -103,9 +103,24 @@ PICKS = {
         "no per-group sort, one shuffle on the bar key."
     ),
     "gap_fill_daily_counts": (
-        "Dense-grid resample: fact scanned once by the daily aggregate; "
-        "the days-by-types spine stays broadcast-side, so the corpus never "
-        "reshuffles for the calendar."
+        "Dense-grid resample over the date-partitioned silver (round-5 "
+        "default): the day key comes from the event_date partition column "
+        "(ts absent from ReadSchema), the fact is scanned once by the "
+        "daily aggregate, and the days-by-types spine stays "
+        "broadcast-side, so the corpus never reshuffles for the calendar."
+    ),
+    "quality_bigram_lm": (
+        "Self-supervised bigram-LM fluency score: two map-side-combinable "
+        "count shuffles fit the model, the scoring join shuffles pairs on "
+        "the bigram key (the LM table is the product — no corpus-sized "
+        "broadcast), and every per-pair probability is one integer "
+        "floor-division so sums are exact in any order."
+    ),
+    "dedup_substring_winnow": (
+        "Span-level dedup: winnowing fingerprints computed scan-locally "
+        "(staged HOF arrays), ONE fingerprint-bucket shuffle, in-bucket "
+        "pair emit (no self-join) with a hub-fingerprint cap bounding "
+        "fan-out; >= 27-char shared runs are guaranteed to collide."
     ),
 }
 
