@@ -122,38 +122,41 @@ def winnow_fingerprints(df, id_col: str, text_col: str,
     local algorithm, public literature): hash every char k-gram of the
     normalized text with the DuckDB-portable 60-bit hash, take the min
     of each w-length sliding window of hashes → per-doc sorted distinct
-    fingerprint set. Returns (id_col, fps) — a DataFrame-level operator,
-    not a Column.
+    fingerprint set. Returns (id_col, fps).
 
-    DataFrame-level on purpose: higher-order-function lambdas are
-    excluded from Spark's codegen subexpression elimination, so a
-    single-Column formulation re-inlines the k-gram md5 transform once
-    per reference (~12x here — measured 60s for 500 docs). Staging
-    through separate projections pins each expensive array to a column;
-    multiple references to a non-cheap alias also stop CollapseProject
-    from merging the stages back together.
+    The expensive k-gram md5 array is LET-BOUND via a higher-order
+    function — ``transform(array(<hash expr>), h -> <lattice over h>)``
+    — so every downstream reference (the w-1 shifted zip_with minima,
+    the size() bounds, the short-doc fallback) points at the lambda
+    variable, and the md5 transform appears EXACTLY ONCE in the
+    expression tree no matter how Catalyst collapses projections.
+    Earlier formulations (raw Column, then staged projections) were
+    both re-inlined by CollapseProject — measured 19 copies of the
+    md5 transform through this operator's explode+groupBy consumers,
+    ~19x the hashing cost. The let-binding is collapse-proof because
+    a lambda variable is a bound VALUE, not an expression: pinned by
+    tests/test_plan_audit.py::test_winnow_hashes_each_gram_once.
+    No cache, no checkpoint, no extra shuffle — still scan-local.
 
     Window minima use the same shifted-zip_with trick as word_ngrams
     (elementwise least against w-1 shifted copies — one codegen pass,
     no slice-per-index). Docs shorter than k+w-1 chars degrade to a
     single fingerprint: min over whatever hashes exist."""
-    hashed = df.select(
-        id_col,
-        F.transform(
-            char_ngrams(normalize_text(text_col), k), portable_hash64
-        ).alias("_h"),
-    )
-    h = F.col("_h")
-    n = F.size(h)
-    acc = h
-    for s in range(1, w):
-        shifted = F.slice(h, s + 1, F.greatest(n - s, F.lit(1)))
-        # zip_with pads with null; F.least skips nulls, which would
-        # leak partial-window minima — slice the tail off below instead.
-        acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
-    wins = F.when(n < w, F.array(F.array_min(h))).otherwise(
-        F.slice(acc, 1, F.greatest(n - (w - 1), F.lit(1)))
-    )
-    return hashed.select(
-        id_col, F.array_sort(F.array_distinct(wins)).alias("fps")
-    )
+    hexpr = F.transform(char_ngrams(normalize_text(text_col), k),
+                        portable_hash64)
+
+    def _lattice(h):
+        n = F.size(h)
+        acc = h
+        for s in range(1, w):
+            shifted = F.slice(h, s + 1, F.greatest(n - s, F.lit(1)))
+            # zip_with pads with null; F.least skips nulls, which would
+            # leak partial-window minima — slice the tail off below.
+            acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
+        wins = F.when(n < w, F.array(F.array_min(h))).otherwise(
+            F.slice(acc, 1, F.greatest(n - (w - 1), F.lit(1)))
+        )
+        return F.array_sort(F.array_distinct(wins))
+
+    fps = F.get(F.transform(F.array(hexpr), _lattice), 0)
+    return df.select(id_col, fps.alias("fps"))

@@ -62,6 +62,26 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def widen_for_compute(df: DataFrame, spark: SparkSession,
+                      min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a COMPUTE-heavy frame up to cluster
+    parallelism — only when the scan yielded fewer splits than cores.
+
+    Why it exists: per-row CPU-bound transforms (the winnowing md5
+    k-gram array is ~10 µs/gram) inherit the SCAN's partitioning, and
+    a small parquet file is one split — so a 32-core executor pool
+    runs the whole hash stage on one thread. At 100 TB the same scan
+    yields thousands of maxPartitionBytes-sized splits and this helper
+    is a structural NO-OP (the partition count check short-circuits,
+    no Exchange is added); it only fires in the small-file regime,
+    where the round-robin shuffle moves kilobytes. This is the
+    compute-side dual of compact_parquet's scan-side sizing."""
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -4274,10 +4274,27 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out. The oracle reproduces the md5-based hashes, the winnow
     lattice, the bucket cap, and the pair counts exactly."""
     from ..functions.text import winnow_fingerprints
+    from ..operators.scale import widen_for_compute
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widen_for_compute: the md5 k-gram stage is CPU-bound; a small
+    # parquet scan is 1-4 splits, which would serialize it. No-op at
+    # scale (see operators/scale.py docstring).
+    docs = widen_for_compute(load_table(spark, sf_dir, "documents"), spark)
     fps = winnow_fingerprints(docs, "doc_id", "text", k=20, w=8)
-    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    # explode_OUTER + null filter, not plain explode: the inner explode
+    # triggers InferFiltersFromGenerate, whose size(fps)>0/isnotnull
+    # predicates get pushed through the projection with the WHOLE
+    # fingerprint expression substituted in — 2 extra evaluations of
+    # the md5 k-gram array per row (3x total; measured 7.4s vs 2.5s at
+    # sf0.01). The outer generate skips that rule; fps is never empty
+    # by construction (short docs degrade to one fingerprint), so only
+    # null-text rows survive as null fps — dropped by the cheap
+    # column-level filter below. Plan pin:
+    # tests/test_plan_audit.py::test_winnow_hashes_each_gram_once.
+    ex = (
+        fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
     buckets = (
         ex.groupBy("fp")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))

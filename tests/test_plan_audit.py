@@ -106,6 +106,30 @@ def test_windowed_scan_pushes_time_predicate(spark):
     assert "GreaterThanOrEqual(ts," in silver_scans[0], silver_scans[0]
 
 
+def test_winnow_hashes_each_gram_once(spark):
+    """dedup_substring_winnow must hash each k-gram EXACTLY once: the
+    md5 k-gram transform appears a single time in the optimized plan.
+    Two regressions are pinned down here, both measured (26 s for 500
+    docs vs 2.5 s fixed):
+    - CollapseProject re-inlining the staged hash projection into the
+      w=8 zip_with lattice (19 copies) — prevented by the HOF
+      let-binding in functions/text.winnow_fingerprints;
+    - InferFiltersFromGenerate + predicate pushdown substituting the
+      whole fingerprint expression into a size()/isnotnull Filter
+      below the explode (2 extra copies) — prevented by the
+      explode_outer + null-filter form in the query body."""
+    plan = (
+        REGISTRY["dedup_substring_winnow"]
+        .spark_fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5") == 1, (
+        f"md5 k-gram transform duplicated {plan.count('md5')}x:\n{plan}"
+    )
+
+
 def test_anchor_memoized_per_session_and_dir(spark):
     """table_anchor runs its tiny ts-only aggregate once per
     (session, dataset, source mtime); later windowed-query builds
