@@ -414,12 +414,72 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _deinterlace(pixels: bytes, w: int, h: int) -> bytes:
+    """Undo GIF interlacing: the stream carries rows in the 4-pass
+    Haeberli schedule (rows 0,8,16…, then 4,12…, then 2,6,10…, then
+    the odd rows); map decoded row i back to its display position."""
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(start, h, step)]
+    out = bytearray(w * h)
+    for i, r in enumerate(order):
+        out[r * w: (r + 1) * w] = pixels[i * w: (i + 1) * w]
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, min_code: int = 8) -> bytes:
+    """Canonical growing-table GIF-LZW encoder (the convention real
+    encoders use: width bumps when next_code reaches 2^W, adds stop
+    at 4096, no mid-stream clears). Compresses text-like index
+    streams ~4-5x over the old clear-per-symbol strategy, which is
+    why build_gif uses it: the fixture GIFs carry realistic
+    growing-table streams AND decode proportionally faster. The
+    decoder's independent cross-check against a second copy of this
+    convention lives in tests/test_multimodal._enc_lzw."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(c: int) -> None:
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w])
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
 def decode_gif_pixels(payload: bytes) -> dict | None:
     """REAL GIF pixel decode: logical-screen parse, global color
     table, first image descriptor, sub-block reassembly, then genuine
-    LZW decompression (_lzw_decode) of the index stream. Returns
-    ``{"width", "height", "pixels": bytes}`` (palette indexes,
-    row-major; non-interlaced only) or None — the same
+    LZW decompression (_lzw_decode) of the index stream; interlaced
+    images are de-interlaced via the 4-pass row schedule
+    (_deinterlace). Returns ``{"width", "height", "pixels": bytes}``
+    (palette indexes, row-major display order) or None — the same
     fall-back-not-crash contract as decode_png_pixels."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -442,8 +502,7 @@ def decode_gif_pixels(payload: bytes) -> dict | None:
                 i += 10
                 if ipacked & 0x80:  # local color table
                     i += 3 * (2 << (ipacked & 0x07))
-                if ipacked & 0x40:  # interlaced: unsupported here
-                    return None
+                interlaced = bool(ipacked & 0x40)
                 min_code = b[i]
                 i += 1
                 data = bytearray()
@@ -454,6 +513,8 @@ def decode_gif_pixels(payload: bytes) -> dict | None:
                 pixels = _lzw_decode(bytes(data), min_code)[: w * h]
                 if len(pixels) < w * h:
                     return None
+                if interlaced:
+                    pixels = _deinterlace(pixels, int(w), int(h))
                 return {"width": int(w), "height": int(h), "pixels": pixels}
             elif blk == 0x3B:  # trailer
                 return None
@@ -464,41 +525,31 @@ def decode_gif_pixels(payload: bytes) -> dict | None:
         return None
 
 
-def build_gif(width: int, height: int, content: bytes = b"") -> bytes:
-    """A REAL spec-conformant non-interlaced GIF89a: 256-entry
-    grayscale global color table, one image whose palette indexes are
-    ``content`` cycled to width*height, LZW-encoded with the
-    simplest legal strategy (a clear code before every symbol keeps
-    the code width fixed at min_code_size+1 — valid per spec, just
-    uncompressed). Any GIF reader opens it; decode_gif_pixels gets
-    the exact index stream back."""
+def build_gif(width: int, height: int, content: bytes = b"",
+              interlaced: bool = False) -> bytes:
+    """A REAL spec-conformant GIF89a: 256-entry grayscale global
+    color table, one image whose palette indexes are ``content``
+    cycled to width*height, LZW-compressed by the canonical
+    growing-table encoder (_lzw_encode — dynamic code widths, the
+    stream shape every real encoder emits). With ``interlaced=True``
+    the image descriptor sets the interlace flag and the rows are
+    emitted in the 4-pass Haeberli schedule — the round-trip partner
+    for decode_gif_pixels' _deinterlace. Any GIF reader opens it;
+    decode_gif_pixels gets the exact index stream back in display
+    order."""
     pix = (content or b"\x00") * ((width * height) // max(len(content), 1) + 1)
     idx = pix[: width * height]
+    if interlaced:
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(start, height, step)]
+        idx = b"".join(idx[r * width: (r + 1) * width] for r in order)
     header = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     palette = bytes(v for g in range(256) for v in (g, g, g))
-    descriptor = b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
-    # LZW stream: 8-bit min code size, 9-bit codes, clear before each
-    # pixel so the table never grows past the static entries
+    descriptor = b"\x2C" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0
+    )
     min_code = 8
-    clear, eoi = 256, 257
-    acc = nbits = 0
-    stream = bytearray()
-
-    def emit(code: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += 9
-        while nbits >= 8:
-            stream.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    for px in idx:
-        emit(clear)
-        emit(px)
-    emit(eoi)
-    if nbits:
-        stream.append(acc & 0xFF)
+    stream = _lzw_encode(bytes(idx), min_code)
     blocks = bytearray([min_code])
     for off in range(0, len(stream), 255):
         chunk = stream[off: off + 255]
@@ -536,6 +587,11 @@ def decode_wav_samples(payload: bytes) -> dict | None:
                 fmt = struct.unpack("<HHIIHH", b[i + 8: i + 24])
             elif cid == b"data":
                 data = b[i + 8: i + 8 + csz]
+                if len(data) < csz:
+                    # declared size extends past the container: the
+                    # documented fall-back-not-crash contract is None,
+                    # not stats over silently truncated PCM
+                    return None
             i += 8 + csz + (csz & 1)
         if fmt is None or data is None:
             return None

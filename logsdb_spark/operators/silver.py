@@ -165,6 +165,57 @@ def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
     return names[0], names[1]
 
 
+def gif_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIF fixture corpus as a MATERIALIZED parquet of (doc_id,
+    payload) blobs — written once per (dataset, source mtime) under
+    the silver root, exactly like silver_events / the bucketed
+    orderkey tables.
+
+    Why a layout and not an inline mapInPandas: in production the
+    blobs ARE the stored input (nobody re-encodes their images per
+    query) — a decode benchmark that synthesizes its corpus inside
+    the timed query measures the pure-Python LZW *encoder*, not the
+    engine. Materializing mirrors how every other fixture-derived
+    layout works here (silver/bucketed: paid once, untimed), so
+    multimodal_gif_pixel_stats times the decode path only. The write
+    itself runs the same parallel synthesize_gifs kernel, so a cold
+    cache costs one Arrow pass; later sessions just read parquet."""
+    from .multimodal import synthesize_gifs
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .scale import widen_for_compute
+
+    _pin_session_confs(spark)
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    mtime = _source_mtime(os.path.join(sf_dir, "documents.parquet"))
+    # _v2: fixture version (growing-table LZW streams) — bumping the
+    # suffix invalidates layouts encoded by an older build_gif, since
+    # the mtime key only tracks the SOURCE
+    target = os.path.join(_SILVER_ROOT, f"gif_{digest}_{mtime}_v2")
+    if not os.path.isdir(target):
+        _ensure_silver_root()
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents"), spark
+        )
+        tmp = f"{target}.tmp.{os.getpid()}"
+        synthesize_gifs(docs).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        for d in os.listdir(_SILVER_ROOT):
+            if (d.startswith(f"gif_{digest}_")
+                    and d != os.path.basename(target)
+                    and ".tmp." not in d):
+                shutil.rmtree(os.path.join(_SILVER_ROOT, d),
+                              ignore_errors=True)
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return spark.read.schema(schema).parquet(target)
+
+
 def last_day_silver(spark: SparkSession, sf_dir: str,
                     days: int = 1) -> DataFrame:
     """The P2 daily window over the date-partitioned silver: the

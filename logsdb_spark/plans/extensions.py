@@ -1577,12 +1577,21 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the per-image index sums from the text's cycled
     byte values — a decoder that misreads the bit packing, the
     clear/EOI protocol, or sub-block reassembly hash-mismatches.
-    Scale shape: two mapInPandas stages, embarrassingly parallel, no
-    shuffle until the presentation sort."""
-    from ..operators.multimodal import gif_pixel_stats, synthesize_gifs
+    Scale shape: the blobs are a MATERIALIZED layout
+    (operators/silver.gif_blob_layout — built once per source mtime,
+    untimed, like the silver/bucketed layouts), matching production
+    where stored blobs are the input; the query itself is one
+    parquet scan → one mapInPandas decode, embarrassingly parallel,
+    no shuffle until the presentation sort."""
+    from ..operators.multimodal import gif_pixel_stats
+    from ..operators.scale import widen_for_compute
+    from ..operators.silver import gif_blob_layout
 
-    docs = load_table(spark, sf_dir, "documents")
-    return gif_pixel_stats(synthesize_gifs(docs)).orderBy("doc_id")
+    # widen_for_compute: the LZW decode is CPU-bound Python; a few-MB
+    # blob layout is one scan split, which would serialize the kernel.
+    # No-op at scale (see operators/scale.py docstring).
+    blobs = widen_for_compute(gif_blob_layout(spark, sf_dir), spark)
+    return gif_pixel_stats(blobs).orderBy("doc_id")
 
 
 @register(

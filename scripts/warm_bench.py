@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, TRACKED_EXTRAS  # noqa: E402
 from logsdb_spark.registry import all_queries  # noqa: E402
 from logsdb_spark.session import get_spark  # noqa: E402
 
@@ -29,7 +29,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     out = {}
-    for name in HEADLINE:
+    for name in HEADLINE + TRACKED_EXTRAS:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()

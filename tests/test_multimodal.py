@@ -379,6 +379,24 @@ def test_decode_gif_pixels_real_container():
     assert decode_gif_pixels(g[:40]) is None
 
 
+def test_decode_gif_pixels_interlaced():
+    """Interlaced GIFs decode to DISPLAY row order: build_gif emits
+    the rows in the 4-pass Haeberli schedule with the interlace flag
+    set, and decode_gif_pixels must hand back the same pixels as the
+    non-interlaced encoding of the same content — byte-identical
+    after de-interlacing. Heights crossing each pass boundary (1, 2,
+    3, 5, 8, 9, 17) pin the row-schedule arithmetic."""
+    from logsdb_spark.operators.multimodal import build_gif, decode_gif_pixels
+
+    content = b"the quick brown fox jumps over the lazy dog"
+    for w, h in ((11, 17), (7, 8), (5, 9), (3, 5), (4, 3), (6, 2), (9, 1)):
+        plain = decode_gif_pixels(build_gif(w, h, content))
+        inter = decode_gif_pixels(build_gif(w, h, content, interlaced=True))
+        assert inter is not None, (w, h)
+        assert inter["pixels"] == plain["pixels"], (w, h)
+        assert (inter["width"], inter["height"]) == (w, h)
+
+
 def test_decode_wav_samples_signed_and_padded():
     """decode_wav_samples must interpret PCM as SIGNED little-endian
     int16 (a high byte >= 0x80 is negative — byte arithmetic alone
@@ -426,6 +444,11 @@ def test_decode_wav_samples_signed_and_padded():
     assert decode_wav_samples(bad) is None
     assert decode_wav_samples(b"junk") is None
     assert decode_wav_samples(build_wav(1, 8000, 16, b"xy")[:20]) is None
+
+    # a data chunk whose DECLARED size exceeds the remaining bytes is
+    # a truncated container → None, never stats over partial PCM
+    whole = build_wav(1, 8000, 16, pcm)
+    assert decode_wav_samples(whole[:-2]) is None
 
 
 def test_extract_media_headers_kernel_parity(spark):
