@@ -74,11 +74,14 @@ HEADLINE = [
     # measurable; the silver-routed default is the a1 entry at top.)
     "a1_top_event_types_monolithic",
     "multimodal_real_headers",
-    # round-5 additions: bucketed-layout routing for the remaining
-    # orders⋈lineitem passes (the orderkey shuffle paid at layout
-    # time, zero fact-scale Exchanges per query)
-    "tpch_q21_bucketed",
-    "tpch_q12_bucketed",
+    # round-6: the bucketed layout is the DEFAULT route for
+    # q3/q4/q12/q18/q21 (the plain names above now plan the
+    # exchange-free bucket-local join; r5's q21_bucketed/q12_bucketed
+    # timings continue under the default names). The monolithic
+    # baselines below keep the layout win measurable — q21_monolithic
+    # times the plan r5 benched as tpch_q21_waiting_suppliers.
+    "tpch_q21_monolithic",
+    "tpch_q12_late_shipments",
     # round-5: real PNG pixel + WAV sample decode (zlib IDAT + filter
     # reversal / RIFF PCM) through the Arrow kernel, oracle-gated on
     # decoded pixel/sample sums

@@ -194,8 +194,14 @@ def gif_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(_SILVER_ROOT, f"gif_{digest}_{mtime}_v2")
     if not os.path.isdir(target):
         _ensure_silver_root()
+        # length(text) > 0 mirrors the pixel-stats oracle's WHERE: its
+        # math divides by the text length, so empty docs get no blob
+        # on either engine (multimodal_png_pixel_stats contract)
         docs = widen_for_compute(
-            load_table(spark, sf_dir, "documents"), spark
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
         )
         tmp = f"{target}.tmp.{os.getpid()}"
         synthesize_gifs(docs).write.mode("overwrite").parquet(tmp)

@@ -1489,7 +1489,7 @@ def multimodal_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id % 64 + 1 AS BIGINT) AS w,
              CAST(doc_id % 48 + 1 AS BIGINT) AS h,
              CAST(length(text) AS BIGINT) AS L
-      FROM documents WHERE doc_id % 2 = 0
+      FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0
     ),
     s AS (
       SELECT doc_id, w, h, L, w * h AS n,
@@ -1530,8 +1530,13 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle until the presentation sort."""
     from ..operators.multimodal import png_pixel_stats, synthesize_media
 
+    # length(text) > 0 on BOTH engines: the oracle's pixel math
+    # divides by the text length, so an empty doc would NULL the
+    # oracle while the decoder returns 0-sums — excluded identically
+    # here and in the oracle WHERE, a future corpus with empty docs
+    # stays hash-green instead of diverging
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 0
+        (F.col("doc_id") % 2 == 0) & (F.length("text") > 0)
     )
     return png_pixel_stats(synthesize_media(docs)).orderBy("doc_id")
 
@@ -1544,7 +1549,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(doc_id % 32 + 1 AS BIGINT) AS w,
              CAST(doc_id % 24 + 1 AS BIGINT) AS h,
              CAST(length(text) AS BIGINT) AS L
-      FROM documents
+      FROM documents WHERE length(text) > 0
     ),
     s AS (
       SELECT doc_id, w, h, L, w * h AS n,
@@ -1602,7 +1607,7 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((doc_id // 2) % 2 + 1 AS BIGINT) AS nch,
              CAST(8000 + doc_id % 4 * 4000 AS BIGINT) AS rate,
              CAST(length(text) AS BIGINT) AS L
-      FROM documents WHERE doc_id % 2 = 1
+      FROM documents WHERE doc_id % 2 = 1 AND length(text) > 0
     ),
     s AS (
       SELECT doc_id, nch, rate, L, nch * 2 AS bpf,
@@ -1653,8 +1658,11 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     presentation sort."""
     from ..operators.multimodal import synthesize_media, wav_sample_stats
 
+    # length(text) > 0 on BOTH engines — same empty-doc contract as
+    # multimodal_png_pixel_stats (the oracle's frame math divides by
+    # the text length)
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 1
+        (F.col("doc_id") % 2 == 1) & (F.length("text") > 0)
     )
     return wav_sample_stats(synthesize_media(docs)).orderBy("doc_id")
 
@@ -3465,8 +3473,11 @@ def affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-type totals table is |types| rows (broadcast), the
     basket total a LAZY 1-row aggregate cross-joined broadcast into
     the output edge (the same pattern drift_psi_value uses for its
-    median) — building this query runs no job, preserving the
-    registry's lazy-build contract. Division happens once at the
+    median) — the AGGREGATES themselves run no job at build time.
+    (Since the r5 silver routing, the FIRST build on a cold cache may
+    trigger the one-time silver_events materialization via
+    _silver_day — production writes that layout at ingest; every
+    later build is metadata-only.) Division happens once at the
     output edge, over identical integers in both engines."""
     ev = _silver_day(spark, sf_dir)
     baskets = ev.select("user_id", "day", "event_type").distinct()
@@ -3957,9 +3968,16 @@ def gate_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = loose.filter(F.col("jac") >= 0.9).select("id_a", "id_b")
     got = simhash_near_dups(docs).select("id_a", "id_b", F.lit(1).alias("_hit"))
+    # coalesce the recall sum too: with ZERO strict-truth pairs the
+    # un-coalesced sum is NULL → recall_ok would be NULL while the
+    # oracle hardcodes TRUE (hash mismatch on a dup-free corpus);
+    # coalescing to 0 judges vacuously TRUE (0 >= 0.6*0), the
+    # gate_embedding_ann_linear_recall contract
     rec = truth.join(got, ["id_a", "id_b"], "left").agg(
-        F.count(F.lit(1)).alias("n_truth"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_rec_hits"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0)).alias(
+            "_rec_hits"
+        ),
     )
     # coalesce(sum, 0): a zero-pair simhash output must judge as an
     # explicit FALSE (0 >= 0.6*0 would read vacuously true; NULL would
@@ -4323,4 +4341,85 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= 2)
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "gate_substring_winnow_recall",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, GREATEST(len({_NORM_SQL}) - 33, 2)),
+                 i -> substr({_NORM_SQL}, i, 35))) AS gram
+        FROM documents
+      ) WHERE len(gram) = 35
+    ),
+    truth AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+    FROM truth
+    """,
+)
+def gate_substring_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the winnowing span dedup: every doc pair that
+    shares a verbatim run of >= k+2w-1 = 35 normalized chars must be
+    found by dedup_substring_winnow at recall >= 0.9 (measured 1.0 at
+    sf0.01: 25/25 truth pairs).
+
+    Why 35 and not the 27-char single-fingerprint bound: a shared run
+    of k+w-1 = 27 chars guarantees ONE shared fingerprint (one
+    complete winnow window), but the query's >= 2-shared-fps noise
+    filter needs TWO — guaranteed once the run spans two disjoint
+    windows, i.e. length k+2w-1. The gate therefore tests the claim
+    the operator actually makes (boilerplate/licensing runs are
+    hundreds of chars, far past 35) and also proves the hub cap (32)
+    drops no real pair on this corpus. Truth is computed EXACTLY, by
+    35-gram identity bucketing (a shared 35-run ≡ a shared 35-gram) —
+    bucket groupBy + in-bucket pair emit, no O(n²) self-join, so this
+    gate needs no plan-audit allowlist, unlike the O(n²) gate
+    baselines. Both aggregates coalesce to 0 so an empty truth set
+    judges vacuously TRUE (the gate_embedding_ann_linear_recall
+    contract); the oracle recomputes n_truth independently via the
+    same 35-gram SQL, cross-checking the ground truth itself."""
+    from ..functions.text import char_ngrams, normalize_text
+    from ..operators.scale import widen_for_compute
+
+    docs = widen_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    grams = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(char_ngrams(normalize_text("text"), 35))
+        ).alias("g"),
+    ).filter(F.length("g") == 35)
+    truth = (
+        grams.groupBy("g")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    got = dedup_substring_winnow(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("_hit")
+    )
+    return truth.join(got, ["id_a", "id_b"], "left").agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0)).alias(
+            "_hits"
+        ),
+    ).select(
+        "n_truth",
+        (F.col("_hits") >= 0.9 * F.col("n_truth")).alias("recall_ok"),
     )

@@ -117,31 +117,40 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: selective dim filter → broadcast join chain → top-k.
     customer(BUILDING) broadcasts into orders; the joined key set
     broadcasts into lineitem; TakeOrderedAndProject caps the sort at
-    k=10 so no global sort materializes."""
+    k=10 so no global sort materializes.
+
+    DEFAULT route (round 6, mirroring the round-5 silver promotion
+    for P2): the BUCKETED fact layout
+    (operators/silver.bucketed_orderkey_tables) — orders and lineitem
+    hash-bucketed + sorted by their order key, so the fact-fact spine
+    joins with NO Exchange on either side. The shuffle that dominates
+    q3/q18/q21 at 100 TB is paid once at layout time instead of per
+    query — the Spark analogue of the reference's planner ALWAYS
+    serving the query from PostgreSQL's index (core.py:60-61): layout
+    replaces index. Exchange-free join pinned in tests/
+    test_scale_ops.py::test_q3_bucketed_joins_without_exchange; the
+    monolithic bronze baseline stays registered + benched as
+    tpch_q3_monolithic."""
+    from ..operators.silver import bucketed_orderkey_tables
+
+    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
+    return _q3_plan(spark, sf_dir, spark.table(o_name), spark.table(l_name))
+
+
+@register(
+    "tpch_q3_monolithic",
+    oracle=_Q3_ORACLE,
+)
+def tpch_q3_monolithic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over the monolithic bronze parquet — the pre-layout baseline
+    kept registered (a1_top_event_types_monolithic pattern) so the
+    bucketed default's win stays measurable round over round.
+    Identical semantics and oracle to tpch_q3_shipping_priority."""
     return _q3_plan(
         spark, sf_dir,
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
-
-
-@register(
-    "tpch_q3_bucketed",
-    oracle=_Q3_ORACLE,
-)
-def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 routed through the BUCKETED fact layout
-    (operators/silver.bucketed_orderkey_tables): orders and lineitem
-    are hash-bucketed + sorted by their order key, so the fact-fact
-    spine joins with NO Exchange on either side — the shuffle that
-    dominates q3/q18/q21 at 100 TB is paid once at layout time
-    instead of per query. Identical semantics and oracle to
-    tpch_q3_shipping_priority; the exchange-free join is pinned in
-    tests/test_scale_ops.py::test_q3_bucketed_joins_without_exchange."""
-    from ..operators.silver import bucketed_orderkey_tables
-
-    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
-    return _q3_plan(spark, sf_dir, spark.table(o_name), spark.table(l_name))
 
 
 @register(
@@ -249,28 +258,29 @@ def _q4_plan(orders: DataFrame, li: DataFrame) -> DataFrame:
 
 @register("tpch_q4_order_priority", oracle=_Q4_ORACLE)
 def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 (adapted): EXISTS → left-semi join. The semi join needs
-    only (l_orderkey, l_shipdate) from lineitem — column pruning keeps
-    the probe side narrow."""
-    return _q4_plan(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-@register("tpch_q4_bucketed", oracle=_Q4_ORACLE)
-def tpch_q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 over the bucketed orderkey layout
-    (operators/silver.bucketed_orderkey_tables, shared with
-    q3/q12/q18/q21): the orders⋈lineitem semi join runs bucket-local —
-    zero fact-scale Exchanges (plan-pinned in tests/test_scale_ops.py::
+    """TPC-H Q4 (adapted): EXISTS → left-semi join. The semi join
+    needs only (l_orderkey, l_shipdate) from lineitem — column pruning
+    keeps the probe side narrow. DEFAULT route (round 6): the bucketed
+    orderkey layout (operators/silver.bucketed_orderkey_tables, shared
+    with q3/q12/q18/q21) — the semi join runs bucket-local, zero
+    fact-scale Exchanges (plan-pinned in tests/test_scale_ops.py::
     test_q4_q12_q21_bucketed_join_without_exchange); the only shuffle
-    left is the 5-row priority aggregate. Identical semantics and
-    oracle to tpch_q4_order_priority."""
+    left is the 5-row priority aggregate. Bronze baseline:
+    tpch_q4_monolithic."""
     from ..operators.silver import bucketed_orderkey_tables
 
     o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
     return _q4_plan(spark.table(o_name), spark.table(l_name))
+
+
+@register("tpch_q4_monolithic", oracle=_Q4_ORACLE)
+def tpch_q4_monolithic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 over the monolithic bronze parquet — pre-layout baseline,
+    identical semantics and oracle to tpch_q4_order_priority."""
+    return _q4_plan(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
 
 
 @register(
@@ -520,28 +530,30 @@ def _q12_plan(orders: DataFrame, li: DataFrame) -> DataFrame:
 
 @register("tpch_q12_late_shipments", oracle=_Q12_ORACLE)
 def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 (adapted — no shipmode/receiptdate columns): late-line
-    counts (shipped >30 days after order) per order priority. The join
-    predicate needs only 2 columns from each side — column pruning keeps
-    the orderkey shuffle narrow; conditional count is map-side
-    combined."""
-    return _q12_plan(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-@register("tpch_q12_bucketed", oracle=_Q12_ORACLE)
-def tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12 over the bucketed orderkey layout: the orders⋈lineitem join
-    runs bucket-local (zero fact-scale Exchanges, plan-pinned in
-    tests/test_scale_ops.py::test_q4_q12_q21_bucketed_join_without_exchange);
-    only the 5-row priority aggregate shuffles. Identical semantics
-    and oracle to tpch_q12_late_shipments."""
+    """TPC-H Q12 (adapted — no shipmode/receiptdate columns):
+    late-line counts (shipped >30 days after order) per order
+    priority. The join predicate needs only 2 columns from each side —
+    column pruning keeps both scans narrow; conditional count is
+    map-side combined. DEFAULT route (round 6): the bucketed orderkey
+    layout — the orders⋈lineitem join runs bucket-local (zero
+    fact-scale Exchanges, plan-pinned in tests/test_scale_ops.py::
+    test_q4_q12_q21_bucketed_join_without_exchange); only the 5-row
+    priority aggregate shuffles. Bronze baseline:
+    tpch_q12_monolithic."""
     from ..operators.silver import bucketed_orderkey_tables
 
     o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
     return _q12_plan(spark.table(o_name), spark.table(l_name))
+
+
+@register("tpch_q12_monolithic", oracle=_Q12_ORACLE)
+def tpch_q12_monolithic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 over the monolithic bronze parquet — pre-layout baseline,
+    identical semantics and oracle to tpch_q12_late_shipments."""
+    return _q12_plan(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
 
 
 @register(
@@ -707,30 +719,33 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (already tiny, post-filter) order totals to orders, broadcast
     customer, TakeOrderedAndProject caps at 100. Shuffle budget:
     lineitem once (the groupBy), orders once (the join) — vs two
-    lineitem scans + two orders shuffles in the textbook shape."""
+    lineitem scans + two orders shuffles in the textbook shape.
+
+    DEFAULT route (round 6): the bucketed fact layout (operators/
+    silver.bucketed_orderkey_tables) — the per-order quantity
+    aggregate reuses lineitem's bucket partitioning and the orders
+    join reuses orders', ZERO fact-scale Exchanges end to end
+    (plan-pinned in tests/test_scale_ops.py::
+    test_q18_bucketed_joins_without_exchange). Bronze baseline:
+    tpch_q18_monolithic."""
+    from ..operators.silver import bucketed_orderkey_tables
+
+    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
+    return _q18_plan(spark, sf_dir, spark.table(o_name), spark.table(l_name))
+
+
+@register(
+    "tpch_q18_monolithic",
+    oracle=_Q18_ORACLE,
+)
+def tpch_q18_monolithic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 over the monolithic bronze parquet — pre-layout baseline,
+    identical semantics and oracle to tpch_q18_large_orders."""
     return _q18_plan(
         spark, sf_dir,
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
-
-
-@register(
-    "tpch_q18_bucketed",
-    oracle=_Q18_ORACLE,
-)
-def tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18 over the bucketed fact layout (shared with tpch_q3_bucketed
-    via operators/silver.bucketed_orderkey_tables): the per-order
-    quantity aggregate reuses lineitem's bucket partitioning and the
-    orders join reuses orders' — ZERO fact-scale Exchanges end to end
-    (plan-pinned in tests/test_scale_ops.py::
-    test_q18_bucketed_joins_without_exchange). Identical semantics and
-    oracle to tpch_q18_large_orders."""
-    from ..operators.silver import bucketed_orderkey_tables
-
-    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
-    return _q18_plan(spark, sf_dir, spark.table(o_name), spark.table(l_name))
 
 
 @register(
@@ -1202,28 +1217,32 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     HashPartitioning(l_orderkey) (partitioning on a subset of the
     grouping keys satisfies ClusteredDistribution), so the plan has
     zero further fact-scale Exchanges and the fact is scanned once,
-    vs twice + a third fact-scale shuffle before."""
+    vs twice + a third fact-scale shuffle before.
+
+    DEFAULT route (round 6): the bucketed orderkey layout — even that
+    single remaining orderkey shuffle disappears; both facts arrive
+    bucket-partitioned and SORTED by the order key, so the join is a
+    bucket-local sort-merge and both stacked groupBys reuse the
+    bucket partitioning (zero fact-scale Exchanges end to end,
+    plan-pinned in tests/test_scale_ops.py::
+    test_q4_q12_q21_bucketed_join_without_exchange). The r3 probe
+    measured the pre-rewrite two-pass q21 at 2.9× wall for 10× data
+    and the single-scan form at 1.0-1.5×; the layout routing pays the
+    last fact shuffle once at layout time. Bronze baseline:
+    tpch_q21_monolithic."""
+    from ..operators.silver import bucketed_orderkey_tables
+
+    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
+    return _q21_plan(spark, sf_dir, spark.table(l_name), spark.table(o_name))
+
+
+@register("tpch_q21_monolithic", oracle=_Q21_ORACLE)
+def tpch_q21_monolithic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 over the monolithic bronze parquet — pre-layout baseline
+    (single-scan stacked-aggregation form, one orderkey shuffle),
+    identical semantics and oracle to tpch_q21_waiting_suppliers."""
     return _q21_plan(
         spark, sf_dir,
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
     )
-
-
-@register("tpch_q21_bucketed", oracle=_Q21_ORACLE)
-def tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 over the bucketed orderkey layout: the single remaining
-    per-query orderkey shuffle of the single-scan form (the
-    lineitem⋈orders join) disappears — both facts arrive
-    bucket-partitioned and SORTED by the order key, so the join is a
-    bucket-local sort-merge and both stacked groupBys reuse the bucket
-    partitioning (zero fact-scale Exchanges end to end, plan-pinned in
-    tests/test_scale_ops.py::test_q4_q12_q21_bucketed_join_without_exchange).
-    The r3 probe measured the pre-rewrite two-pass q21 at 2.9× wall for
-    10× data and the single-scan form at 1.0-1.5×; this routing removes
-    the last fact shuffle entirely, paying it once at layout time.
-    Identical semantics and oracle to tpch_q21_waiting_suppliers."""
-    from ..operators.silver import bucketed_orderkey_tables
-
-    o_name, l_name = bucketed_orderkey_tables(spark, sf_dir)
-    return _q21_plan(spark, sf_dir, spark.table(l_name), spark.table(o_name))

@@ -33,8 +33,8 @@ PICKS = {
         "Multi-join TPC-H shape: dims broadcast, fact-fact shuffles only on "
         "join keys, partial aggregation before the single exchange."
     ),
-    "tpch_q3_bucketed": (
-        "Q3 over the bucketed fact layout: orders and lineitem are "
+    "tpch_q3_shipping_priority": (
+        "Q3 (DEFAULT route since round 6) over the bucketed fact layout: orders and lineitem are "
         "hash-bucketed + sorted by their order key, so the fact-fact spine "
         "is a SortMergeJoin with ZERO hash Exchanges and the (orderkey, "
         "orderdate) aggregation reuses the bucket partitioning — the "
@@ -49,20 +49,21 @@ PICKS = {
         "array, scan-local array filter per document — the only shuffle "
         "is the token aggregate."
     ),
-    "tpch_q21_waiting_suppliers": (
-        "Single-scan Q21: lineitem and orders shuffle once each for the "
-        "join; both stacked groupBys — (l_orderkey, l_suppkey) then "
-        "l_orderkey — reuse that HashPartitioning (no further fact-scale "
-        "Exchange), and the sole late supplier's key + late-row count are "
-        "carried up the aggregation tree so the fact is never re-joined."
+    "tpch_q21_monolithic": (
+        "Single-scan Q21 over bronze (the pre-layout baseline): lineitem "
+        "and orders shuffle once each for the join; both stacked groupBys "
+        "— (l_orderkey, l_suppkey) then l_orderkey — reuse that "
+        "HashPartitioning (no further fact-scale Exchange), and the sole "
+        "late supplier's key + late-row count are carried up the "
+        "aggregation tree so the fact is never re-joined."
     ),
-    "tpch_q21_bucketed": (
-        "Q21 over the bucketed orderkey layout: even the single remaining "
+    "tpch_q21_waiting_suppliers": (
+        "Q21 (DEFAULT route since round 6) over the bucketed orderkey layout: even the single remaining "
         "orderkey shuffle disappears — both facts arrive bucket-partitioned "
         "and sorted, the join is a bucket-local SortMergeJoin, and the "
         "stacked groupBys reuse the bucket partitioning. Zero fact-scale "
         "Exchanges end to end. (Dumped with auto-broadcast disabled, as "
-        "with tpch_q3_bucketed.)"
+        "with tpch_q3_shipping_priority.)"
     ),
     "ann_ivf_kmeans": (
         "Fitted IVF: two lazy Lloyd rounds on the vec_id%2 sample (broadcast "
@@ -144,7 +145,7 @@ def main() -> None:
     # small-sf sides don't auto-broadcast (at sf0.01 everything fits
     # under the threshold, which would hide the SMJ the bucketed
     # layout exists for)
-    NO_AUTO_BROADCAST = {"tpch_q3_bucketed", "tpch_q21_bucketed"}
+    NO_AUTO_BROADCAST = {"tpch_q3_shipping_priority", "tpch_q21_waiting_suppliers"}
     for name, note in PICKS.items():
         default_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         if name in NO_AUTO_BROADCAST:

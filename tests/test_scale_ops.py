@@ -173,57 +173,60 @@ def test_daily_queries_route_through_silver(spark):
 
 
 def test_q3_bucketed_joins_without_exchange(spark, no_broadcast):
-    """tpch_q3_bucketed routes the fact-fact spine through the
-    bucketed orderkey layout: the executed plan must contain a
-    SortMergeJoin and ZERO hash-partitioning Exchanges — the orderkey
-    shuffle is paid at layout time, and even the (orderkey, orderdate)
-    aggregation reuses the bucket partitioning (alias-aware
-    propagation). The only Exchanges allowed are the 1-row cut /
-    customer broadcasts. Results must equal the plain q3."""
+    """The DEFAULT tpch_q3_shipping_priority (bucketed-routed since
+    round 6) routes the fact-fact spine through the bucketed orderkey
+    layout: the executed plan must contain a SortMergeJoin and ZERO
+    hash-partitioning Exchanges — the orderkey shuffle is paid at
+    layout time, and even the (orderkey, orderdate) aggregation reuses
+    the bucket partitioning (alias-aware propagation). The only
+    Exchanges allowed are the 1-row cut / customer broadcasts.
+    Results must equal the monolithic bronze baseline."""
     from logsdb_spark.registry import all_queries
 
     queries = all_queries()
-    bucketed = queries["tpch_q3_bucketed"](spark, SF_DIR)
+    bucketed = queries["tpch_q3_shipping_priority"](spark, SF_DIR)
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
-    plain = queries["tpch_q3_shipping_priority"](spark, SF_DIR)
+    plain = queries["tpch_q3_monolithic"](spark, SF_DIR)
     assert [tuple(r) for r in bucketed.collect()] == [
         tuple(r) for r in plain.collect()
     ]
 
 
 def test_q18_bucketed_joins_without_exchange(spark, no_broadcast):
-    """tpch_q18_bucketed: the per-order quantity aggregate reuses
-    lineitem's bucket partitioning and the orders join reuses orders'
-    — zero fact-scale hash Exchanges, results equal the plain q18."""
+    """The DEFAULT tpch_q18_large_orders (bucketed-routed since round
+    6): the per-order quantity aggregate reuses lineitem's bucket
+    partitioning and the orders join reuses orders' — zero fact-scale
+    hash Exchanges, results equal the monolithic baseline."""
     from logsdb_spark.registry import all_queries
 
     queries = all_queries()
-    bucketed = queries["tpch_q18_bucketed"](spark, SF_DIR)
+    bucketed = queries["tpch_q18_large_orders"](spark, SF_DIR)
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
-    plain = queries["tpch_q18_large_orders"](spark, SF_DIR)
+    plain = queries["tpch_q18_monolithic"](spark, SF_DIR)
     assert [tuple(r) for r in bucketed.collect()] == [
         tuple(r) for r in plain.collect()
     ]
 
 
 def test_q4_q12_q21_bucketed_join_without_exchange(spark, no_broadcast):
-    """Round-5 routing: q4/q12/q21 over the bucketed orderkey layout
-    must join orders⋈lineitem bucket-locally — NO Exchange may touch a
-    fact-scale relation. The only hash Exchanges allowed are the
-    post-join dimension-sized aggregates (5 priority rows / supplier
-    names); those are recognizable by partitioning on the agg key, not
-    the order key. Results must equal the plain variants row-for-row."""
+    """Round-6 promotion: the DEFAULT q4/q12/q21 names route through
+    the bucketed orderkey layout and must join orders⋈lineitem
+    bucket-locally — NO Exchange may touch a fact-scale relation. The
+    only hash Exchanges allowed are the post-join dimension-sized
+    aggregates (5 priority rows / supplier names); those are
+    recognizable by partitioning on the agg key, not the order key.
+    Results must equal the monolithic baselines row-for-row."""
     from logsdb_spark.registry import all_queries
 
     queries = all_queries()
     for bkt, plain in (
-        ("tpch_q4_bucketed", "tpch_q4_order_priority"),
-        ("tpch_q12_bucketed", "tpch_q12_late_shipments"),
-        ("tpch_q21_bucketed", "tpch_q21_waiting_suppliers"),
+        ("tpch_q4_order_priority", "tpch_q4_monolithic"),
+        ("tpch_q12_late_shipments", "tpch_q12_monolithic"),
+        ("tpch_q21_waiting_suppliers", "tpch_q21_monolithic"),
     ):
         df = queries[bkt](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
