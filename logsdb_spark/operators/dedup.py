@@ -687,3 +687,46 @@ def containment_near_dups(docs: DataFrame, text_col: str = "text",
             F.round(c_ba, 4).alias("c_ba"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact shared-run ground truth (for the winnowing span-dedup gate/probe)
+# ---------------------------------------------------------------------------
+
+
+def shared_run_pairs(docs: DataFrame, run_len: int = 35,
+                     text_col: str = "text") -> DataFrame:
+    """EXACT pairs of docs sharing a verbatim normalized character run
+    of length >= ``run_len`` — the ground truth the winnowing span
+    dedup (dedup_substring_winnow) is judged against. A shared run of
+    length L >= run_len contains a shared run_len-gram, and a shared
+    run_len-gram IS a shared run — so identity bucketing on distinct
+    run_len-grams (one groupBy + in-bucket pair emit, the same shape
+    as every LSH path here; no O(n²) self-join) computes the truth
+    exactly. Cost is run_len bytes of gram explode per input char —
+    fine for gate/probe scales; the PRODUCTION span path remains
+    winnowing, whose index is ~2/(w+1) sparse."""
+    from ..functions.text import char_ngrams, normalize_text
+
+    grams = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(char_ngrams(normalize_text(text_col), run_len))
+        ).alias("g"),
+    ).filter(F.length("g") == run_len)
+    return (
+        grams.groupBy("g")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )

@@ -48,6 +48,21 @@ from ..registry import register
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
+def _widened(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """load_table + operators/scale.widen_for_compute: the corpus
+    tables (documents/embeddings) are small files locally — 1-4 scan
+    splits — while the dedup/ANN/decode pipelines over them are
+    CPU-bound per row, so the scan partitioning would serialize the
+    compute stage on a 32-thread pool. widen_for_compute round-robins
+    up to cluster parallelism ONLY in that small-file regime and is a
+    structural no-op at 100 TB (see its docstring). Used by the
+    compute-heavy corpus queries; cheap scan-local queries keep the
+    plain load."""
+    from ..operators.scale import widen_for_compute
+
+    return widen_for_compute(load_table(spark, sf_dir, table), spark)
+
+
 def _silver_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events via the DATE-PARTITIONED silver with ``day`` = the
     event_date partition column — the round-5 default routing for every
@@ -114,7 +129,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs coincide exactly. At 100 TB only the LSH path is viable:
     the shuffle key is (band, band_hash) and bucket sizes stay bounded
     by true dup-group size."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _widened(spark, sf_dir, "documents")
     return minhash_near_dups(docs, threshold=0.6).orderBy("id_a", "id_b")
 
 
@@ -161,7 +176,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE — a genuinely iterative algorithm hash-gated end-to-end."""
     from ..operators.dedup import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _widened(spark, sf_dir, "documents")
     pairs = minhash_near_dups(docs, threshold=0.6)
     return connected_components(pairs).orderBy("doc_id")
 
@@ -859,7 +874,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).
     Output depends on xxhash64 bit patterns — not SQL-oracle-expressible;
     verified in tests/test_dedup.py against the jaccard ground truth."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _widened(spark, sf_dir, "documents")
     return simhash_near_dups(docs).orderBy("id_a", "id_b")
 
 
@@ -970,7 +985,7 @@ def dedup_embedding_ann_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/similarity.py:ivf_cell_near_dups for the analysis."""
     from ..operators.similarity import ivf_cell_near_dups
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _widened(spark, sf_dir, "embeddings")
     return ivf_cell_near_dups(
         emb, threshold=0.4, n_assign=2
     ).orderBy("id_a", "id_b")
@@ -1032,7 +1047,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
     from ..operators.similarity import ivf_cell_near_dups
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _widened(spark, sf_dir, "embeddings")
     pairs = ivf_cell_near_dups(emb, threshold=0.4, n_assign=2)
     comps = connected_components(pairs)
     return (
@@ -1107,7 +1122,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the n/64 cell count and top-2 multi-assignment exactly."""
     from ..operators.similarity import ivf_cell_near_dups
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _widened(spark, sf_dir, "embeddings")
     return ivf_cell_near_dups(
         emb, threshold=0.85, n_assign=2, target_cell_rows=64
     ).orderBy("id_a", "id_b")
@@ -1148,7 +1163,7 @@ _KNN_ORACLE = """
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 5 probe vectors: broadcast probes across
     the corpus scan (no corpus shuffle), per-probe window top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _widened(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -1477,7 +1492,7 @@ def multimodal_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle at all until the final presentation sort."""
     from ..operators.multimodal import extract_media_headers, synthesize_media
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _widened(spark, sf_dir, "documents")
     return extract_media_headers(synthesize_media(docs)).orderBy("doc_id")
 
 
@@ -1535,7 +1550,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle while the decoder returns 0-sums — excluded identically
     # here and in the oracle WHERE, a future corpus with empty docs
     # stays hash-green instead of diverging
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = _widened(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % 2 == 0) & (F.length("text") > 0)
     )
     return png_pixel_stats(synthesize_media(docs)).orderBy("doc_id")
@@ -1661,7 +1676,7 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length(text) > 0 on BOTH engines — same empty-doc contract as
     # multimodal_png_pixel_stats (the oracle's frame math divides by
     # the text length)
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = _widened(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % 2 == 1) & (F.length("text") > 0)
     )
     return wav_sample_stats(synthesize_media(docs)).orderBy("doc_id")
@@ -1834,7 +1849,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic → oracle-gated, unlike the hyperplane-LSH variant."""
     from ..operators.similarity import ivf_ann_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _widened(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -1959,7 +1974,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8/16), ~3% at production codebook sizes (k≈4096, nprobe≈64)."""
     from ..operators.similarity import ivf_ann_topk, kmeans_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _widened(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -2090,7 +2105,7 @@ def dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts no inequality self-join survives."""
     from ..operators.dedup import char_ngram_near_dups_lsh
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _widened(spark, sf_dir, "documents")
     return char_ngram_near_dups_lsh(docs, n=3, threshold=0.8).orderBy(
         "id_a", "id_b"
     )
@@ -3698,7 +3713,7 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full scale analysis."""
     from ..operators.dedup import containment_near_dups
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _widened(spark, sf_dir, "documents")
     return containment_near_dups(docs, threshold=0.8).orderBy("id_a", "id_b")
 
 
@@ -4185,7 +4200,7 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, smaller right side."""
     from ..functions.text import normalize_text, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _widened(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokens(normalize_text("text")).alias("t")
     )
@@ -4377,40 +4392,20 @@ def gate_substring_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, i.e. length k+2w-1. The gate therefore tests the claim
     the operator actually makes (boilerplate/licensing runs are
     hundreds of chars, far past 35) and also proves the hub cap (32)
-    drops no real pair on this corpus. Truth is computed EXACTLY, by
-    35-gram identity bucketing (a shared 35-run ≡ a shared 35-gram) —
-    bucket groupBy + in-bucket pair emit, no O(n²) self-join, so this
-    gate needs no plan-audit allowlist, unlike the O(n²) gate
-    baselines. Both aggregates coalesce to 0 so an empty truth set
-    judges vacuously TRUE (the gate_embedding_ann_linear_recall
-    contract); the oracle recomputes n_truth independently via the
-    same 35-gram SQL, cross-checking the ground truth itself."""
-    from ..functions.text import char_ngrams, normalize_text
+    drops no real pair on this corpus. Truth is computed EXACTLY by
+    operators/dedup.shared_run_pairs (35-gram identity bucketing: a
+    shared 35-run ≡ a shared 35-gram) — bucket groupBy + in-bucket
+    pair emit, no O(n²) self-join, so this gate needs no plan-audit
+    allowlist, unlike the O(n²) gate baselines. Both aggregates
+    coalesce to 0 so an empty truth set judges vacuously TRUE (the
+    gate_embedding_ann_linear_recall contract); the oracle recomputes
+    n_truth independently via the same 35-gram SQL, cross-checking
+    the ground truth itself."""
+    from ..operators.dedup import shared_run_pairs
     from ..operators.scale import widen_for_compute
 
     docs = widen_for_compute(load_table(spark, sf_dir, "documents"), spark)
-    grams = docs.select(
-        "doc_id",
-        F.explode_outer(
-            F.array_distinct(char_ngrams(normalize_text("text"), 35))
-        ).alias("g"),
-    ).filter(F.length("g") == 35)
-    truth = (
-        grams.groupBy("g")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS id_a, b AS id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    truth = shared_run_pairs(docs, run_len=35)
     got = dedup_substring_winnow(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("_hit")
     )
