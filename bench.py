@@ -169,6 +169,28 @@ def warm_up(spark, sf_dir: str) -> None:
     for rep, n in enumerate((8, 64)):
         minhash_near_dups(docs(n, rep)).count()
 
+    # the winnowing lattice (nested zip_with/slice HOFs at k=20/w=8)
+    # and its explode→bucket→pair-emit consumers JIT separately from
+    # the minhash shapes — exercise them on the same tiny synthetic
+    # frame (measured: first execution at sf0.1 pays ~12 s of
+    # interpreter/codegen warm-up without this)
+    from logsdb_spark.functions.text import winnow_fingerprints
+
+    wfps = winnow_fingerprints(docs(64, 3), "doc_id", "text", k=20, w=8)
+    (
+        wfps.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 32))
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (a, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "b -> struct(a AS id_a, b AS id_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b").count().count()
+    )
+
     vecs = spark.range(64).select(
         F.col("id").alias("vec_id"),
         F.transform(

@@ -659,12 +659,17 @@ def wav_sample_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, WAV_SAMPLE_STATS_SCHEMA)
 
 
-def synthesize_gifs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def synthesize_gifs(docs: DataFrame, text_col: str = "text",
+                    interlace_odd: bool = False) -> DataFrame:
     """GIF fixture generator (companion to synthesize_media's PNG/WAV
     split): every doc's utf-8 bytes become the palette-index stream of
     a REAL LZW-encoded GIF89a, width = doc_id%32+1, height =
     doc_id%24+1 — arithmetic a SQL oracle can recompute, same contract
-    as the PNG path."""
+    as the PNG path. ``interlace_odd=True`` encodes odd-doc_id images
+    INTERLACED (4-pass row schedule + descriptor flag) — the mixed
+    corpus the de-interlace parity query reads; decoded display-order
+    pixels are identical either way, which is exactly the property
+    that query hash-gates."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -673,6 +678,7 @@ def synthesize_gifs(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     int(doc_id) % 32 + 1,
                     int(doc_id) % 24 + 1,
                     str(text).encode("utf-8"),
+                    interlaced=interlace_odd and int(doc_id) % 2 == 1,
                 )
                 for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
             ]
@@ -726,6 +732,54 @@ def gif_pixel_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
 
     return blobs.mapInPandas(stats, GIF_PIXEL_STATS_SCHEMA)
+
+
+GIF_POSITION_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_wsum", LongType()),
+    ]
+)
+
+
+def gif_pixel_position_stats(blobs: DataFrame) -> DataFrame:
+    """Per-GIF POSITION-WEIGHTED pixel statistics: px_wsum =
+    Σ (i+1)·px[i] over DISPLAY order. Unlike px_sum (permutation-
+    invariant — blind to row order), px_wsum changes if the decoder
+    hands back rows in stream order for an interlaced image, so an
+    oracle recomputing it from the cycled source bytes hash-gates the
+    _deinterlace row schedule end-to-end. Same Arrow kernel shape as
+    gif_pixel_stats; undecodable payloads yield NULL stats."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("width", "height", "n_pixels", "px_sum", "px_wsum")}
+            for p in pdf["payload"]:
+                dec = decode_gif_pixels(bytes(p) if p is not None else b"")
+                if dec is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = dec["width"] * dec["height"]
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_pixels"].append(n)
+                rows["px_sum"].append(int(arr.sum()))
+                rows["px_wsum"].append(
+                    int((arr * np.arange(1, n + 1, dtype=np.int64)).sum())
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, GIF_POSITION_STATS_SCHEMA)
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:

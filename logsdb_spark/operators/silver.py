@@ -165,7 +165,8 @@ def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
     return names[0], names[1]
 
 
-def gif_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gif_blob_layout(spark: SparkSession, sf_dir: str,
+                    interlace_odd: bool = False) -> DataFrame:
     """The GIF fixture corpus as a MATERIALIZED parquet of (doc_id,
     payload) blobs — written once per (dataset, source mtime) under
     the silver root, exactly like silver_events / the bucketed
@@ -190,8 +191,11 @@ def gif_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime = _source_mtime(os.path.join(sf_dir, "documents.parquet"))
     # _v2: fixture version (growing-table LZW streams) — bumping the
     # suffix invalidates layouts encoded by an older build_gif, since
-    # the mtime key only tracks the SOURCE
-    target = os.path.join(_SILVER_ROOT, f"gif_{digest}_{mtime}_v2")
+    # the mtime key only tracks the SOURCE. interlace_odd gets its
+    # own dir ("gifi_"): a mixed interlaced/sequential corpus for the
+    # de-interlace parity query.
+    prefix = "gifi" if interlace_odd else "gif"
+    target = os.path.join(_SILVER_ROOT, f"{prefix}_{digest}_{mtime}_v2")
     if not os.path.isdir(target):
         _ensure_silver_root()
         # length(text) > 0 mirrors the pixel-stats oracle's WHERE: its
@@ -204,13 +208,15 @@ def gif_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
         )
         tmp = f"{target}.tmp.{os.getpid()}"
-        synthesize_gifs(docs).write.mode("overwrite").parquet(tmp)
+        synthesize_gifs(docs, interlace_odd=interlace_odd).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         try:
             os.rename(tmp, target)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
         for d in os.listdir(_SILVER_ROOT):
-            if (d.startswith(f"gif_{digest}_")
+            if (d.startswith(f"{prefix}_{digest}_")
                     and d != os.path.basename(target)
                     and ".tmp." not in d):
                 shutil.rmtree(os.path.join(_SILVER_ROOT, d),

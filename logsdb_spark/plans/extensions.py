@@ -1615,6 +1615,65 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_interlaced_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 32 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 24 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id, w, h, L, w * h AS n,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+                            i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, w, h, n,
+             (n // L) * COALESCE(list_sum(bs), 0)
+               + COALESCE(list_sum(bs[1:CAST(n % L AS INTEGER)]), 0) AS px_sum,
+             COALESCE(list_sum(list_transform(
+               range(CAST(n AS INTEGER)),
+               i -> (i + 1) * bs[CAST(i % L AS INTEGER) + 1])), 0) AS px_wsum
+      FROM s
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST(px_wsum AS BIGINT) AS px_wsum
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def multimodal_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-interlace parity, hash-gated end to end: a MIXED corpus
+    (odd doc_ids encoded INTERLACED with the 4-pass Haeberli row
+    schedule + descriptor flag, even ones sequential) decoded to
+    POSITION-WEIGHTED pixel sums. px_sum is permutation-invariant —
+    it cannot see row order — so this query emits px_wsum =
+    Σ (i+1)·px[i] over display order, which the oracle recomputes
+    from the cycled source bytes assuming CORRECT display order. A
+    decoder that returns interlaced rows in stream order (skipping
+    _deinterlace) produces a different px_wsum for every odd doc_id
+    and hash-mismatches; identical oracle rows for odd and even
+    parity prove decoded output is independent of the on-wire row
+    schedule. Same scale shape as multimodal_gif_pixel_stats: blobs
+    from a materialized layout (gif_blob_layout interlace_odd=True,
+    its own dir), one widened scan, one Arrow decode kernel, no
+    shuffle until the presentation sort."""
+    from ..operators.multimodal import gif_pixel_position_stats
+    from ..operators.scale import widen_for_compute
+    from ..operators.silver import gif_blob_layout
+
+    blobs = widen_for_compute(
+        gif_blob_layout(spark, sf_dir, interlace_odd=True), spark
+    )
+    return gif_pixel_position_stats(blobs).orderBy("doc_id")
+
+
+@register(
     "multimodal_wav_sample_stats",
     oracle="""
     WITH d AS (
