@@ -118,10 +118,13 @@ PICKS = {
         "floor-division so sums are exact in any order."
     ),
     "dedup_substring_winnow": (
-        "Span-level dedup: winnowing fingerprints computed scan-locally "
-        "(staged HOF arrays), ONE fingerprint-bucket shuffle, in-bucket "
-        "pair emit (no self-join) with a hub-fingerprint cap bounding "
-        "fan-out; >= 27-char shared runs are guaranteed to collide."
+        "Span-level dedup: winnowing fingerprints computed scan-locally — "
+        "the md5 k-gram array is HOF-let-bound so it appears EXACTLY once "
+        "in the plan (test_winnow_hashes_each_gram_once pins it) — then "
+        "ONE fingerprint-bucket shuffle, in-bucket pair emit (no "
+        "self-join) with a hub-fingerprint cap bounding fan-out; "
+        ">= 27-char shared runs are guaranteed to collide, >= 35-char "
+        "runs are recall-gated at 1.0 (gate_substring_winnow_recall)."
     ),
 }
 
