@@ -236,12 +236,14 @@ def warm_up(spark, sf_dir: str) -> None:
     # only the LAYOUT (a reorganized copy of the input), never a
     # query's result.
     from logsdb_spark.operators.silver import (
-        bucketed_orderkey_tables, gif_blob_layout, silver_events,
+        bucketed_orderkey_tables, gif_blob_layout, media_blob_layout,
+        silver_events,
     )
 
     silver_events(spark, sf_dir).limit(1).count()
     bucketed_orderkey_tables(spark, sf_dir)
     gif_blob_layout(spark, sf_dir).limit(1).count()
+    media_blob_layout(spark, sf_dir).limit(1).count()
 
 
 def main() -> None:

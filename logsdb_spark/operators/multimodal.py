@@ -243,7 +243,8 @@ def extract_media_headers(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(extract, MEDIA_HEADER_SCHEMA)
 
 
-def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def synthesize_media(docs: DataFrame, text_col: str = "text",
+                     with_len: bool = False) -> DataFrame:
     """Deterministic real-media fixture generator: wraps each doc's
     utf-8 bytes into a REAL container — even doc_id → grayscale PNG
     (width = doc_id%64+1, height = doc_id%48+1), odd doc_id → PCM WAV
@@ -251,13 +252,20 @@ def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The derivation rules are simple arithmetic on doc_id/text length
     so a SQL oracle can recompute every header field the parser
     extracts — that is what upgrades the header-decode path from
-    rows-only to hash-gated (see plans/extensions.multimodal_real_headers)."""
+    rows-only to hash-gated (see plans/extensions.multimodal_real_headers).
+
+    ``with_len=True`` adds a text_len column (source char count) so a
+    MATERIALIZED blob layout can carry the stat queries' empty-doc
+    filter without re-reading the documents table."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
+            lens = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                data = str(text).encode("utf-8")
+                s = str(text)
+                data = s.encode("utf-8")
+                lens.append(len(s))
                 if doc_id % 2 == 0:
                     payloads.append(
                         build_png(int(doc_id) % 64 + 1, int(doc_id) % 48 + 1, data)
@@ -271,15 +279,20 @@ def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
                             data,
                         )
                     )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            out = {"doc_id": pdf["doc_id"], "payload": payloads}
+            if with_len:
+                out["text_len"] = lens
+            yield pd.DataFrame(out)
 
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-        ]
+    fields = [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+    if with_len:
+        fields.append(StructField("text_len", LongType()))
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, StructType(fields)
     )
-    return docs.select("doc_id", text_col).mapInPandas(synth, schema)
 
 
 def decode_png_pixels(payload: bytes) -> dict | None:

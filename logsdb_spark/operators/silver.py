@@ -165,52 +165,25 @@ def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
     return names[0], names[1]
 
 
-def gif_blob_layout(spark: SparkSession, sf_dir: str,
-                    interlace_odd: bool = False) -> DataFrame:
-    """The GIF fixture corpus as a MATERIALIZED parquet of (doc_id,
-    payload) blobs — written once per (dataset, source mtime) under
-    the silver root, exactly like silver_events / the bucketed
-    orderkey tables.
-
-    Why a layout and not an inline mapInPandas: in production the
-    blobs ARE the stored input (nobody re-encodes their images per
-    query) — a decode benchmark that synthesizes its corpus inside
-    the timed query measures the pure-Python LZW *encoder*, not the
-    engine. Materializing mirrors how every other fixture-derived
-    layout works here (silver/bucketed: paid once, untimed), so
-    multimodal_gif_pixel_stats times the decode path only. The write
-    itself runs the same parallel synthesize_gifs kernel, so a cold
-    cache costs one Arrow pass; later sessions just read parquet."""
-    from .multimodal import synthesize_gifs
-    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
-
-    from .scale import widen_for_compute
-
+def _blob_layout(spark: SparkSession, sf_dir: str, prefix: str,
+                 make_df, schema) -> DataFrame:
+    """Shared builder for MATERIALIZED blob layouts: parquet written
+    once per (dataset, source mtime) under the silver root — the same
+    atomic tmp+rename / stale-mtime-eviction contract as
+    silver_events. Why layouts and not inline synthesis: in
+    production the blobs ARE the stored input (nobody re-encodes
+    their media per query) — a decode benchmark that synthesizes its
+    corpus inside the timed query measures the Python *encoder*, not
+    the engine. The write runs the parallel Arrow kernel once; later
+    sessions just read parquet with the pinned schema."""
     _pin_session_confs(spark)
     digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     mtime = _source_mtime(os.path.join(sf_dir, "documents.parquet"))
-    # _v2: fixture version (growing-table LZW streams) — bumping the
-    # suffix invalidates layouts encoded by an older build_gif, since
-    # the mtime key only tracks the SOURCE. interlace_odd gets its
-    # own dir ("gifi_"): a mixed interlaced/sequential corpus for the
-    # de-interlace parity query.
-    prefix = "gifi" if interlace_odd else "gif"
-    target = os.path.join(_SILVER_ROOT, f"{prefix}_{digest}_{mtime}_v2")
+    target = os.path.join(_SILVER_ROOT, f"{prefix}_{digest}_{mtime}")
     if not os.path.isdir(target):
         _ensure_silver_root()
-        # length(text) > 0 mirrors the pixel-stats oracle's WHERE: its
-        # math divides by the text length, so empty docs get no blob
-        # on either engine (multimodal_png_pixel_stats contract)
-        docs = widen_for_compute(
-            load_table(spark, sf_dir, "documents").filter(
-                F.length("text") > 0
-            ),
-            spark,
-        )
         tmp = f"{target}.tmp.{os.getpid()}"
-        synthesize_gifs(docs, interlace_odd=interlace_odd).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        make_df().write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, target)
         except OSError:
@@ -221,11 +194,70 @@ def gif_blob_layout(spark: SparkSession, sf_dir: str,
                     and ".tmp." not in d):
                 shutil.rmtree(os.path.join(_SILVER_ROOT, d),
                               ignore_errors=True)
+    return spark.read.schema(schema).parquet(target)
+
+
+def gif_blob_layout(spark: SparkSession, sf_dir: str,
+                    interlace_odd: bool = False) -> DataFrame:
+    """The GIF fixture corpus as a materialized (doc_id, payload)
+    parquet (_blob_layout contract). ``interlace_odd`` gets its own
+    dir ("gifi2_"): the mixed interlaced/sequential corpus for the
+    de-interlace parity query. The "2" in the prefix is the FIXTURE
+    version (growing-table LZW streams) — bumping it invalidates
+    layouts encoded by an older build_gif, since the mtime key only
+    tracks the source. length(text) > 0 mirrors the pixel-stats
+    oracle's WHERE: its math divides by the text length, so empty
+    docs get no blob on either engine."""
+    from .multimodal import synthesize_gifs
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_gifs(docs, interlace_odd=interlace_odd)
+
     schema = StructType(
         [StructField("doc_id", LongType()),
          StructField("payload", BinaryType())]
     )
-    return spark.read.schema(schema).parquet(target)
+    prefix = ("gifi2" if interlace_odd else "gif2")
+    return _blob_layout(spark, sf_dir, prefix, make, schema).select(
+        "doc_id", "payload"
+    )
+
+
+def media_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG/WAV fixture corpus as a materialized (doc_id, payload,
+    text_len) parquet (_blob_layout contract): even doc_ids are
+    genuine PNGs, odd are PCM WAVs (synthesize_media's arithmetic
+    derivation, which the header/stat oracles recompute). ALL docs
+    get a blob — header decode is well-defined on empty content — and
+    text_len rides along so the pixel/sample STAT queries can apply
+    their empty-doc filter (their oracles divide by text length)
+    without touching the documents table again."""
+    from .multimodal import synthesize_media
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents"), spark
+        )
+        return synthesize_media(docs, with_len=True)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType()),
+         StructField("text_len", LongType())]
+    )
+    return _blob_layout(spark, sf_dir, "media", make, schema)
 
 
 def last_day_silver(spark: SparkSession, sf_dir: str,

@@ -1488,12 +1488,19 @@ def multimodal_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture derivation is plain arithmetic on (doc_id, utf-8 length),
     the DuckDB oracle recomputes every parsed field independently —
     so a parser that misreads any struct offset hash-mismatches.
-    Scale shape: two mapInPandas stages, blobs stay executor-side,
-    no shuffle at all until the final presentation sort."""
-    from ..operators.multimodal import extract_media_headers, synthesize_media
+    Scale shape: blobs come from the MATERIALIZED media layout
+    (operators/silver.media_blob_layout — built once per source
+    mtime, untimed, production's stored-blob state), then one widened
+    parquet scan → one mapInPandas header decode, no shuffle until
+    the final presentation sort."""
+    from ..operators.multimodal import extract_media_headers
+    from ..operators.scale import widen_for_compute
+    from ..operators.silver import media_blob_layout
 
-    docs = _widened(spark, sf_dir, "documents")
-    return extract_media_headers(synthesize_media(docs)).orderBy("doc_id")
+    blobs = widen_for_compute(
+        media_blob_layout(spark, sf_dir).select("doc_id", "payload"), spark
+    )
+    return extract_media_headers(blobs).orderBy("doc_id")
 
 
 @register(
@@ -1540,20 +1547,25 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     utf-8 bytes into the pixel stream, the DuckDB oracle recomputes
     every stat independently from the text (ASCII corpus: byte value =
     codepoint) — a decoder that misreads any filter, chunk offset, or
-    the zlib stream hash-mismatches. Scale shape: two mapInPandas
-    stages, embarrassingly parallel, blobs never near the driver, no
-    shuffle until the presentation sort."""
-    from ..operators.multimodal import png_pixel_stats, synthesize_media
+    the zlib stream hash-mismatches. Scale shape: blobs from the
+    MATERIALIZED media layout (operators/silver.media_blob_layout),
+    one widened scan → one mapInPandas decode, no shuffle until the
+    presentation sort. text_len > 0 on BOTH engines (the layout
+    carries the source char count): the oracle's pixel math divides
+    by the text length, so an empty doc would NULL the oracle while
+    the decoder returns 0-sums — excluded identically, a future
+    corpus with empty docs stays hash-green instead of diverging."""
+    from ..operators.multimodal import png_pixel_stats
+    from ..operators.scale import widen_for_compute
+    from ..operators.silver import media_blob_layout
 
-    # length(text) > 0 on BOTH engines: the oracle's pixel math
-    # divides by the text length, so an empty doc would NULL the
-    # oracle while the decoder returns 0-sums — excluded identically
-    # here and in the oracle WHERE, a future corpus with empty docs
-    # stays hash-green instead of diverging
-    docs = _widened(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 2 == 0) & (F.length("text") > 0)
+    blobs = widen_for_compute(
+        media_blob_layout(spark, sf_dir)
+        .filter((F.col("doc_id") % 2 == 0) & (F.col("text_len") > 0))
+        .select("doc_id", "payload"),
+        spark,
     )
-    return png_pixel_stats(synthesize_media(docs)).orderBy("doc_id")
+    return png_pixel_stats(blobs).orderBy("doc_id")
 
 
 @register(
@@ -1727,18 +1739,23 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     value from the document text (ASCII corpus: sample k =
     byte[2k] + 256*byte[2k+1], zero-padded to whole frames exactly as
     build_wav pads) — a decoder that misreads chunk offsets, the
-    sample width, or the padding hash-mismatches. Scale shape: two
-    mapInPandas stages, embarrassingly parallel, no shuffle until the
-    presentation sort."""
-    from ..operators.multimodal import synthesize_media, wav_sample_stats
+    sample width, or the padding hash-mismatches. Scale shape: blobs
+    from the MATERIALIZED media layout, one widened scan → one
+    mapInPandas decode, no shuffle until the presentation sort;
+    text_len > 0 on BOTH engines — same empty-doc contract as
+    multimodal_png_pixel_stats (the oracle's frame math divides by
+    the text length)."""
+    from ..operators.multimodal import wav_sample_stats
+    from ..operators.scale import widen_for_compute
+    from ..operators.silver import media_blob_layout
 
-    # length(text) > 0 on BOTH engines — same empty-doc contract as
-    # multimodal_png_pixel_stats (the oracle's frame math divides by
-    # the text length)
-    docs = _widened(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 2 == 1) & (F.length("text") > 0)
+    blobs = widen_for_compute(
+        media_blob_layout(spark, sf_dir)
+        .filter((F.col("doc_id") % 2 == 1) & (F.col("text_len") > 0))
+        .select("doc_id", "payload"),
+        spark,
     )
-    return wav_sample_stats(synthesize_media(docs)).orderBy("doc_id")
+    return wav_sample_stats(blobs).orderBy("doc_id")
 
 
 @register(
