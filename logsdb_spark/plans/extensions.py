@@ -4436,6 +4436,99 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_keep",
+    oracle="""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, GREATEST(len(t) - 18, 2)),
+                              i -> substr(t, i, 20)),
+               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+             ) AS hs
+      FROM norm
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) < 8 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 6),
+                                      j -> list_min(hs[j:j+7]))
+             END AS mins
+      FROM h
+    ),
+    ex AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(mins)) AS fp FROM wins
+    ),
+    ok AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM ex GROUP BY fp)
+      WHERE n BETWEEN 2 AND 32
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a
+      JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN ok ON ok.fp = a.fp
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster,
+           (COALESCE(c.cluster, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of the span dedup (Lee et al.'s pipeline
+    endpoint): winnow pair evidence (dedup_substring_winnow) resolved
+    into connected components, every document labeled with its
+    component-minimum representative and a keep/drop boolean —
+    singletons keep themselves. This is the exact-substring analogue
+    of dedup_minhash_clusters' group resolution, sharing its
+    iterative min-label propagation operator and the recursive-CTE
+    oracle pattern (a genuinely iterative algorithm hash-gated end to
+    end). Scale shape: the pair evidence is the winnow pipeline
+    (scan-local fingerprints, one bucket shuffle); components
+    propagate labels over edges only (dup-group-sized, not
+    corpus-sized); the final join is a corpus-keyed left join against
+    a dup-sized label table."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_substring_winnow(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    cluster = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            (cluster == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "gate_substring_winnow_recall",
     oracle=f"""
     WITH g AS (
