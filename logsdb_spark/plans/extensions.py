@@ -4529,6 +4529,123 @@ def dedup_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ensemble_keep",
+    oracle=f"""
+    WITH RECURSIVE mnorm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    msh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(len(toks), 2)),
+                                          i -> concat(toks[i], ' ', toks[i+1]))) AS s
+      FROM mnorm
+    ),
+    mpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM msh a JOIN msh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ),
+    wnorm AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    wh AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, GREATEST(len(t) - 18, 2)),
+                              i -> substr(t, i, 20)),
+               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+             ) AS hs
+      FROM wnorm
+    ),
+    wwins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) < 8 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 6),
+                                      j -> list_min(hs[j:j+7]))
+             END AS mins
+      FROM wh
+    ),
+    wex AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(mins)) AS fp FROM wwins
+    ),
+    wok AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM wex GROUP BY fp)
+      WHERE n BETWEEN 2 AND 32
+    ),
+    wpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wex a
+      JOIN wex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN wok ON wok.fp = a.fp
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    ),
+    allpairs AS (
+      SELECT id_a, id_b FROM mpairs UNION SELECT id_a, id_b FROM wpairs
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM allpairs
+      UNION
+      SELECT id_b, id_a FROM allpairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster,
+           (COALESCE(c.cluster, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SIGNAL dedup keep decision — the shape production
+    training-data pipelines actually run: a document is dropped if it
+    is a bag-of-words near-dup (MinHash-LSH verified jaccard ≥ 0.6)
+    OR shares a long verbatim run (winnowing span evidence) with a
+    kept document. The two edge sets are unioned into one graph and
+    resolved together — transitive across SIGNALS, not just within
+    one (A≈B by jaccard, B shares boilerplate with C ⇒ one group
+    {A,B,C}, one survivor), which per-signal dedup passes run in
+    sequence get wrong (order-dependent survivors). Oracle: both pair
+    pipelines re-derived in SQL, unioned, closed with a recursive CTE
+    — the full ensemble hash-gated end to end.
+
+    Scale shape: each evidence pipeline keeps its own bounded-bucket
+    shuffle (LSH bands / winnow fingerprint buckets); the union and
+    label propagation touch only dup-group-sized edges; the final
+    left join is corpus-keyed against a dup-sized label table."""
+    from ..operators.dedup import connected_components, minhash_near_dups
+
+    docs = _widened(spark, sf_dir, "documents")
+    mh = minhash_near_dups(docs, threshold=0.6).select("id_a", "id_b")
+    sp = dedup_substring_winnow(spark, sf_dir).select("id_a", "id_b")
+    edges = mh.unionByName(sp).distinct()
+    comp = connected_components(edges)
+    cluster = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            (cluster == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "gate_substring_winnow_recall",
     oracle=f"""
     WITH g AS (
