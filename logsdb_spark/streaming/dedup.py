@@ -54,3 +54,59 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    corpus: DataFrame,
+    source_dir: str,
+    out_dir: str,
+    threshold: float = 0.6,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming NEAR-dup flagging: each arriving micro-batch of
+    documents is probed against the STATIC corpus with the
+    broadcast-LSH incremental operator
+    (operators/dedup.minhash_near_dups_incremental) inside
+    ``foreachBatch``, and flagged (corpus_id, new_id, jac) pairs are
+    appended to a parquet sink.
+
+    This is the in-flight counterpart of the batch
+    ``dedup_incremental_batch`` query and the near-dup analogue of
+    start_dedup_stream's exact-key dedup: production ingest dedups
+    arriving shards against the existing corpus BEFORE they land, and
+    the asymmetric probe is what makes that affordable — the corpus
+    is never shuffled (its banded signature keys are probed map-side;
+    at steady state they'd be precomputed columnar), state does not
+    grow with the stream (foreachBatch recomputes only the shard
+    side), and exactly-once delivery of the flag records comes from
+    the checkpointed batch ids + idempotent parquet append. Why
+    foreachBatch and not a stream-static join: candidate generation
+    needs the banded-key EXPLODE + distinct + verify join chain,
+    which is a multi-stage batch plan per shard, exactly what
+    foreachBatch exists for."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    from ..operators.dedup import minhash_near_dups_incremental
+
+    sink = os.path.join(out_dir, "neardups")
+
+    def probe(batch: DataFrame, batch_id: int) -> None:
+        (
+            minhash_near_dups_incremental(corpus, batch, threshold=threshold)
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt/neardups"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -585,3 +585,46 @@ def test_maillog_backpressure_max_files_per_trigger(spark, tmp_path):
     # though they recur across micro-batches
     assert contacts.count() == 5
     assert contacts.count() == contacts.select("id").distinct().count()
+
+
+def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
+    """Streaming near-dup flagging (foreachBatch broadcast-LSH probe
+    against a static corpus) must flag exactly the pairs the batch
+    incremental operator finds over the same split — shard boundaries
+    cannot change the answer, because each shard is probed against the
+    STATIC corpus, never against other shards."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.dedup import minhash_near_dups_incremental
+    from logsdb_spark.streaming.dedup import start_neardup_stream
+    from logsdb_spark.streaming.ingest import run_until_drained
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+
+    src, out = tmp_path / "nsrc", tmp_path / "nout"
+    # two shard files -> two micro-batches under maxFilesPerTrigger=1
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+
+    run_until_drained(
+        start_neardup_stream(spark, corpus, str(src), str(out),
+                             max_files_per_trigger=1)
+    )
+
+    got = {
+        (r.corpus_id, r.new_id, r.jac)
+        for r in spark.read.parquet(str(out / "neardups")).collect()
+    }
+    want = {
+        (r.corpus_id, r.new_id, r.jac)
+        for r in minhash_near_dups_incremental(corpus, incoming).collect()
+    }
+    assert got == want and want, (len(got), len(want))
