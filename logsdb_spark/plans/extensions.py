@@ -1935,6 +1935,110 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+@register(
+    "ann_ivf_quantized",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    ),
+    q AS (
+      SELECT vec_id, e, nrm,
+             GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-30) AS mx
+      FROM n
+    ),
+    qq AS (
+      SELECT vec_id, e, nrm, mx,
+             list_transform(e, x -> FLOOR(127*x/mx + 0.5)) AS qv
+      FROM q
+    ),
+    cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(c.e, ct.ce), p -> p[1]*p[2]))
+                   / (c.nrm * ct.cnrm) DESC,
+                 ct.cent_id ASC) AS rn
+        FROM n c, cents ct
+      ) WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn, mx AS pmx, qv AS pqv
+               FROM qq WHERE vec_id < 5),
+    pcell AS (
+      SELECT probe_id, pe, pn, pmx, pqv, cell FROM (
+        SELECT p.probe_id, p.pe, p.pn, p.pmx, p.pqv, ct.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                 ROUND(list_sum(list_transform(list_zip(p.pe, ct.ce), x -> x[1]*x[2]))
+                       / (p.pn * ct.cnrm), 4) DESC,
+                 ct.cent_id ASC) AS rn
+        FROM probes p, cents ct
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT pc.probe_id, c.vec_id AS neighbor_id, c.e AS ce2, c.nrm AS cn2,
+             pc.pe, pc.pn,
+             CAST(list_sum(list_transform(list_zip(c.qv, pc.pqv),
+                                          x -> x[1]*x[2])) AS DOUBLE)
+               * c.mx * pc.pmx AS approx
+      FROM qq c
+      JOIN assign a ON c.vec_id = a.vec_id
+      JOIN pcell pc ON a.cell = pc.cell
+    ),
+    pool AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY approx DESC, neighbor_id ASC) AS ar
+        FROM cand
+      ) WHERE ar <= 30
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(ce2, pe), x -> x[1]*x[2]))
+                   / (cn2 * pn), 4) AS cos_sim
+      FROM pool
+    )
+    SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM ranked
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with int8-quantized candidate scoring + exact rerank —
+    the SCAN-COMPRESSION configuration of the ANN family: candidates
+    inside the probed cells are ranked by an int8 dot (4x smaller
+    reads at deployment, where the codes live columnar beside the
+    inverted lists), only the top-30 per probe touch full-precision
+    vectors for the exact-cosine rerank. Quantization is
+    floor(127·x/max|x| + 0.5) — floor, not round, because the two
+    engines' round() half-case conventions differ while floor on
+    doubles is bit-identical; the int8 dot is exact integer
+    arithmetic in both (terms < 2^21), so the ONLY floats in the
+    approx score are two deterministic multiplies. The oracle
+    re-derives quantization, cell assignment, the 30-candidate pool,
+    and the reranked top-10 — the full two-stage pipeline hash-gated.
+    tests/test_dedup_similarity.py pins output equality with the
+    unquantized ivf_ann_topk at these parameters (the pool always
+    recovers the exact top-k on 64-dim vectors)."""
+    from ..operators.similarity import ivf_ann_topk_quantized
+
+    emb = _widened(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = ivf_ann_topk_quantized(emb, probes, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    ).orderBy("probe_id", "rank")
+
+
 _KMEANS_CENTS_SQL = """
     v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -366,3 +366,36 @@ def test_containment_exact_threshold_boundary(spark):
     got = {(r.id_a, r.id_b): r.c_ab
            for r in containment_near_dups(docs, threshold=0.8).collect()}
     assert got == {(1, 2): 0.8}, got
+
+
+def test_ivf_quantized_matches_exact_topk(spark):
+    """The int8-quantized IVF path must return EXACTLY the unquantized
+    ivf_ann_topk output at the registered parameters: the 30-candidate
+    approx pool has to recover the true top-10 (quantization error on
+    64-dim vectors is far smaller than the cosine gaps at these
+    ranks), and the exact-cosine rerank then orders them identically."""
+    from logsdb_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_quantized,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    exact = [
+        tuple(r)
+        for r in ivf_ann_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
+        .orderBy("probe_id", "rank")
+        .collect()
+    ]
+    quant = [
+        tuple(r)
+        for r in ivf_ann_topk_quantized(
+            emb, probes, k=10, n_centroids=16, nprobe=4
+        )
+        .orderBy("probe_id", "rank")
+        .collect()
+    ]
+    assert quant == exact and len(exact) == 50
