@@ -104,6 +104,9 @@ TRACKED_EXTRAS = [
     # sqrt-cells coverage config of dedup_embedding_ann (the linear
     # target-cell config is the HEADLINE entry)
     "dedup_embedding_ann_coverage",
+    # int8-codes + exact-rerank config of the IVF ANN (ann_ivf is the
+    # HEADLINE entry)
+    "ann_ivf_quantized",
 ]
 
 
