@@ -776,3 +776,60 @@ def test_boilerplate_strip_matches_python_reference(spark, texts):
     )
     for r in got_rows:
         assert r.clean_text == want[r.doc_id][0], (r.doc_id, r.clean_text)
+
+
+# ---------------------------------------------------------------------------
+# Media decoder fall-back-not-crash fuzz: the documented contract is
+# "dict or None, never raise" for arbitrary bytes — the property a
+# 100 TB blob scan depends on, where one malformed file must not kill
+# a task. Pure-Python kernels, so no Spark job needed per example.
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_media_decoders_never_raise_on_junk(payload):
+    from logsdb_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        decode_wav_samples,
+        parse_media_header,
+    )
+
+    for fn in (parse_media_header, decode_png_pixels, decode_gif_pixels,
+               decode_wav_samples):
+        out = fn(payload)
+        assert out is None or isinstance(out, dict)
+
+
+@given(st.integers(min_value=0, max_value=4096), st.binary(max_size=64),
+       st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_media_decoders_never_raise_on_truncated_real(cut, content, interlaced):
+    """Truncations and bit-flips of REAL containers (the harder fuzz
+    surface: valid magic + plausible structure, then a cliff)."""
+    from logsdb_spark.operators.multimodal import (
+        build_gif,
+        build_png,
+        build_wav,
+        decode_gif_pixels,
+        decode_png_pixels,
+        decode_wav_samples,
+    )
+
+    blobs = [
+        build_png(9, 7, content),
+        build_gif(9, 7, content, interlaced=interlaced),
+        build_wav(1, 8000, 16, content),
+    ]
+    for blob, fn in zip(
+        blobs, (decode_png_pixels, decode_gif_pixels, decode_wav_samples)
+    ):
+        t = blob[: min(cut, len(blob))]
+        out = fn(t)
+        assert out is None or isinstance(out, dict)
+        if len(t) > 20:
+            flipped = bytearray(t)
+            flipped[len(t) // 2] ^= 0xFF
+            out2 = fn(bytes(flipped))
+            assert out2 is None or isinstance(out2, dict)
