@@ -263,7 +263,11 @@ def synthesize_media(docs: DataFrame, text_col: str = "text",
             payloads = []
             lens = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                s = str(text)
+                # NULL text is EMPTY text, not the 4-char string
+                # "None": text_len must be 0 so the layouts' text_len
+                # > 0 filter excludes the row exactly as the oracles'
+                # length(text) > 0 does (length(NULL) is NULL ⇒ drop).
+                s = "" if text is None else str(text)
                 data = s.encode("utf-8")
                 lens.append(len(s))
                 if doc_id % 2 == 0:
@@ -690,7 +694,7 @@ def synthesize_gifs(docs: DataFrame, text_col: str = "text",
                 build_gif(
                     int(doc_id) % 32 + 1,
                     int(doc_id) % 24 + 1,
-                    str(text).encode("utf-8"),
+                    ("" if text is None else str(text)).encode("utf-8"),
                     interlaced=interlace_odd and int(doc_id) % 2 == 1,
                 )
                 for doc_id, text in zip(pdf["doc_id"], pdf[text_col])

@@ -63,7 +63,8 @@ def bucketed_join(
 
 
 def widen_for_compute(df: DataFrame, spark: SparkSession,
-                      min_parts: int | None = None) -> DataFrame:
+                      min_parts: int | None = None,
+                      cache_key: tuple | None = None) -> DataFrame:
     """Round-robin repartition a COMPUTE-heavy frame up to cluster
     parallelism — only when the scan yielded fewer splits than cores.
 
@@ -75,9 +76,31 @@ def widen_for_compute(df: DataFrame, spark: SparkSession,
     is a structural NO-OP (the partition count check short-circuits,
     no Exchange is added); it only fires in the small-file regime,
     where the round-robin shuffle moves kilobytes. This is the
-    compute-side dual of compact_parquet's scan-side sizing."""
+    compute-side dual of compact_parquet's scan-side sizing.
+
+    ``cache_key``: the split-count probe (``df.rdd.getNumPartitions()``)
+    forces an analyzed-plan→RDD conversion — cheap once, but the query
+    library builds ~15 widened frames per run. Callers that know their
+    frame's scan identity (source dir + table + mtime) pass it here and
+    the probe runs once per (session, key), stored in the same
+    session-LRU as catalog._TABLE_CACHE so it is evicted with the
+    session and self-invalidates when the mtime component changes.
+    Narrow transforms on top of the scan (select/filter/withColumn)
+    preserve the split count, so one probe is valid for every frame
+    built over the same files."""
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    n = None
+    cache = None
+    if cache_key is not None:
+        from ..catalog import _session_cache
+
+        cache = _session_cache(spark)
+        n = cache.get(("_nsplits",) + cache_key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if cache is not None:
+            cache[("_nsplits",) + cache_key] = n
+    if n >= target:
         return df
     return df.repartition(target)
 

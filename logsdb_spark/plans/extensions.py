@@ -58,9 +58,33 @@ def _widened(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     structural no-op at 100 TB (see its docstring). Used by the
     compute-heavy corpus queries; cheap scan-local queries keep the
     plain load."""
+    import os as _os
+
+    from ..catalog import _source_mtime
     from ..operators.scale import widen_for_compute
 
-    return widen_for_compute(load_table(spark, sf_dir, table), spark)
+    mtime = _source_mtime(_os.path.join(sf_dir, f"{table}.parquet"))
+    return widen_for_compute(
+        load_table(spark, sf_dir, table), spark,
+        cache_key=(sf_dir, table, mtime),
+    )
+
+
+def _widened_layout(spark: SparkSession, sf_dir: str, df: DataFrame,
+                    prefix: str) -> DataFrame:
+    """widen_for_compute for a MATERIALIZED blob layout frame: the
+    probe cache key is (sf_dir, layout prefix, documents mtime) — the
+    same key components that name the layout dir (operators/silver
+    _blob_layout), so a regenerated source re-probes the new layout."""
+    import os as _os
+
+    from ..catalog import _source_mtime
+    from ..operators.scale import widen_for_compute
+
+    mtime = _source_mtime(_os.path.join(sf_dir, "documents.parquet"))
+    return widen_for_compute(
+        df, spark, cache_key=(sf_dir, f"_layout_{prefix}", mtime)
+    )
 
 
 def _silver_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1494,11 +1518,12 @@ def multimodal_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan → one mapInPandas header decode, no shuffle until
     the final presentation sort."""
     from ..operators.multimodal import extract_media_headers
-    from ..operators.scale import widen_for_compute
     from ..operators.silver import media_blob_layout
 
-    blobs = widen_for_compute(
-        media_blob_layout(spark, sf_dir).select("doc_id", "payload"), spark
+    blobs = _widened_layout(
+        spark, sf_dir,
+        media_blob_layout(spark, sf_dir).select("doc_id", "payload"),
+        "media",
     )
     return extract_media_headers(blobs).orderBy("doc_id")
 
@@ -1556,14 +1581,14 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decoder returns 0-sums — excluded identically, a future
     corpus with empty docs stays hash-green instead of diverging."""
     from ..operators.multimodal import png_pixel_stats
-    from ..operators.scale import widen_for_compute
     from ..operators.silver import media_blob_layout
 
-    blobs = widen_for_compute(
+    blobs = _widened_layout(
+        spark, sf_dir,
         media_blob_layout(spark, sf_dir)
         .filter((F.col("doc_id") % 2 == 0) & (F.col("text_len") > 0))
         .select("doc_id", "payload"),
-        spark,
+        "media_png",
     )
     return png_pixel_stats(blobs).orderBy("doc_id")
 
@@ -1616,13 +1641,13 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan → one mapInPandas decode, embarrassingly parallel,
     no shuffle until the presentation sort."""
     from ..operators.multimodal import gif_pixel_stats
-    from ..operators.scale import widen_for_compute
     from ..operators.silver import gif_blob_layout
 
-    # widen_for_compute: the LZW decode is CPU-bound Python; a few-MB
-    # blob layout is one scan split, which would serialize the kernel.
+    # widening: the LZW decode is CPU-bound Python; a few-MB blob
+    # layout is one scan split, which would serialize the kernel.
     # No-op at scale (see operators/scale.py docstring).
-    blobs = widen_for_compute(gif_blob_layout(spark, sf_dir), spark)
+    blobs = _widened_layout(spark, sf_dir, gif_blob_layout(spark, sf_dir),
+                            "gif")
     return gif_pixel_stats(blobs).orderBy("doc_id")
 
 
@@ -1676,11 +1701,11 @@ def multimodal_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFra
     its own dir), one widened scan, one Arrow decode kernel, no
     shuffle until the presentation sort."""
     from ..operators.multimodal import gif_pixel_position_stats
-    from ..operators.scale import widen_for_compute
     from ..operators.silver import gif_blob_layout
 
-    blobs = widen_for_compute(
-        gif_blob_layout(spark, sf_dir, interlace_odd=True), spark
+    blobs = _widened_layout(
+        spark, sf_dir,
+        gif_blob_layout(spark, sf_dir, interlace_odd=True), "gifi"
     )
     return gif_pixel_position_stats(blobs).orderBy("doc_id")
 
@@ -1746,14 +1771,14 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_png_pixel_stats (the oracle's frame math divides by
     the text length)."""
     from ..operators.multimodal import wav_sample_stats
-    from ..operators.scale import widen_for_compute
     from ..operators.silver import media_blob_layout
 
-    blobs = widen_for_compute(
+    blobs = _widened_layout(
+        spark, sf_dir,
         media_blob_layout(spark, sf_dir)
         .filter((F.col("doc_id") % 2 == 1) & (F.col("text_len") > 0))
         .select("doc_id", "payload"),
-        spark,
+        "media_wav",
     )
     return wav_sample_stats(blobs).orderBy("doc_id")
 
@@ -4496,12 +4521,11 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out. The oracle reproduces the md5-based hashes, the winnow
     lattice, the bucket cap, and the pair counts exactly."""
     from ..functions.text import winnow_fingerprints
-    from ..operators.scale import widen_for_compute
 
-    # widen_for_compute: the md5 k-gram stage is CPU-bound; a small
-    # parquet scan is 1-4 splits, which would serialize it. No-op at
-    # scale (see operators/scale.py docstring).
-    docs = widen_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    # widening: the md5 k-gram stage is CPU-bound; a small parquet
+    # scan is 1-4 splits, which would serialize it. No-op at scale
+    # (see operators/scale.py docstring).
+    docs = _widened(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, "doc_id", "text", k=20, w=8)
     # explode_OUTER + null filter, not plain explode: the inner explode
     # triggers InferFiltersFromGenerate, whose size(fps)>0/isnotnull
@@ -4792,9 +4816,8 @@ def gate_substring_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth independently via the same 35-gram SQL, cross-checking
     the ground truth itself."""
     from ..operators.dedup import shared_run_pairs
-    from ..operators.scale import widen_for_compute
 
-    docs = widen_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = _widened(spark, sf_dir, "documents")
     truth = shared_run_pairs(docs, run_len=35)
     got = dedup_substring_winnow(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("_hit")

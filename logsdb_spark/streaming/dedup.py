@@ -83,30 +83,49 @@ def start_neardup_stream(
     at steady state they'd be precomputed columnar), state does not
     grow with the stream (foreachBatch recomputes only the shard
     side), and exactly-once delivery of the flag records comes from
-    the checkpointed batch ids + idempotent parquet append. Why
-    foreachBatch and not a stream-static join: candidate generation
-    needs the banded-key EXPLODE + distinct + verify join chain,
-    which is a multi-stage batch plan per shard, exactly what
-    foreachBatch exists for."""
+    the checkpointed batch ids plus a write that is IDEMPOTENT PER
+    BATCH: foreachBatch is at-least-once (a crash between the sink
+    write and the checkpoint commit replays the micro-batch), so each
+    batch writes its own ``batch_id=<id>`` partition directory with
+    mode("overwrite") — a replay overwrites the same directory with
+    the same deterministic rows instead of appending them twice
+    (see _write_probe_batch). Readers of the sink get a batch_id
+    partition column for free. Why foreachBatch and not a
+    stream-static join: candidate generation needs the banded-key
+    EXPLODE + distinct + verify join chain, which is a multi-stage
+    batch plan per shard, exactly what foreachBatch exists for."""
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
 
-    from ..operators.dedup import minhash_near_dups_incremental
-
     sink = os.path.join(out_dir, "neardups")
 
     def probe(batch: DataFrame, batch_id: int) -> None:
-        (
-            minhash_near_dups_incremental(corpus, batch, threshold=threshold)
-            .write.mode("append")
-            .parquet(sink)
-        )
+        _write_probe_batch(corpus, batch, batch_id, sink, threshold)
 
     return (
         stream.writeStream.foreachBatch(probe)
         .option("checkpointLocation", os.path.join(out_dir, "_ckpt/neardups"))
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _write_probe_batch(corpus: DataFrame, batch: DataFrame, batch_id: int,
+                       sink: str, threshold: float) -> None:
+    """One micro-batch of the near-dup probe, written idempotently:
+    the flag rows land in ``<sink>/batch_id=<id>/`` with
+    mode("overwrite"), so Structured Streaming's at-least-once replay
+    of a micro-batch (crash after write, before checkpoint commit)
+    rewrites the SAME directory with the SAME deterministic rows —
+    observable output is exactly-once. Module-level (not a closure)
+    so the replay contract is directly testable: calling this twice
+    with one batch_id must equal calling it once."""
+    from ..operators.dedup import minhash_near_dups_incremental
+
+    (
+        minhash_near_dups_incremental(corpus, batch, threshold=threshold)
+        .write.mode("overwrite")
+        .parquet(os.path.join(sink, f"batch_id={batch_id}"))
     )

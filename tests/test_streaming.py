@@ -628,3 +628,39 @@ def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
         for r in minhash_near_dups_incremental(corpus, incoming).collect()
     }
     assert got == want and want, (len(got), len(want))
+
+def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the sink write
+    and the checkpoint commit replays the micro-batch. The probe's
+    per-batch partition-overwrite write must therefore be idempotent —
+    running the SAME (batch, batch_id) twice yields exactly the rows
+    of running it once, not doubled flags."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.streaming.dedup import _write_probe_batch
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    sink = str(tmp_path / "neardups")
+
+    _write_probe_batch(corpus, shard, 0, sink, 0.6)
+    once = sorted(
+        (r.corpus_id, r.new_id, r.jac)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert once, "probe found no pairs — fixture lost its planted dups"
+    # simulated replay of the SAME micro-batch id
+    _write_probe_batch(corpus, shard, 0, sink, 0.6)
+    twice = sorted(
+        (r.corpus_id, r.new_id, r.jac)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert twice == once
+    # a NEW batch id still lands alongside, in its own partition dir
+    _write_probe_batch(corpus, shard, 1, sink, 0.6)
+    both = spark.read.parquet(sink)
+    assert both.count() == 2 * len(once)
+    assert both.select("batch_id").distinct().count() == 2
