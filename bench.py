@@ -94,6 +94,12 @@ HEADLINE = [
     "quality_bigram_lm",
     # round-5: span-level dedup (winnowed substring fingerprints)
     "dedup_substring_winnow",
+    # round-6 flagships, benched from round 7 on so regressions are
+    # visible: joint MinHash ∪ winnow ensemble keep decision, span-CC
+    # keep decision, and the interlaced-GIF de-interlace parity decode
+    "dedup_ensemble_keep",
+    "dedup_substring_keep",
+    "multimodal_gif_interlaced_stats",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -239,14 +245,18 @@ def warm_up(spark, sf_dir: str) -> None:
     # only the LAYOUT (a reorganized copy of the input), never a
     # query's result.
     from logsdb_spark.operators.silver import (
-        bucketed_orderkey_tables, gif_blob_layout, media_blob_layout,
-        silver_events,
+        bucketed_orderkey_tables, gif_blob_layout, kmeans_centroid_layout,
+        media_blob_layout, silver_events,
     )
 
     silver_events(spark, sf_dir).limit(1).count()
     bucketed_orderkey_tables(spark, sf_dir)
     gif_blob_layout(spark, sf_dir).limit(1).count()
+    gif_blob_layout(spark, sf_dir, interlace_odd=True).limit(1).count()
     media_blob_layout(spark, sf_dir).limit(1).count()
+    # fitted k-means codebook (ann_ivf_kmeans's default route reads
+    # this model layout; production fits once and stores it)
+    kmeans_centroid_layout(spark, sf_dir).limit(1).count()
 
 
 def main() -> None:

@@ -47,6 +47,20 @@ N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 SHINGLE_WORDS = 2
 
+# Default per-bucket candidate cap for every ROUTED LSH/blocking dedup
+# (round-7: previously the guard existed but no route set it, so one
+# boilerplate-heavy band value on a pathological corpus would emit
+# k²/2 pairs in one collect_list row). Semantics are STAR-EDGES, not
+# drop — see lsh_candidate_pairs. 512 is ~15x the largest bucket
+# measured on the driver corpora (word 34 @ sf0.1, char 26 @ sf0.01,
+# simhash chunk 17 @ sf0.01 — tests/test_dedup_similarity.py pins the
+# margin), so the cap provably does NOT bind on the oracle-gated
+# corpora: the capped routes stay hash-identical to their brute-force
+# SQL oracles, which cannot reproduce the banding itself (DuckDB has
+# no xxhash64). On a corpus where it DOES bind, the worst bucket
+# costs k-1 star edges instead of k²/2 pairs.
+DEFAULT_MAX_BUCKET = 512
+
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: group by normalized-text fingerprint; keep min id.
@@ -149,11 +163,19 @@ def lsh_candidate_pairs(signed: DataFrame, n_bands: int = N_BANDS,
 
     ``max_bucket`` is the defensive guard for pathological corpora
     (boilerplate-heavy crawls where one band value captures a huge
-    fraction of documents): buckets above the cap are DROPPED rather
-    than exploded into k²/2 pairs. Recall loss is confined to pairs
-    whose every shared band is oversized — for boilerplate buckets
-    those are overwhelmingly false candidates anyway (the standard
-    production trade; leave None to keep exact behavior)."""
+    fraction of documents): a bucket of k > max_bucket docs emits
+    STAR edges — (min_id, other) for each other member, k-1 pairs —
+    instead of all k²/2 pairs. Why star and not drop: an oversized
+    bucket is either collision/boilerplate noise (star edges then
+    fail the exact verify — k-1 cheap rejections instead of k²/2)
+    or a genuinely huge duplicate group (star edges all VERIFY, so
+    the downstream connected-components/keep decision sees ONE
+    component exactly as the full clique would — pair-level output
+    is sparser, group-level dedup is unchanged). Candidate volume is
+    thus ≤ max(k-1, max_bucket²/2) per bucket, linear in corpus for
+    fixed cap. Leave None for exact all-pairs behavior (the oracle
+    baselines); routed queries default to DEFAULT_MAX_BUCKET, which
+    is sized to never bind on the gated corpora (see its comment)."""
     # Bands generated by one transform over a sequence (tree O(1) in
     # n_bands — same planning-cost rationale as minhash_signatures).
     bands = F.transform(
@@ -173,9 +195,7 @@ def lsh_candidate_pairs(signed: DataFrame, n_bands: int = N_BANDS,
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    pairs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
@@ -184,6 +204,17 @@ def lsh_candidate_pairs(signed: DataFrame, n_bands: int = N_BANDS,
             ),
         )
     )
+    if max_bucket is not None:
+        # star edges for oversized buckets: (min_id, other) × (k-1)
+        star = F.transform(
+            F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+            lambda y: F.struct(
+                F.col("ids")[0].alias("id_a"), y.alias("id_b")
+            ),
+        )
+        pairs = F.when(F.size("ids") <= max_bucket, all_pairs).otherwise(star)
+    else:
+        pairs = all_pairs
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -236,7 +267,8 @@ def verify_pairs(candidates: DataFrame, shingled: DataFrame,
 
 
 def minhash_near_dups(docs: DataFrame, text_col: str = "text",
-                      threshold: float = 0.6) -> DataFrame:
+                      threshold: float = 0.6,
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jac).
 
     The shingle sets feed both signature generation and the exact
@@ -251,12 +283,18 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     P(Binom(32, t) < 32·(t−0.2)) ≈ 1e-8 at t=0.8; noise pairs at
     jaccard ≤ 0.2 pass with P ≈ 1e-6 — and any that do pass are then
     removed by the exact verify, so the prefilter only ever affects
-    recall through that 1e-8 tail."""
+    recall through that 1e-8 tail.
+
+    ``max_bucket`` defaults to DEFAULT_MAX_BUCKET (round 7): the
+    routed near-dup queries are protected against a pathological
+    boilerplate band value out of the box; the cap is sized to never
+    bind on the gated corpora so the brute-force oracle parity is
+    unchanged there (margin pinned in tests)."""
     shingled = shingle_sets(docs, text_col).persist()
     signed = minhash_signatures(shingled).persist()
-    cands = estimate_jaccard(lsh_candidate_pairs(signed), signed).filter(
-        F.col("est_jac") >= threshold - 0.2
-    )
+    cands = estimate_jaccard(
+        lsh_candidate_pairs(signed, max_bucket=max_bucket), signed
+    ).filter(F.col("est_jac") >= threshold - 0.2)
     return verify_pairs(cands, shingled, threshold)
 
 
@@ -330,6 +368,81 @@ def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
         )
         .filter(F.col("jac") >= threshold)
     )
+
+
+def winnow_cross_pairs(corpus: DataFrame, new_docs: DataFrame,
+                       text_col: str = "text", k: int = 20, w: int = 8,
+                       max_fp_corpus: int = 32,
+                       min_shared: int = 2) -> DataFrame:
+    """Incremental SPAN-dedup evidence: (corpus_id, new_id, n_shared_fps)
+    pairs where an arriving document shares >= ``min_shared`` winnowing
+    fingerprints with an existing corpus document — the verbatim-run
+    counterpart of minhash_near_dups_incremental, and the second signal
+    of the streaming ensemble probe (streaming/dedup).
+
+    Same asymmetric scale shape as the MinHash incremental: the corpus
+    side computes (doc_id, fp) scan-locally (at steady state the winnow
+    index is PRECOMPUTED columnar — fps are content-derived and never
+    change); the new-batch side is shard-sized and BROADCASTS, so
+    candidates surface as a map-side probe with no corpus shuffle.
+
+    The hub cap (``max_fp_corpus``) counts CORPUS-side occupancy only —
+    deliberately, where the batch operator (dedup_substring_winnow)
+    caps the combined bucket: the corpus index is the stable reference,
+    so the probe's output is invariant under how the incoming stream is
+    sharded (a fp's batch-side occupancy depends on shard boundaries;
+    its corpus occupancy does not). On corpora where no fp sits near
+    the cap the two semantics emit identical cross pairs — pinned by
+    the streaming-ensemble parity test."""
+    from ..functions.text import winnow_fingerprints
+
+    def fp_rows(docs: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            winnow_fingerprints(docs, "doc_id", text_col, k=k, w=w)
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.explode_outer("fps").alias("fp"),
+            )
+            .filter(F.col("fp").isNotNull())
+            .distinct()
+        )
+
+    c_fp = fp_rows(corpus, "corpus_id")
+    n_fp = fp_rows(new_docs, "new_id")
+    ok = (
+        c_fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_fp_corpus)
+        .select("fp")
+    )
+    return (
+        c_fp.join(ok, "fp")
+        .join(F.broadcast(n_fp), "fp")
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def ensemble_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
+                                   text_col: str = "text",
+                                   threshold: float = 0.6) -> DataFrame:
+    """Incremental MULTI-SIGNAL dedup evidence (the streaming/ingest
+    counterpart of dedup_ensemble_keep's edge set): an arriving doc is
+    flagged against the static corpus if it is a bag-of-words near-dup
+    (MinHash-LSH broadcast probe, verified jaccard >= threshold) OR
+    shares a long verbatim run (winnowing span evidence). Returns the
+    UNION of both signals' (corpus_id, new_id) pairs — the edges a
+    downstream keep decision joins with the corpus's own components.
+    Both probes broadcast only the shard side; the corpus is scanned,
+    never shuffled."""
+    mh = minhash_near_dups_incremental(
+        corpus, new_docs, text_col, threshold
+    ).select("corpus_id", "new_id")
+    wn = winnow_cross_pairs(corpus, new_docs, text_col).select(
+        "corpus_id", "new_id"
+    )
+    return mh.unionByName(wn).distinct()
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
@@ -430,11 +543,13 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                       max_hamming: int = 3,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """SimHash near-dup: block on any shared 16-bit chunk (pigeonhole:
     hamming ≤ 3 ⇒ at least one of 4 chunks identical), verify with
-    bit_count(xor) ≤ max_hamming. ``max_bucket`` drops oversized chunk
-    buckets — same boilerplate-corpus guard as lsh_candidate_pairs."""
+    bit_count(xor) ≤ max_hamming. ``max_bucket``: oversized chunk
+    buckets emit STAR edges (min-id anchor vs rest) instead of all
+    pairs — same boilerplate-corpus guard and rationale as
+    lsh_candidate_pairs, defaulted for the routed query (round 7)."""
     sh = simhash64(docs, text_col).select("doc_id", "simhash")
     chunks = F.array(
         *[
@@ -459,9 +574,7 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ds") <= max_bucket)
-    pairs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             F.col("ds"),
             lambda x, i: F.transform(
@@ -474,6 +587,20 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
             ),
         )
     )
+    if max_bucket is not None:
+        star = F.transform(
+            F.slice(F.col("ds"), 2, F.size(F.col("ds"))),
+            lambda y: F.struct(
+                F.col("ds")[0]["doc_id"].alias("id_a"),
+                y["doc_id"].alias("id_b"),
+                F.bit_count(
+                    F.col("ds")[0]["simhash"].bitwiseXOR(y["simhash"])
+                ).alias("hamming"),
+            ),
+        )
+        pairs = F.when(F.size("ds") <= max_bucket, all_pairs).otherwise(star)
+    else:
+        pairs = all_pairs
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
@@ -515,7 +642,8 @@ ROWS_PER_BAND_CHAR = N_PERM_CHAR // N_BANDS_CHAR
 
 
 def char_ngram_near_dups_lsh(docs: DataFrame, text_col: str = "text",
-                             n: int = 3, threshold: float = 0.8) -> DataFrame:
+                             n: int = 3, threshold: float = 0.8,
+                             max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Scale path for char-n-gram Jaccard dedup: the same shingle sets
     as char_ngram_near_dups, fed through the (shingle-agnostic) MinHash
     + banded-LSH pipeline instead of the O(n²) self-join. Same output
@@ -530,7 +658,8 @@ def char_ngram_near_dups_lsh(docs: DataFrame, text_col: str = "text",
     signed = minhash_signatures(shingled, n_perm=N_PERM_CHAR).persist()
     cands = estimate_jaccard(
         lsh_candidate_pairs(
-            signed, n_bands=N_BANDS_CHAR, rows_per_band=ROWS_PER_BAND_CHAR
+            signed, n_bands=N_BANDS_CHAR, rows_per_band=ROWS_PER_BAND_CHAR,
+            max_bucket=max_bucket,
         ),
         signed,
         n_perm=N_PERM_CHAR,

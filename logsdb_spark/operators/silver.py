@@ -166,7 +166,7 @@ def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
 
 
 def _blob_layout(spark: SparkSession, sf_dir: str, prefix: str,
-                 make_df, schema) -> DataFrame:
+                 make_df, schema, src_table: str = "documents") -> DataFrame:
     """Shared builder for MATERIALIZED blob layouts: parquet written
     once per (dataset, source mtime) under the silver root — the same
     atomic tmp+rename / stale-mtime-eviction contract as
@@ -175,10 +175,12 @@ def _blob_layout(spark: SparkSession, sf_dir: str, prefix: str,
     their media per query) — a decode benchmark that synthesizes its
     corpus inside the timed query measures the Python *encoder*, not
     the engine. The write runs the parallel Arrow kernel once; later
-    sessions just read parquet with the pinned schema."""
+    sessions just read parquet with the pinned schema.
+    ``src_table`` names the source whose mtime keys the layout dir
+    (documents for the media corpora, embeddings for fitted models)."""
     _pin_session_confs(spark)
     digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    mtime = _source_mtime(os.path.join(sf_dir, "documents.parquet"))
+    mtime = _source_mtime(os.path.join(sf_dir, f"{src_table}.parquet"))
     target = os.path.join(_SILVER_ROOT, f"{prefix}_{digest}_{mtime}")
     if not os.path.isdir(target):
         _ensure_silver_root()
@@ -258,6 +260,54 @@ def media_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
          StructField("text_len", LongType())]
     )
     return _blob_layout(spark, sf_dir, "media", make, schema)
+
+
+def kmeans_centroid_layout(spark: SparkSession, sf_dir: str, k: int = 16,
+                           iters: int = 2, sample_mod: int = 2,
+                           round_dp: int = 6) -> DataFrame:
+    """The FITTED k-means codebook as a materialized (cent_id,
+    cent_vec, cnrm) parquet — the _blob_layout contract applied to a
+    MODEL instead of a blob corpus, keyed on the fit hyperparameters
+    plus the embeddings source mtime (prefix ``kmc_<k>_<iters>_
+    <sample_mod>_<round_dp>``; a regenerated source evicts stale fits
+    exactly like the media layouts).
+
+    Why: operators/similarity.kmeans_centroids is deliberately LAZY
+    (the whole unrolled Lloyd fit lives in the plan so the oracle can
+    replay it in SQL) — but lazy means every ACTION over a consuming
+    query re-executes the fit. In production the codebook is fitted
+    once and stored next to the inverted lists; this layout is that
+    state. Values are EXACTLY the lazy fit's output (one untimed
+    execution of the same plan; means are rounded to round_dp before
+    the write and doubles round-trip parquet bit-exactly), so
+    consuming queries keep their oracle hash parity: the SQL oracle
+    unrolls the identical fit. The registered ``ann_ivf_kmeans_lazy``
+    baseline keeps the in-plan form exercised."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from .scale import widen_for_compute
+    from .similarity import kmeans_centroids
+
+    def make():
+        emb = widen_for_compute(
+            load_table(spark, sf_dir, "embeddings"), spark,
+            cache_key=(sf_dir, "embeddings",
+                       _source_mtime(os.path.join(sf_dir, "embeddings.parquet"))),
+        )
+        return kmeans_centroids(
+            emb, k=k, iters=iters, sample_mod=sample_mod, round_dp=round_dp
+        )
+
+    schema = StructType([
+        StructField("cent_id", LongType()),
+        StructField("cent_vec", ArrayType(DoubleType())),
+        StructField("cnrm", DoubleType()),
+    ])
+    prefix = f"kmc_{k}_{iters}_{sample_mod}_{round_dp}"
+    return _blob_layout(spark, sf_dir, prefix, make, schema,
+                        src_table="embeddings")
 
 
 def last_day_silver(spark: SparkSession, sf_dir: str,

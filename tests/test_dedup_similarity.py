@@ -31,7 +31,7 @@ from logsdb_spark.operators.similarity import (
     lsh_ann_topk,
 )
 
-from conftest import SF_DIR
+from conftest import SF_DIR, SF_DIR_MED
 
 
 def _probes(emb):
@@ -276,9 +276,12 @@ def test_connected_components_chain_and_cliques(spark):
 
 
 def test_lsh_bucket_cap_guard(spark):
-    """max_bucket drops oversized buckets (the boilerplate-corpus
-    guard) without touching small-bucket candidates: capping at the
-    corpus size changes nothing; capping at 1 yields no candidates."""
+    """max_bucket sparsifies oversized buckets to star edges (the
+    boilerplate-corpus guard, round 7: STAR, not drop) without
+    touching small-bucket candidates: capping at the corpus size
+    changes nothing; capping at 1 turns every bucket into its star
+    set — a nonempty SUBSET of the uncapped pairs in which every
+    edge is anchored at a bucket minimum."""
     from logsdb_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -295,7 +298,11 @@ def test_lsh_bucket_cap_guard(spark):
         for r in lsh_candidate_pairs(signed, max_bucket=10**6).collect()
     }
     assert big_cap == uncapped and uncapped
-    assert lsh_candidate_pairs(signed, max_bucket=1).count() == 0
+    starred = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(signed, max_bucket=1).collect()
+    }
+    assert starred and starred <= uncapped
 
 
 def test_incremental_dedup_no_corpus_shuffle(spark):
@@ -399,3 +406,142 @@ def test_ivf_quantized_matches_exact_topk(spark):
         .collect()
     ]
     assert quant == exact and len(exact) == 50
+
+
+def test_default_bucket_cap_does_not_bind_on_gated_corpus(spark):
+    """DEFAULT_MAX_BUCKET must hold a wide margin over the largest
+    bucket any routed LSH/blocking dedup produces on the oracle-gated
+    corpus — that margin is WHY the capped defaults stay hash-identical
+    to their brute-force SQL oracles (DuckDB cannot reproduce the
+    xxhash64 banding, so the no-bind margin is the mirrored
+    guarantee). Early warning at cap/4: a fixture regen that grows
+    dup groups toward the cap fails here long before parity breaks."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        N_BANDS,
+        N_BANDS_CHAR,
+        N_PERM_CHAR,
+        ROWS_PER_BAND,
+        ROWS_PER_BAND_CHAR,
+        hashed_char_shingles,
+        minhash_signatures,
+        shingle_sets,
+        simhash64,
+    )
+
+    from logsdb_spark.operators.scale import widen_for_compute
+
+    # widen: the 128-perm char minhash is CPU-bound and the sf0.01
+    # scan is one split — serialized it costs ~3 min, widened ~30 s
+    docs = widen_for_compute(
+        load_table(spark, SF_DIR_MED, "documents"), spark
+    )
+
+    def max_band_bucket(signed, n_bands, rows_per_band):
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_idx"),
+                F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1,
+                            F.lit(rows_per_band))
+                ).alias("band_hash"),
+            ),
+        )
+        return (
+            signed.select(F.explode(bands).alias("b"))
+            .groupBy("b.band_idx", "b.band_hash")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    word = max_band_bucket(
+        minhash_signatures(shingle_sets(docs)), N_BANDS, ROWS_PER_BAND
+    )
+    char = max_band_bucket(
+        minhash_signatures(hashed_char_shingles(docs), n_perm=N_PERM_CHAR),
+        N_BANDS_CHAR,
+        ROWS_PER_BAND_CHAR,
+    )
+    chunk = (
+        simhash64(docs)
+        .select(
+            F.explode(
+                F.array(*[
+                    F.shiftrightunsigned("simhash", c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ])
+            ).alias("v")
+        )
+        .groupBy("v")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    for label, mx in (("word", word), ("char", char), ("simhash", chunk)):
+        assert mx <= DEFAULT_MAX_BUCKET // 4, (
+            f"{label} max bucket {mx} is within 4x of the "
+            f"{DEFAULT_MAX_BUCKET} cap — re-examine before parity breaks"
+        )
+
+
+def test_oversized_bucket_emits_star_edges_and_keeps_groups(spark):
+    """Pathological-corpus guard: one boilerplate value capturing a
+    bucket of k docs must cost k-1 star edges, not k²/2 pairs — and
+    the star edges must keep the GROUP-level dedup decision intact
+    (one connected component, same keep id) with full recall on
+    planted distinct twins."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_near_dups,
+        minhash_signatures,
+        shingle_sets,
+        simhash_near_dups,
+    )
+
+    k = 60  # the giant exact-dup group (cap set far below it)
+    rows = [(i, "identical boilerplate page body repeated verbatim "
+                "across the whole crawl segment") for i in range(k)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+        (200, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    signed = minhash_signatures(shingle_sets(docs))
+    capped = lsh_candidate_pairs(signed, max_bucket=16)
+    cand = capped.collect()
+    # giant group: k-1 star pairs (identical sigs → same bucket per
+    # band → identical star sets, folded by distinct); twins: 1 pair
+    giant = [r for r in cand if r.id_a < k and r.id_b < k]
+    assert len(giant) == k - 1, len(giant)
+    assert all(r.id_a == 0 for r in giant)
+    assert any({r.id_a, r.id_b} == {100, 101} for r in cand)
+    # no quadratic emission anywhere
+    assert len(cand) < 2 * k
+
+    # group-level decision parity: CC over capped verified pairs ==
+    # one component with keep id 0, twins in their own component
+    verified = minhash_near_dups(docs, threshold=0.6, max_bucket=16)
+    cc = {
+        r.doc_id: r.cluster
+        for r in connected_components(verified).collect()
+    }
+    assert {cc[i] for i in range(k)} == {0}
+    assert cc[100] == cc[101] == 100
+    assert 200 not in cc  # unique doc pairs with nothing
+
+    # simhash analogue: identical docs share all chunks; capped run
+    # keeps the group connected through the anchor
+    sh_pairs = simhash_near_dups(docs, max_bucket=16).collect()
+    sh_giant = [r for r in sh_pairs if r.id_a < k and r.id_b < k]
+    assert len(sh_giant) == k - 1
+    assert all(r.id_a == 0 for r in sh_giant)

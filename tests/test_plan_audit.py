@@ -154,3 +154,21 @@ def test_anchor_memoized_per_session_and_dir(spark):
     # a STALE mtime must miss (self-invalidation on overwrite)
     per_session[sub_key] = (mtime - 1, a1.replace(year=1999))
     assert W.table_anchor(spark, SF_DIR, "events") == a1
+
+
+def test_cohort_retention_scans_events_once(spark):
+    """cohort_retention must read the (silver) events layout exactly
+    ONCE in the final plan. The pre-round-7 broadcast-join form
+    scanned it twice — Catalyst rewrites min-over-distinct into a
+    direct min over the scan, so the firsts/activity branches never
+    shared an exchange, and the duplicate day-directory listing was
+    the measured r4→r6 bench drift (0.52 → 1.29 s). The window-min
+    form also removes the user-dimension broadcast (unbroadcastable
+    at 1e9 users)."""
+    df = REGISTRY["cohort_retention"].spark_fn(spark, SF_DIR)
+    df.collect()  # finalize AQE so ReusedExchange/scan dedup is real
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    scans = [ln for ln in final.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, f"events scanned {len(scans)}x:\n{final}"
+    assert "BroadcastExchange" not in final, final

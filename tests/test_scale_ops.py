@@ -601,3 +601,62 @@ def test_bucketed_layout_registers_without_rewrite(spark):
     }
     assert after == before, "sibling session rewrote the layout"
     assert sibling.table(l2).count() == spark.table(l_name).count()
+
+
+def test_kmeans_centroid_layout_matches_lazy_and_evicts_stale(spark, tmp_path):
+    """The materialized codebook layout must (a) hold EXACTLY the lazy
+    fit's rows — it is one untimed execution of the same deterministic
+    plan, and consuming queries' oracles replay that plan in SQL — and
+    (b) self-invalidate on a source mtime bump, evicting the stale fit
+    dir (the silver/bucketed/blob-layout contract)."""
+    import hashlib
+    import os
+    import shutil
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.silver import (
+        _SILVER_ROOT,
+        kmeans_centroid_layout,
+    )
+    from logsdb_spark.operators.similarity import kmeans_centroids
+
+    sfd = str(tmp_path)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        os.path.join(sfd, "embeddings.parquet"),
+    )
+
+    got = sorted(
+        (r.cent_id, tuple(r.cent_vec), r.cnrm)
+        for r in kmeans_centroid_layout(spark, sfd, k=8).collect()
+    )
+    want = sorted(
+        (r.cent_id, tuple(float(x) for x in r.cent_vec), r.cnrm)
+        for r in kmeans_centroids(
+            load_table(spark, sfd, "embeddings"), k=8
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    digest = hashlib.sha1(os.path.abspath(sfd).encode()).hexdigest()[:12]
+
+    def layout_dirs():
+        return sorted(
+            d for d in os.listdir(_SILVER_ROOT)
+            if d.startswith(f"kmc_8_2_2_6_{digest}_") and ".tmp." not in d
+        )
+
+    before = layout_dirs()
+    assert len(before) == 1
+
+    # bump the source mtime: next build writes a NEW dir, evicts stale
+    st = os.stat(os.path.join(sfd, "embeddings.parquet"))
+    os.utime(os.path.join(sfd, "embeddings.parquet"),
+             ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    again = sorted(
+        (r.cent_id, tuple(r.cent_vec), r.cnrm)
+        for r in kmeans_centroid_layout(spark, sfd, k=8).collect()
+    )
+    assert again == want
+    after = layout_dirs()
+    assert len(after) == 1 and after != before, (before, after)

@@ -664,3 +664,65 @@ def test_streaming_neardup_replay_is_idempotent(spark, tmp_path):
     both = spark.read.parquet(sink)
     assert both.count() == 2 * len(once)
     assert both.select("batch_id").distinct().count() == 2
+
+def test_streaming_ensemble_probe_matches_batch_edges(spark, tmp_path):
+    """The two-signal streaming probe must flag exactly the
+    (corpus, incoming) cross edges the BATCH ensemble derives over
+    the same corpus: union of MinHash-verified pairs and winnow span
+    pairs, restricted to pairs straddling the corpus/incoming split.
+    Shard boundaries cannot change the answer — each signal probes
+    the STATIC corpus only, and the winnow hub cap counts corpus
+    occupancy, not batch occupancy."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.dedup import (
+        ensemble_near_dups_incremental,
+        minhash_near_dups,
+    )
+    from logsdb_spark.plans.extensions import dedup_substring_winnow
+    from logsdb_spark.streaming.dedup import start_ensemble_stream
+    from logsdb_spark.streaming.ingest import run_until_drained
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    incoming_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+
+    src, out = tmp_path / "esrc", tmp_path / "eout"
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+
+    run_until_drained(
+        start_ensemble_stream(spark, corpus, str(src), str(out),
+                              max_files_per_trigger=1)
+    )
+    got = {
+        (r.corpus_id, r.new_id)
+        for r in spark.read.parquet(str(out / "ensemble_flags")).collect()
+    }
+
+    # shard-invariance: one-shot incremental over the whole incoming set
+    want_inc = {
+        (r.corpus_id, r.new_id)
+        for r in ensemble_near_dups_incremental(corpus, incoming).collect()
+    }
+    assert got == want_inc and got, (len(got), len(want_inc))
+
+    # batch parity: the full-corpus ensemble edge set, restricted to
+    # pairs straddling the split, oriented (corpus_id, new_id)
+    mh_all = minhash_near_dups(docs, threshold=0.6).select("id_a", "id_b")
+    wn_all = dedup_substring_winnow(spark, sf_dir).select("id_a", "id_b")
+    cross = set()
+    for r in mh_all.unionByName(wn_all).distinct().collect():
+        in_a, in_b = r.id_a in incoming_ids, r.id_b in incoming_ids
+        if in_a != in_b:
+            cross.add((r.id_b, r.id_a) if in_a else (r.id_a, r.id_b))
+    assert got == cross, (
+        len(got), len(cross), sorted(got ^ cross)[:10]
+    )
