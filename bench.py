@@ -100,6 +100,8 @@ HEADLINE = [
     "dedup_ensemble_keep",
     "dedup_substring_keep",
     "multimodal_gif_interlaced_stats",
+    # round-7: real baseline-JPEG entropy decode (Huffman + IDCT)
+    "multimodal_jpeg_pixel_stats",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -245,8 +247,8 @@ def warm_up(spark, sf_dir: str) -> None:
     # only the LAYOUT (a reorganized copy of the input), never a
     # query's result.
     from logsdb_spark.operators.silver import (
-        bucketed_orderkey_tables, gif_blob_layout, kmeans_centroid_layout,
-        media_blob_layout, silver_events,
+        bucketed_orderkey_tables, gif_blob_layout, jpeg_blob_layout,
+        kmeans_centroid_layout, media_blob_layout, silver_events,
     )
 
     silver_events(spark, sf_dir).limit(1).count()
@@ -254,6 +256,7 @@ def warm_up(spark, sf_dir: str) -> None:
     gif_blob_layout(spark, sf_dir).limit(1).count()
     gif_blob_layout(spark, sf_dir, interlace_odd=True).limit(1).count()
     media_blob_layout(spark, sf_dir).limit(1).count()
+    jpeg_blob_layout(spark, sf_dir).limit(1).count()
     # fitted k-means codebook (ann_ivf_kmeans's default route reads
     # this model layout; production fits once and stores it)
     kmeans_centroid_layout(spark, sf_dir).limit(1).count()

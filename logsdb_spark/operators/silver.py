@@ -234,6 +234,36 @@ def gif_blob_layout(spark: SparkSession, sf_dir: str,
     )
 
 
+def jpeg_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline-JPEG fixture corpus as a materialized (doc_id,
+    payload) parquet (_blob_layout contract, prefix jpg1): real
+    DC-exact baseline JPEGs whose decoded pixels a SQL oracle can
+    recompute (operators/multimodal.build_jpeg). length(text) > 0
+    mirrors the stats oracle's WHERE — block values come from the
+    text bytes, so empty docs get no blob on either engine."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .multimodal import synthesize_jpegs
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_jpegs(docs)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "jpg1", make, schema).select(
+        "doc_id", "payload"
+    )
+
+
 def media_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG/WAV fixture corpus as a materialized (doc_id, payload,
     text_len) parquet (_blob_layout contract): even doc_ids are

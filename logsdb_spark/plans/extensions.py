@@ -1731,6 +1731,67 @@ def multimodal_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_jpeg_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 40 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 28 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    g AS (
+      SELECT doc_id, text, w, h, L,
+             (w + 7) // 8 AS bw, (h + 7) // 8 AS bh
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             COALESCE(list_sum(list_transform(
+               range(0, CAST(bw * bh AS INTEGER)),
+               i -> CAST(ascii(substr(text, CAST((i % L) + 1 AS INTEGER), 1))
+                         AS BIGINT)
+                    * LEAST(8, w - 8 * (i % bw))
+                    * LEAST(8, h - 8 * (i // bw)))), 0) AS px_sum
+      FROM g
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST((10000 * px_sum) // (w * h) AS BIGINT) AS mean_pixel_e4
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, hash-gated end to end — the
+    fourth member of the real-decode family (PNG zlib+filters, GIF
+    LZW, WAV PCM, now JPEG Huffman+IDCT), closing the boundary
+    COVERAGE.md carried as out-of-scope through round 6: every doc's
+    bytes become the BLOCK-CONSTANT values of a genuine baseline
+    JPEG (build_jpeg — flat quant table, canonical Huffman DHTs,
+    DC-predicted entropy stream any reader opens), then
+    decode_jpeg_pixels runs the full marker walk, canonical-Huffman
+    entropy decode, dequantize, and float IDCT inside an
+    Arrow-batched mapInPandas kernel. DC-exact blocks make the
+    decoded pixels integer-recomputable from the text — the oracle
+    sums block values times the edge-cropped block pixel counts — so
+    a decoder that misreads the bit stream, the DC prediction, the
+    stuffing, or the IDCT scaling hash-mismatches. The nonzero-AC
+    and corrupt-stream behavior is pinned separately by the
+    independent-encoder cross-check and fuzz tests
+    (tests/test_multimodal.py). Scale shape: materialized blob
+    layout (jpeg_blob_layout), one widened scan, one Arrow decode
+    kernel, no shuffle until the presentation sort."""
+    from ..operators.multimodal import jpeg_pixel_stats
+    from ..operators.silver import jpeg_blob_layout
+
+    blobs = _widened_layout(spark, sf_dir, jpeg_blob_layout(spark, sf_dir),
+                            "jpg")
+    return jpeg_pixel_stats(blobs).orderBy("doc_id")
+
+
+@register(
     "multimodal_wav_sample_stats",
     oracle="""
     WITH d AS (

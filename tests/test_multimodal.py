@@ -479,3 +479,197 @@ def test_extract_media_headers_kernel_parity(spark):
         row = got[doc_id]
         for k, v in want.items():
             assert row[k] == v, (doc_id, k, row[k], v)
+
+
+def test_build_jpeg_roundtrip_block_exact():
+    """build_jpeg -> decode_jpeg_pixels must reproduce the
+    block-constant values exactly (the DC-exactness argument the SQL
+    oracle relies on), including partial edge blocks and the 1x1
+    degenerate image."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        build_jpeg,
+        decode_jpeg_pixels,
+        parse_media_header,
+    )
+
+    for w, h, content in [
+        (1, 1, b"A"), (8, 8, b""), (17, 9, b"hello world"),
+        (40, 28, bytes(range(256))), (7, 25, b"x"),
+        (39, 1, b"abc"), (16, 24, b"\x00\xff\x80"),
+    ]:
+        blob = build_jpeg(w, h, content)
+        hdr = parse_media_header(blob)
+        assert (hdr["fmt"], hdr["width"], hdr["height"]) == ("jpeg", w, h)
+        dec = decode_jpeg_pixels(blob)
+        got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w)
+        vals = content or b"\x00"
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        want = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for i in range(bw * bh):
+            by, bx = divmod(i, bw)
+            want[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = vals[i % len(vals)]
+        assert (got == want[:h, :w]).all(), (w, h, content)
+
+
+def _enc_jpeg_scan(blocks, dc_bits, dc_vals, ac_bits, ac_vals):
+    """INDEPENDENT second implementation of the baseline-JPEG entropy
+    encoder (the _enc_lzw build/verify pattern): given natural-order
+    8x8 integer coefficient blocks and DHT specs, emit the entropy
+    byte stream — canonical Huffman codes, DC prediction, AC run/size
+    with ZRL and EOB, MSB-first packing, 0xFF stuffing. Written from
+    the ITU T.81 text, NOT by calling the library's _BitWriter, so a
+    shared misreading of the spec cannot cancel out."""
+    zig = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    def canonical(bits, vals):
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    dc_c, ac_c = canonical(dc_bits, dc_vals), canonical(ac_bits, ac_vals)
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(v, n):
+        nonlocal acc, nbits
+        for j in range(n - 1, -1, -1):
+            acc = (acc << 1) | ((v >> j) & 1)
+            nbits += 1
+            if nbits == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0)
+                acc = nbits = 0
+
+    pred = 0
+    for blk in blocks:
+        zz = [blk[zig[k]] for k in range(64)]
+        diff = zz[0] - pred
+        pred = zz[0]
+        t = abs(diff).bit_length()
+        ln, code = dc_c[t]
+        put(code, ln)
+        if t:
+            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, 64):
+            if k > last:
+                ln, code = ac_c[0x00]  # EOB
+                put(code, ln)
+                break
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = ac_c[0xF0]  # ZRL
+                put(code, ln)
+                run -= 16
+            s = abs(zz[k]).bit_length()
+            ln, code = ac_c[(run << 4) | s]
+            put(code, ln)
+            put(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+            run = 0
+        else:
+            if last == 63:
+                pass  # block ended exactly at 63: no EOB required
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
+    return bytes(out)
+
+
+def test_decode_jpeg_against_independent_encoder_with_acs():
+    """Drive the decoder with NONZERO AC coefficients through an
+    independently written entropy encoder and richer Huffman tables:
+    decoded pixels must equal numpy's own IDCT of the same dequantized
+    blocks — Huffman decode, run/size, ZRL, EXTEND (negatives),
+    dequantization, and IDCT all cross-checked against a second
+    implementation."""
+    import struct as _s
+
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        _idct_matrix,
+        decode_jpeg_pixels,
+    )
+
+    # Huffman specs covering every symbol the streams below use:
+    # DC cats 0..11 at 4 bits; AC symbols at 8 bits (EOB, ZRL, and
+    # run/size combos for sizes 1..7, runs 0..3).
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 8)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # all AC codes 8 bits (<= 256 slots)
+    ac_vals = ac_syms
+
+    rng = np.random.RandomState(7)
+    w, h = 24, 16  # 3x2 blocks
+    q = np.array([3, 2, 2, 2, 1, 1, 1, 1] * 8, dtype=np.int64)  # zigzag q
+    blocks = []
+    for _ in range(6):
+        blk = np.zeros(64, dtype=np.int64)
+        blk[0] = int(rng.randint(-200, 200))
+        for pos in rng.choice(range(1, 64), size=9, replace=False):
+            blk[pos] = int(rng.randint(-60, 60))
+        blocks.append(blk)
+
+    scan = _enc_jpeg_scan([b.tolist() for b in blocks],
+                          dc_bits, dc_vals, ac_bits, ac_vals)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    # quant table is stored in ZIGZAG order in DQT
+    zig = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    qzz = bytes(int(q[k]) for k in range(64))  # q is zigzag-ordered
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + qzz)
+        + seg(0xC0, _s.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan + b"\xff\xd9"
+    )
+    dec = decode_jpeg_pixels(blob)
+    assert dec is not None
+    got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w)
+
+    # reference: numpy IDCT of the dequantized blocks (dequant joins
+    # coefficient k in ZIGZAG order with q[k], as T.81 specifies)
+    a = _idct_matrix()
+    want = np.zeros((h, w), dtype=np.uint8)
+    bw = w // 8
+    for i, blk in enumerate(blocks):
+        by, bx = divmod(i, bw)
+        zz = np.array([blk[zig[k]] for k in range(64)], dtype=np.float64)
+        dq = zz * q
+        nat = np.zeros(64)
+        for k in range(64):
+            nat[zig[k]] = dq[k]
+        px = a.T @ nat.reshape(8, 8) @ a + 128.0
+        want[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = np.clip(
+            np.rint(px), 0, 255
+        ).astype(np.uint8)
+    assert (got == want).all()

@@ -791,13 +791,14 @@ def test_boilerplate_strip_matches_python_reference(spark, texts):
 def test_media_decoders_never_raise_on_junk(payload):
     from logsdb_spark.operators.multimodal import (
         decode_gif_pixels,
+        decode_jpeg_pixels,
         decode_png_pixels,
         decode_wav_samples,
         parse_media_header,
     )
 
     for fn in (parse_media_header, decode_png_pixels, decode_gif_pixels,
-               decode_wav_samples):
+               decode_wav_samples, decode_jpeg_pixels):
         out = fn(payload)
         assert out is None or isinstance(out, dict)
 
@@ -810,9 +811,11 @@ def test_media_decoders_never_raise_on_truncated_real(cut, content, interlaced):
     surface: valid magic + plausible structure, then a cliff)."""
     from logsdb_spark.operators.multimodal import (
         build_gif,
+        build_jpeg,
         build_png,
         build_wav,
         decode_gif_pixels,
+        decode_jpeg_pixels,
         decode_png_pixels,
         decode_wav_samples,
     )
@@ -821,9 +824,11 @@ def test_media_decoders_never_raise_on_truncated_real(cut, content, interlaced):
         build_png(9, 7, content),
         build_gif(9, 7, content, interlaced=interlaced),
         build_wav(1, 8000, 16, content),
+        build_jpeg(9, 7, content),
     ]
     for blob, fn in zip(
-        blobs, (decode_png_pixels, decode_gif_pixels, decode_wav_samples)
+        blobs, (decode_png_pixels, decode_gif_pixels, decode_wav_samples,
+                decode_jpeg_pixels)
     ):
         t = blob[: min(cut, len(blob))]
         out = fn(t)
