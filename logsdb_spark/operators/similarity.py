@@ -188,7 +188,8 @@ def pairwise_cosine_dedup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
 def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
                        n_centroids: int | None = None,
                        n_assign: int = 2,
-                       target_cell_rows: int | None = None) -> DataFrame:
+                       target_cell_rows: int | None = None,
+                       verify: str = "hof") -> DataFrame:
     """IVF-blocked embedding near-dup: assign every vector to its
     ``n_assign`` nearest centroid cells (multi-assignment — the
     pair-generation analogue of query-side nprobe), emit candidate
@@ -293,13 +294,23 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
         emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
         "vb", "_nb",
     )
-    # Verify cost note (measured, sf0.1): the interpreted ordered-fold
-    # dot on the ~175k candidate pairs costs ~1.9 s; an Arrow
-    # pandas_udf prefilter was tried and REMOVED — serializing the
-    # pair arrays to Python costs the same ~2 s the fold does, so the
-    # vectorized kernel only breaks even in local mode while adding a
-    # Python dependency to the hot path. The fold also keeps the
-    # accumulation order bit-identical to the DuckDB oracle.
+    # Verify kernel choice (``verify``): "hof" = interpreted JVM
+    # ordered-fold dot; "arrow" = the numpy fold-identical kernel
+    # (functions/arrow_kernels.dot_arrow — same FP operation order, so
+    # the two routes are bit-identical; pinned by
+    # test_arrow_dot_bit_identical_to_hof). Measured round 7 on an
+    # idle 32-core local (this config, 3 reps): sf0.1 HOF 3.24 s vs
+    # Arrow 2.57 s (Arrow 1.26x — small-data regime, serialization
+    # hides behind idle cores); 30x corpus HOF 31.1 s vs Arrow 53.4 s
+    # warm (HOF 1.7x — the per-pair Arrow array transfer + np.stack
+    # grows linearly with candidate volume while the codegen'd fold
+    # stays in the JVM). The JVM fold is therefore the DEFAULT and
+    # what every registered query ships; "arrow" remains available
+    # for narrow-candidate workloads. See README "JVM vs Arrow".
+    if verify == "arrow":
+        from ..functions.arrow_kernels import dot_arrow as _dot
+    else:
+        _dot = dot
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -307,7 +318,7 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 4
+                _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 4
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

@@ -545,3 +545,44 @@ def test_oversized_bucket_emits_star_edges_and_keeps_groups(spark):
     sh_giant = [r for r in sh_pairs if r.id_a < k and r.id_b < k]
     assert len(sh_giant) == k - 1
     assert all(r.id_a == 0 for r in sh_giant)
+
+
+def test_arrow_dot_bit_identical_to_hof(spark):
+    """The Arrow verify kernel must be BIT-identical to the JVM
+    ordered-fold dot — functions/arrow_kernels accumulates
+    left-to-right over the dimension axis, the same FP operation
+    sequence as aggregate(zip_with) — so swapping kernels can never
+    flip a 4-decimal rounding in a hash-gated query. Compared on raw
+    unrounded doubles over every corpus pair at sf0.001."""
+    from logsdb_spark.functions.arrow_kernels import dot_arrow
+    from logsdb_spark.functions.vectors import dot
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    rows = pairs.select(
+        "id_a", "id_b",
+        dot(F.col("va"), F.col("vb")).alias("d_hof"),
+        dot_arrow(F.col("va"), F.col("vb")).alias("d_arrow"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.d_hof == r.d_arrow, (r.id_a, r.id_b, r.d_hof, r.d_arrow)
+
+
+def test_ivf_verify_kernels_agree(spark):
+    """ivf_cell_near_dups(verify='arrow') output equals the default
+    JVM-fold route row-for-row (the kernel switch is a pure execution
+    strategy, not a semantics change)."""
+    from logsdb_spark.operators.similarity import ivf_cell_near_dups
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    hof = sorted(
+        map(tuple, ivf_cell_near_dups(emb, threshold=0.3).collect())
+    )
+    arrow = sorted(
+        map(tuple,
+            ivf_cell_near_dups(emb, threshold=0.3, verify="arrow").collect())
+    )
+    assert hof == arrow and hof
