@@ -465,9 +465,20 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     reliable checkpointing to cluster storage instead; GraphX/GraphFrames'
     large-star/small-star does the same job in O(log n) rounds if
     diameters ever get large)."""
+    # Materialize the pair pipeline ONCE before the direction union:
+    # without this, the union's two branches each embed the whole
+    # upstream plan (for the ensemble caller that is the full
+    # MinHash + winnow pipelines). Measured round 7: roughly neutral
+    # at sf0.1 (AQE exchange reuse already deduplicated most of the
+    # doubled subtree), kept for the structural guarantee — the
+    # upstream plan executes exactly once regardless of how well
+    # reuse pattern-matches a future plan shape.
+    base = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        base.unionByName(base.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
         .distinct()
         .persist()
     )

