@@ -100,8 +100,10 @@ HEADLINE = [
     "dedup_ensemble_keep",
     "dedup_substring_keep",
     "multimodal_gif_interlaced_stats",
-    # round-7: real baseline-JPEG entropy decode (Huffman + IDCT)
+    # round-7: real baseline-JPEG entropy decode (Huffman + IDCT),
+    # grayscale + interleaved-MCU 3-component color
     "multimodal_jpeg_pixel_stats",
+    "multimodal_jpeg_color_stats",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -115,6 +117,11 @@ TRACKED_EXTRAS = [
     # int8-codes + exact-rerank config of the IVF ANN (ann_ivf is the
     # HEADLINE entry)
     "ann_ivf_quantized",
+    # round-7: stored-index routes of the two dedup evidence
+    # pipelines (the from-raw forms are the HEADLINE entries; the
+    # keep queries read these indexes)
+    "dedup_minhash_lsh_indexed",
+    "dedup_substring_winnow_indexed",
 ]
 
 
@@ -257,6 +264,18 @@ def warm_up(spark, sf_dir: str) -> None:
     gif_blob_layout(spark, sf_dir, interlace_odd=True).limit(1).count()
     media_blob_layout(spark, sf_dir).limit(1).count()
     jpeg_blob_layout(spark, sf_dir).limit(1).count()
+    from logsdb_spark.operators.silver import jpeg_color_blob_layout
+
+    jpeg_color_blob_layout(spark, sf_dir).limit(1).count()
+    # dedup index layouts (round 7): the keep queries read the stored
+    # MinHash signature + winnow fingerprint indexes — production
+    # maintains them at ingest, so their build is layout time
+    from logsdb_spark.operators.silver import (
+        minhash_index_layout, winnow_fp_layout,
+    )
+
+    minhash_index_layout(spark, sf_dir).limit(1).count()
+    winnow_fp_layout(spark, sf_dir).limit(1).count()
     # fitted k-means codebook (ann_ivf_kmeans's default route reads
     # this model layout; production fits once and stores it)
     kmeans_centroid_layout(spark, sf_dir).limit(1).count()

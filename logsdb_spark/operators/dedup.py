@@ -97,7 +97,8 @@ def _perm_consts(p: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM,
+                       keep_shingles: bool = False) -> DataFrame:
     """MinHash signature per doc with ZERO shuffle: hash each shingle
     once (projected column → computed once, reused by all perms), then
     one ``array_min(transform(...))`` per permutation — the whole
@@ -137,6 +138,10 @@ def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM) -> DataFrame:
             )
         ),
     )
+    if keep_shingles:
+        # one-pass (doc_id, shingles, sig) — the stored-index shape
+        # (operators/silver.minhash_index_layout)
+        return hashed.select("doc_id", "shingles", sig.alias("sig"))
     return hashed.select("doc_id", sig.alias("sig"))
 
 
@@ -294,6 +299,31 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     signed = minhash_signatures(shingled).persist()
     cands = estimate_jaccard(
         lsh_candidate_pairs(signed, max_bucket=max_bucket), signed
+    ).filter(F.col("est_jac") >= threshold - 0.2)
+    return verify_pairs(cands, shingled, threshold)
+
+
+def minhash_near_dups_prepared(index: DataFrame, threshold: float = 0.6,
+                               max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                               n_perm: int = N_PERM,
+                               n_bands: int = N_BANDS,
+                               rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """The MinHash near-dup pipeline DOWNSTREAM of signature
+    computation: ``index`` is (doc_id, shingles, sig) — either built
+    in-plan (minhash_near_dups) or read from the MATERIALIZED
+    signature index layout (operators/silver.minhash_index_layout),
+    which is what a production corpus stores columnar next to the
+    documents. Banding, bucket-grouped candidate emit, est-jaccard
+    prefilter, and the exact verify are identical either way, so the
+    two routes are value-identical and share one oracle."""
+    signed = index.select("doc_id", "sig")
+    shingled = index.select("doc_id", "shingles")
+    cands = estimate_jaccard(
+        lsh_candidate_pairs(signed, n_bands=n_bands,
+                            rows_per_band=rows_per_band,
+                            max_bucket=max_bucket),
+        signed,
+        n_perm=n_perm,
     ).filter(F.col("est_jac") >= threshold - 0.2)
     return verify_pairs(cands, shingled, threshold)
 

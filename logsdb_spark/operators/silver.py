@@ -264,6 +264,34 @@ def jpeg_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_color_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-component (4:4:4) baseline-JPEG fixture corpus as a
+    materialized (doc_id, payload) parquet (prefix jpgc1) —
+    build_jpeg_color's interleaved-MCU DC-exact fixtures, same
+    contract as jpeg_blob_layout."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .multimodal import synthesize_color_jpegs
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_color_jpegs(docs)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "jpgc1", make, schema).select(
+        "doc_id", "payload"
+    )
+
+
 def media_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG/WAV fixture corpus as a materialized (doc_id, payload,
     text_len) parquet (_blob_layout contract): even doc_ids are
@@ -290,6 +318,70 @@ def media_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
          StructField("text_len", LongType())]
     )
     return _blob_layout(spark, sf_dir, "media", make, schema)
+
+
+def minhash_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash dedup INDEX as a materialized (doc_id, shingles,
+    sig) parquet — what a production corpus stores columnar next to
+    the documents (the operator docstrings' "at steady state the
+    signatures are precomputed" made state, same _blob_layout
+    contract: written once per documents mtime, prefix mhidx1).
+    Signatures are deterministic functions of the text, so index-fed
+    pipelines (minhash_near_dups_prepared) are value-identical to the
+    in-plan form and share its oracle."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    from .dedup import minhash_signatures, shingle_sets
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents"), spark,
+            cache_key=(sf_dir, "documents",
+                       _source_mtime(os.path.join(sf_dir, "documents.parquet"))),
+        )
+        return minhash_signatures(shingle_sets(docs), keep_shingles=True)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("shingles", ArrayType(StringType())),
+        StructField("sig", ArrayType(LongType())),
+    ])
+    return _blob_layout(spark, sf_dir, "mhidx1", make, schema)
+
+
+def winnow_fp_layout(spark: SparkSession, sf_dir: str, k: int = 20,
+                     w: int = 8) -> DataFrame:
+    """The winnowing span-dedup INDEX as a materialized (doc_id, fp)
+    parquet — the exploded inverted-index-ready form (one row per
+    distinct fingerprint per doc), written once per documents mtime
+    (prefix ``wnidx1_<k>_<w>``). Fingerprints are md5-derived and
+    deterministic, so index-fed span pipelines are value-identical to
+    the in-plan winnow_fingerprints chain and share its oracle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.text import winnow_fingerprints
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents"), spark,
+            cache_key=(sf_dir, "documents",
+                       _source_mtime(os.path.join(sf_dir, "documents.parquet"))),
+        )
+        fps = winnow_fingerprints(docs, "doc_id", "text", k=k, w=w)
+        return (
+            fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+            .filter(F.col("fp").isNotNull())
+        )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("fp", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, f"wnidx1_{k}_{w}", make, schema)
 
 
 def kmeans_centroid_layout(spark: SparkSession, sf_dir: str, k: int = 16,

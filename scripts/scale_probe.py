@@ -325,6 +325,18 @@ def main() -> None:
     # once at model-build time in production)
     kmeans_centroid_layout(spark, SRC)
     kmeans_centroid_layout(spark, DST)
+    # and for the dedup index layouts (the keep queries read the
+    # stored MinHash signature + winnow fingerprint indexes since
+    # round 7; production maintains them at ingest)
+    from logsdb_spark.operators.silver import (
+        minhash_index_layout,
+        winnow_fp_layout,
+    )
+
+    minhash_index_layout(spark, SRC).limit(1).count()
+    minhash_index_layout(spark, DST).limit(1).count()
+    winnow_fp_layout(spark, SRC).limit(1).count()
+    winnow_fp_layout(spark, DST).limit(1).count()
 
     results = {}
     queries = all_queries()

@@ -660,3 +660,73 @@ def test_kmeans_centroid_layout_matches_lazy_and_evicts_stale(spark, tmp_path):
     assert again == want
     after = layout_dirs()
     assert len(after) == 1 and after != before, (before, after)
+
+
+def test_dedup_index_layouts_match_inplan_and_evict_stale(spark, tmp_path):
+    """The materialized MinHash signature index and winnow fingerprint
+    index must hold exactly the in-plan pipelines' rows (deterministic
+    functions of the text — that is why the indexed queries share the
+    from-raw oracles) and self-invalidate on a documents mtime bump."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.functions.text import winnow_fingerprints
+    from logsdb_spark.operators.dedup import minhash_signatures, shingle_sets
+    from logsdb_spark.operators.silver import (
+        _SILVER_ROOT,
+        minhash_index_layout,
+        winnow_fp_layout,
+    )
+
+    sfd = str(tmp_path)
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        os.path.join(sfd, "documents.parquet"),
+    )
+    docs = load_table(spark, sfd, "documents")
+
+    got_mh = sorted(
+        (r.doc_id, tuple(r.shingles), tuple(r.sig))
+        for r in minhash_index_layout(spark, sfd).collect()
+    )
+    want_mh = sorted(
+        (r.doc_id, tuple(r.shingles), tuple(r.sig))
+        for r in minhash_signatures(
+            shingle_sets(docs), keep_shingles=True
+        ).collect()
+    )
+    assert got_mh == want_mh and got_mh
+
+    got_wn = sorted(
+        (r.doc_id, r.fp) for r in winnow_fp_layout(spark, sfd).collect()
+    )
+    want_wn = sorted(
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(docs, "doc_id", "text", k=20, w=8)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .collect()
+    )
+    assert got_wn == want_wn and got_wn
+
+    digest = hashlib.sha1(os.path.abspath(sfd).encode()).hexdigest()[:12]
+
+    def dirs(prefix):
+        return sorted(
+            d for d in os.listdir(_SILVER_ROOT)
+            if d.startswith(f"{prefix}_{digest}_") and ".tmp." not in d
+        )
+
+    before = (dirs("mhidx1"), dirs("wnidx1_20_8"))
+    assert all(len(b) == 1 for b in before)
+    st = os.stat(os.path.join(sfd, "documents.parquet"))
+    os.utime(os.path.join(sfd, "documents.parquet"),
+             ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    minhash_index_layout(spark, sfd).count()
+    winnow_fp_layout(spark, sfd).count()
+    after = (dirs("mhidx1"), dirs("wnidx1_20_8"))
+    assert all(len(a) == 1 for a in after) and after != before
