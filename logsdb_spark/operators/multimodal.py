@@ -902,13 +902,20 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
     (DC prediction + EXTEND, AC run/size with ZRL and EOB), dezigzag,
     dequantize, float IDCT, level shift, clamp, and edge-block crop.
 
-    Supported: 8-bit baseline (SOF0), single-component (grayscale),
-    no restart intervals — exactly what build_jpeg emits and the
-    common archival-thumbnail shape. Anything else (progressive,
-    chroma-subsampled color, DRI) returns None: the same
-    fall-back-not-crash contract as decode_png_pixels, and the
-    remaining honest boundary is now 'multi-component interleave',
-    not 'entropy decode'."""
+    Supported: 8-bit baseline (SOF0), grayscale OR 3-component
+    non-subsampled color (4:4:4 — interleaved MCUs with per-component
+    quant/Huffman table selection and per-component DC predictors;
+    round 7 closed single-component, this closes the interleave), no
+    restart intervals — what build_jpeg / build_jpeg_color emit and
+    the archival-thumbnail shapes. Anything else (progressive,
+    chroma-SUBSAMPLED color, DRI) returns None: the same
+    fall-back-not-crash contract as decode_png_pixels; the remaining
+    honest boundary is now subsampling/progressive scans. For ncomp=3
+    ``pixels`` is row-major channel-interleaved (like the PNG RGB
+    path) and no color-space conversion is applied — the decoded
+    component values are returned as stored (the YCbCr→RGB matrix is
+    a presentation choice, not part of entropy decode, and keeping
+    raw components is what makes the stats oracle exact)."""
     import numpy as np
 
     b = bytes(payload)
@@ -918,7 +925,9 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
         qt: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
         w = h = None
-        comp_q = comp_dc = comp_ac = None
+        sof_comps: list[tuple[int, int]] = []  # (component id, quant id)
+        scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
+        scan_order: list[int] = []
         i = 2
         while i + 4 <= len(b):
             if b[i] != 0xFF:
@@ -958,11 +967,13 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                 prec = seg[0]
                 h, w = struct.unpack(">HH", seg[1:5])
                 ncomp = seg[5]
-                if prec != 8 or ncomp != 1 or not w or not h:
+                if prec != 8 or ncomp not in (1, 3) or not w or not h:
                     return None
-                if seg[7] != 0x11:  # 1x1 sampling only
-                    return None
-                comp_q = seg[8]
+                for c in range(ncomp):
+                    cid, sampling, tq = seg[6 + 3 * c: 9 + 3 * c]
+                    if sampling != 0x11:  # 1x1 only (no subsampling)
+                        return None
+                    sof_comps.append((cid, tq))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF family
@@ -970,55 +981,75 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                 if struct.unpack(">H", seg[:2])[0] != 0:
                     return None
             elif marker == 0xDA:  # SOS
-                if w is None or seg[0] != 1:
+                if w is None or seg[0] != len(sof_comps):
                     return None
-                comp_dc = seg[2] >> 4
-                comp_ac = seg[2] & 0x0F
+                for c in range(seg[0]):
+                    cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan_tabs[cs] = (tabs >> 4, tabs & 0x0F)
+                    scan_order.append(cs)
                 data_start = i + 2 + seglen
                 break
             i += 2 + seglen
         else:
             return None
 
-        q = qt.get(comp_q)
-        dc_tab = huff.get((0, comp_dc))
-        ac_tab = huff.get((1, comp_ac))
-        if q is None or dc_tab is None or ac_tab is None:
-            return None
+        # per-component (q table, dc table, ac table), in SOF order —
+        # the interleaved MCU order for 1x1 sampling
+        comps = []
+        for cid, tq in sof_comps:
+            if cid not in scan_tabs:
+                return None
+            td, ta = scan_tabs[cid]
+            q = qt.get(tq)
+            dc_tab = huff.get((0, td))
+            ac_tab = huff.get((1, ta))
+            if q is None or dc_tab is None or ac_tab is None:
+                return None
+            comps.append((q, dc_tab, ac_tab))
+        ncomp = len(comps)
 
         a = _idct_matrix()
         bw, bh = (w + 7) // 8, (h + 7) // 8
-        out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        planes = [
+            np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(ncomp)
+        ]
         reader = _BitReader(b, data_start)
-        pred = 0
+        preds = [0] * ncomp
         for by in range(bh):
             for bx in range(bw):
-                coef = np.zeros(64, dtype=np.float64)
-                t = reader.decode_huffman(dc_tab)
-                pred += _extend(reader.receive(t), t)
-                coef[0] = pred * q[0]
-                k = 0
-                while k < 63:
-                    rs = reader.decode_huffman(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    r, s = rs >> 4, rs & 0x0F
-                    if rs == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    k += r + 1
-                    if k > 63 or s == 0:
-                        raise ValueError("corrupt AC run")
-                    coef[_ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
-                block = np.zeros((8, 8))
-                block.flat[:] = coef
-                px = a.T @ block @ a + 128.0
-                out[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = np.clip(
-                    np.rint(px), 0, 255
-                ).astype(np.uint8)
+                for ci, (q, dc_tab, ac_tab) in enumerate(comps):
+                    coef = np.zeros(64, dtype=np.float64)
+                    t = reader.decode_huffman(dc_tab)
+                    preds[ci] += _extend(reader.receive(t), t)
+                    coef[0] = preds[ci] * q[0]
+                    k = 0
+                    while k < 63:
+                        rs = reader.decode_huffman(ac_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        r, s = rs >> 4, rs & 0x0F
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        k += r + 1
+                        if k > 63 or s == 0:
+                            raise ValueError("corrupt AC run")
+                        coef[_ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
+                    block = np.zeros((8, 8))
+                    block.flat[:] = coef
+                    px = a.T @ block @ a + 128.0
+                    planes[ci][by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = (
+                        np.clip(np.rint(px), 0, 255).astype(np.uint8)
+                    )
+        if ncomp == 1:
+            pixels = planes[0][:h, :w].tobytes()
+        else:
+            pixels = np.stack(
+                [p[:h, :w] for p in planes], axis=-1
+            ).tobytes()
         return {
-            "width": int(w), "height": int(h),
-            "pixels": out[:h, :w].tobytes(),
+            "width": int(w), "height": int(h), "n_channels": ncomp,
+            "pixels": pixels,
         }
     except (struct.error, IndexError, ValueError):
         return None
@@ -1103,6 +1134,119 @@ def build_jpeg(width: int, height: int, content: bytes = b"") -> bytes:
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
             + entropy + b"\xff\xd9")
+
+
+def build_jpeg_color(width: int, height: int, content: bytes = b"") -> bytes:
+    """A REAL baseline 3-component (4:4:4, non-subsampled) JPEG with
+    the same DC-exact block-constant contract as build_jpeg: MCU i's
+    component c (Y=0, Cb=1, Cr=2) carries the constant value
+    ``content[(3*i + c) % len(content)]``, so all three decoded
+    channel planes are integer-recomputable from the source text.
+    Exercises what the grayscale fixture cannot: interleaved MCUs and
+    THREE independent DC prediction chains (component c's predictor
+    sees only component c's blocks — a decoder that shares one
+    predictor across components mis-decodes every block after the
+    first and hash-mismatches)."""
+    vals = content or b"\x00"
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for i in range(bw * bh):
+        for c in range(3):
+            dc = 8 * (vals[(3 * i + c) % len(vals)] - 128)
+            diff = dc - preds[c]
+            preds[c] = dc
+            t = abs(diff).bit_length()
+            wtr.write(t, 4)
+            if t:
+                wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            wtr.write(0, 1)  # EOB
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
+              + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                 + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + entropy + b"\xff\xd9")
+
+
+def synthesize_color_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Color-JPEG fixture generator: width = doc_id%24+1, height =
+    doc_id%20+1, channel values from the text bytes at stride 3
+    (build_jpeg_color's arithmetic — SQL-recomputable)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_jpeg_color(
+                    int(doc_id) % 24 + 1,
+                    int(doc_id) % 20 + 1,
+                    ("" if text is None else str(text)).encode("utf-8"),
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(synth, schema)
+
+
+JPEG_COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("y_sum", LongType()),
+        StructField("cb_sum", LongType()),
+        StructField("cr_sum", LongType()),
+    ]
+)
+
+
+def jpeg_color_stats(blobs: DataFrame) -> DataFrame:
+    """Per-channel sums from REAL interleaved-MCU color JPEG decode —
+    three independent Huffman/DC-prediction chains verified in one
+    hash; undecodable payloads yield NULL stats."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("width", "height", "n_pixels", "y_sum", "cb_sum",
+                     "cr_sum")}
+            for p in pdf["payload"]:
+                dec = decode_jpeg_pixels(bytes(p) if p is not None else b"")
+                if dec is None or dec.get("n_channels") != 3:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(
+                    -1, 3
+                ).astype(np.int64)
+                sums = arr.sum(axis=0)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_pixels"].append(dec["width"] * dec["height"])
+                rows["y_sum"].append(int(sums[0]))
+                rows["cb_sum"].append(int(sums[1]))
+                rows["cr_sum"].append(int(sums[2]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, JPEG_COLOR_STATS_SCHEMA)
 
 
 def synthesize_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame:

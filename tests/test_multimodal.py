@@ -673,3 +673,68 @@ def test_decode_jpeg_against_independent_encoder_with_acs():
             np.rint(px), 0, 255
         ).astype(np.uint8)
     assert (got == want).all()
+
+
+def test_build_jpeg_color_roundtrip_interleaved_exact():
+    """3-component 4:4:4 round-trip: interleaved MCUs with three
+    independent DC prediction chains must reproduce every channel's
+    block-constant value exactly (stride-3 content mapping), including
+    partial edge blocks."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        build_jpeg_color,
+        decode_jpeg_pixels,
+        parse_media_header,
+    )
+
+    for w, h, content in [
+        (1, 1, b"ABC"), (8, 8, b""), (17, 9, b"hello world"),
+        (24, 20, bytes(range(256))), (9, 17, b"xy"),
+    ]:
+        blob = build_jpeg_color(w, h, content)
+        hdr = parse_media_header(blob)
+        assert (hdr["fmt"], hdr["width"], hdr["height"],
+                hdr["n_channels"]) == ("jpeg", w, h, 3)
+        dec = decode_jpeg_pixels(blob)
+        assert dec is not None and dec["n_channels"] == 3
+        got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        vals = content or b"\x00"
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        want = np.zeros((bh * 8, bw * 8, 3), dtype=np.uint8)
+        for i in range(bw * bh):
+            by, bx = divmod(i, bw)
+            for c in range(3):
+                want[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8, c] = (
+                    vals[(3 * i + c) % len(vals)]
+                )
+        assert (got == want[:h, :w, :]).all(), (w, h, content)
+
+
+def test_decode_jpeg_rejects_unsupported_shapes():
+    """The documented fall-back boundary: subsampled color, progressive
+    scans, and nonzero restart intervals return None (never raise)."""
+    import struct as _s
+
+    from logsdb_spark.operators.multimodal import (
+        build_jpeg,
+        build_jpeg_color,
+        decode_jpeg_pixels,
+    )
+
+    blob = bytearray(build_jpeg_color(9, 9, b"q"))
+    # SOF0 seg: find marker 0xFFC0; component 1 sampling byte sits at
+    # offset +11 within the segment (len2 prec1 h2 w2 n1 id1 -> samp)
+    i = bytes(blob).index(b"\xff\xc0")
+    blob[i + 11] = 0x22  # 2x2 subsampling -> unsupported
+    assert decode_jpeg_pixels(bytes(blob)) is None
+
+    prog = bytearray(build_jpeg(9, 9, b"q"))
+    j = bytes(prog).index(b"\xff\xc0")
+    prog[j + 1] = 0xC2  # progressive SOF
+    assert decode_jpeg_pixels(bytes(prog)) is None
+
+    dri = bytearray(build_jpeg(9, 9, b"q"))
+    k = bytes(dri).index(b"\xff\xda")
+    dri[k:k] = b"\xff\xdd" + _s.pack(">H", 4) + _s.pack(">H", 2)
+    assert decode_jpeg_pixels(bytes(dri)) is None

@@ -820,15 +820,18 @@ def test_media_decoders_never_raise_on_truncated_real(cut, content, interlaced):
         decode_wav_samples,
     )
 
+    from logsdb_spark.operators.multimodal import build_jpeg_color
+
     blobs = [
         build_png(9, 7, content),
         build_gif(9, 7, content, interlaced=interlaced),
         build_wav(1, 8000, 16, content),
         build_jpeg(9, 7, content),
+        build_jpeg_color(9, 7, content),
     ]
     for blob, fn in zip(
         blobs, (decode_png_pixels, decode_gif_pixels, decode_wav_samples,
-                decode_jpeg_pixels)
+                decode_jpeg_pixels, decode_jpeg_pixels)
     ):
         t = blob[: min(cut, len(blob))]
         out = fn(t)
