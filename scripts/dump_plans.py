@@ -66,10 +66,29 @@ PICKS = {
         "with tpch_q3_shipping_priority.)"
     ),
     "ann_ivf_kmeans": (
-        "Fitted IVF: two lazy Lloyd rounds on the vec_id%2 sample (broadcast "
-        "centroid row, narrow argmax assignment, posexplode mean per cell — "
-        "one narrow sample-sized shuffle per round), then the inverted-list "
-        "search; the corpus is never shuffled."
+        "Fitted IVF (round-7 default route): the codebook comes from the "
+        "MATERIALIZED centroid layout — a 16-row parquet scan collected "
+        "into one broadcast row — so the plan is pure inverted-list "
+        "search; the unrolled Lloyd fit ran once at layout-build time "
+        "(ann_ivf_kmeans_lazy keeps the in-plan fit registered). The "
+        "corpus is never shuffled."
+    ),
+    "cohort_retention": (
+        "Round-7 single-scan rework: ONE silver scan → distinct "
+        "(user, day) [map-side-combinable exchange] → window-min cohort "
+        "over user_id → final rollup. The old broadcast-join form "
+        "scanned events twice (Catalyst rewrites min-over-distinct to a "
+        "scan-side min, so the branches never shared an exchange) and "
+        "broadcast the whole user dimension — unbroadcastable at 1e9 "
+        "users. Plan-pinned: one FileScan, no BroadcastExchange."
+    ),
+    "dedup_minhash_lsh_indexed": (
+        "The stored-index route (round 7): signatures + shingle sets come "
+        "from the materialized MinHash index layout, so the plan starts "
+        "at a (doc_id, shingles, sig) parquet scan — banding, one "
+        "(band,hash) bucket shuffle, est-jaccard prefilter, exact verify. "
+        "The normalize/tokenize/hash chain ran once at layout time, which "
+        "is what production (index maintained at ingest) looks like."
     ),
     "salted_top_users": (
         "Skew lever: two-stage GROUP BY over (user_id, salt16) then user_id "
