@@ -845,8 +845,9 @@ def _idct_matrix():
 
 class _BitReader:
     """MSB-first entropy-segment bit reader with JPEG byte unstuffing:
-    0xFF 0x00 reads as a literal 0xFF byte; 0xFF <marker> ends the
-    stream (RST markers are rejected upstream via DRI)."""
+    0xFF 0x00 reads as a literal 0xFF byte; any other 0xFF <marker>
+    inside bit reads is an error — restart markers are consumed only
+    at the expected MCU boundaries via sync_restart."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -869,6 +870,20 @@ class _BitReader:
             self.nbits = 8
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
+
+    def sync_restart(self, n: int) -> None:
+        """Consume an expected RSTn marker: discard the pad bits of
+        the current byte (encoders pad with 1s before a restart),
+        then require the exact 0xFF 0xD0+n bytes — T.81's modulo-8
+        restart sequence check, so a dropped/duplicated restart
+        segment is detected, not silently mis-assembled."""
+        self.acc = 0
+        self.nbits = 0
+        if (self.pos + 2 > len(self.data)
+                or self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + (n & 7)):
+            raise ValueError("missing or out-of-sequence restart marker")
+        self.pos += 2
 
     def receive(self, n: int) -> int:
         v = 0
@@ -905,8 +920,10 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
     Supported: 8-bit baseline (SOF0), grayscale OR 3-component
     non-subsampled color (4:4:4 — interleaved MCUs with per-component
     quant/Huffman table selection and per-component DC predictors;
-    round 7 closed single-component, this closes the interleave), no
-    restart intervals — what build_jpeg / build_jpeg_color emit and
+    round 7 closed single-component, this closes the interleave), with
+    or without restart intervals (DRI/RSTn: byte-aligned modulo-8
+    marker sequence verified, DC predictors reset per T.81 E.1.4) —
+    what build_jpeg / build_jpeg_color emit and
     the archival-thumbnail shapes. Anything else (progressive,
     chroma-SUBSAMPLED color, DRI) returns None: the same
     fall-back-not-crash contract as decode_png_pixels; the remaining
@@ -926,6 +943,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
         huff: dict[tuple[int, int], dict] = {}
         w = h = None
         sof_comps: list[tuple[int, int]] = []  # (component id, quant id)
+        restart_interval = 0
         scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
         scan_order: list[int] = []
         i = 2
@@ -977,9 +995,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF family
-            elif marker == 0xDD:  # DRI: restart intervals unsupported
-                if struct.unpack(">H", seg[:2])[0] != 0:
-                    return None
+            elif marker == 0xDD:  # DRI: restart every N MCUs
+                restart_interval = struct.unpack(">H", seg[:2])[0]
             elif marker == 0xDA:  # SOS
                 if w is None or seg[0] != len(sof_comps):
                     return None
@@ -1015,8 +1032,16 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
         ]
         reader = _BitReader(b, data_start)
         preds = [0] * ncomp
+        mcu = 0
         for by in range(bh):
             for bx in range(bw):
+                if (restart_interval and mcu
+                        and mcu % restart_interval == 0):
+                    # byte-align, verify the modulo-8 RSTn sequence,
+                    # reset every component's DC predictor (T.81 E.1.4)
+                    reader.sync_restart(mcu // restart_interval - 1)
+                    preds = [0] * ncomp
+                mcu += 1
                 for ci, (q, dc_tab, ac_tab) in enumerate(comps):
                     coef = np.zeros(64, dtype=np.float64)
                     t = reader.decode_huffman(dc_tab)
@@ -1091,8 +1116,17 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding) and emit the RSTn marker — markers
+        are never byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
 
-def build_jpeg(width: int, height: int, content: bytes = b"") -> bytes:
+
+def build_jpeg(width: int, height: int, content: bytes = b"",
+               restart_interval: int = 0) -> bytes:
     """A REAL spec-conformant baseline grayscale JPEG whose decoded
     pixels are EXACTLY predictable: each 8x8 block is constant, with
     block i (raster order, edge blocks included) carrying
@@ -1111,6 +1145,11 @@ def build_jpeg(width: int, height: int, content: bytes = b"") -> bytes:
     wtr = _BitWriter()
     pred = 0
     for i in range(bw * bh):
+        if restart_interval and i and i % restart_interval == 0:
+            # T.81 restart: byte-align, RSTn (n = modulo-8 sequence),
+            # reset the DC predictor
+            wtr.restart(i // restart_interval - 1)
+            pred = 0
         dc = 8 * (vals[i % len(vals)] - 128)
         diff = dc - pred
         pred = dc
@@ -1131,12 +1170,15 @@ def build_jpeg(width: int, height: int, content: bytes = b"") -> bytes:
                  + bytes(_JPEG_DC_VALS))
     dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
                  + bytes(_JPEG_AC_VALS))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
             + entropy + b"\xff\xd9")
 
 
-def build_jpeg_color(width: int, height: int, content: bytes = b"") -> bytes:
+def build_jpeg_color(width: int, height: int, content: bytes = b"",
+                     restart_interval: int = 0) -> bytes:
     """A REAL baseline 3-component (4:4:4, non-subsampled) JPEG with
     the same DC-exact block-constant contract as build_jpeg: MCU i's
     component c (Y=0, Cb=1, Cr=2) carries the constant value
@@ -1152,6 +1194,9 @@ def build_jpeg_color(width: int, height: int, content: bytes = b"") -> bytes:
     wtr = _BitWriter()
     preds = [0, 0, 0]
     for i in range(bw * bh):
+        if restart_interval and i and i % restart_interval == 0:
+            wtr.restart(i // restart_interval - 1)
+            preds = [0, 0, 0]
         for c in range(3):
             dc = 8 * (vals[(3 * i + c) % len(vals)] - 128)
             diff = dc - preds[c]
@@ -1173,15 +1218,18 @@ def build_jpeg_color(width: int, height: int, content: bytes = b"") -> bytes:
                  + bytes(_JPEG_DC_VALS))
     dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
                  + bytes(_JPEG_AC_VALS))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
             + entropy + b"\xff\xd9")
 
 
 def synthesize_color_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Color-JPEG fixture generator: width = doc_id%24+1, height =
     doc_id%20+1, channel values from the text bytes at stride 3
-    (build_jpeg_color's arithmetic — SQL-recomputable)."""
+    (build_jpeg_color's arithmetic — SQL-recomputable). Odd doc_ids
+    carry a 2-MCU restart interval (see synthesize_jpegs)."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1190,6 +1238,7 @@ def synthesize_color_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame
                     int(doc_id) % 24 + 1,
                     int(doc_id) % 20 + 1,
                     ("" if text is None else str(text)).encode("utf-8"),
+                    restart_interval=2 if int(doc_id) % 2 else 0,
                 )
                 for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
             ]
@@ -1254,7 +1303,11 @@ def synthesize_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     doc's utf-8 bytes become the block-constant values of a REAL
     baseline JPEG, width = doc_id%40+1, height = doc_id%28+1 —
     arithmetic a SQL oracle can recompute (see build_jpeg's
-    losslessness argument)."""
+    losslessness argument). Odd doc_ids are encoded WITH a restart
+    interval of 3 MCUs (DRI + modulo-8 RSTn markers + per-segment DC
+    predictor resets): decoded pixels are identical either way, so
+    the mixed corpus hash-gates the restart machinery end to end —
+    the same mixed-encoding pattern as the interlaced GIF corpus."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1263,6 +1316,7 @@ def synthesize_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     int(doc_id) % 40 + 1,
                     int(doc_id) % 28 + 1,
                     ("" if text is None else str(text)).encode("utf-8"),
+                    restart_interval=3 if int(doc_id) % 2 else 0,
                 )
                 for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
             ]

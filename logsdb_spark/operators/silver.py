@@ -259,14 +259,14 @@ def jpeg_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("doc_id", LongType()),
          StructField("payload", BinaryType())]
     )
-    return _blob_layout(spark, sf_dir, "jpg1", make, schema).select(
+    return _blob_layout(spark, sf_dir, "jpg2", make, schema).select(
         "doc_id", "payload"
     )
 
 
 def jpeg_color_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-component (4:4:4) baseline-JPEG fixture corpus as a
-    materialized (doc_id, payload) parquet (prefix jpgc1) —
+    materialized (doc_id, payload) parquet (prefix jpgc2; fixture version bump — odd doc_ids carry DRI restarts) —
     build_jpeg_color's interleaved-MCU DC-exact fixtures, same
     contract as jpeg_blob_layout."""
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
@@ -287,7 +287,7 @@ def jpeg_color_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("doc_id", LongType()),
          StructField("payload", BinaryType())]
     )
-    return _blob_layout(spark, sf_dir, "jpgc1", make, schema).select(
+    return _blob_layout(spark, sf_dir, "jpgc2", make, schema).select(
         "doc_id", "payload"
     )
 
