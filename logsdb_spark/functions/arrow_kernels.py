@@ -20,7 +20,6 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
-from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
@@ -42,5 +41,13 @@ def dot_arrow(a: Column, b: Column) -> Column:
     batches instead of the JVM HOF interpreter. Worth it only when
     the per-pair fold dominates the stage (measured: ~break-even at
     sf0.1 local where serialization competes with idle cores — see
-    README 'JVM vs Arrow' for the measured trade at 1x and 30x)."""
+    README 'JVM vs Arrow' for the measured trade at 1x and 30x).
+
+    Precondition: both inputs are NON-NULL, fixed-dimension float
+    arrays (what every embedding pipeline here feeds it — vectors are
+    required columns of the embeddings table). A NULL vector raises
+    in np.stack and fails the task, where the JVM HOF fold would
+    yield NULL for that row; callers with nullable vectors must
+    filter first. Keeping the kernel null-free is what lets it stay
+    one vectorized add per dimension."""
     return _dot_fold(a, b)

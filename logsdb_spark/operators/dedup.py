@@ -22,7 +22,7 @@ candidate pairs. This is the standard web-scale dedup shape
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalize_text, word_ngrams
@@ -477,61 +477,151 @@ def ensemble_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         broadcast_nodes: int = 5_000_000) -> DataFrame:
     """Connected components over an undirected pair-edge list →
     (doc_id, cluster) where cluster is the component's minimum id —
     the step that turns near-dup PAIRS into dedup GROUPS with a
     canonical representative (keep min-id, drop the rest).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum of its own label and its neighbors' labels (one equi-join
-    + one map-side-combinable min aggregate per round). Rounds needed
-    = graph diameter — near-dup clusters are tiny cliques, so this
-    converges in 2-3 rounds; the label SUM is monotonically
-    non-increasing and strictly decreases until fixpoint, so an
-    unchanged sum is an exact O(1)-row convergence test. Each round is
-    localCheckpoint'ed: without lineage truncation an iterative plan
-    re-derives every prior round per action (at production scale use
-    reliable checkpointing to cluster storage instead; GraphX/GraphFrames'
-    large-star/small-star does the same job in O(log n) rounds if
-    diameters ever get large)."""
-    # Materialize the pair pipeline ONCE before the direction union:
-    # without this, the union's two branches each embed the whole
-    # upstream plan (for the ensemble caller that is the full
-    # MinHash + winnow pipelines). Measured round 7: roughly neutral
-    # at sf0.1 (AQE exchange reuse already deduplicated most of the
-    # doubled subtree), kept for the structural guarantee — the
-    # upstream plan executes exactly once regardless of how well
-    # reuse pattern-matches a future plan shape.
-    base = pairs.select(
-        F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).localCheckpoint()
-    edges = (
-        base.unionByName(base.select(F.col("v").alias("u"),
-                                     F.col("u").alias("v")))
-        .distinct()
-        .persist()
-    )
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("label")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iterations):
-        neighbor_labels = (
-            edges.join(labels, edges.u == labels.node)
-            .select(F.col("v").alias("node"), "label")
+    Iterative min-label propagation, tuned so each round costs exactly
+    ONE Spark action (round 8 — the previous form paid ~2 s/query of
+    fixed small-job latency at bench scale):
+
+    - edges are symmetrized with an in-row ``explode(array(fwd, rev))``
+      instead of a self-union, so the upstream pair pipeline appears
+      ONCE in the plan (no pre-union checkpoint job needed);
+    - labels initialize to the CLOSED-NEIGHBORHOOD minimum
+      (``least(u, min(v))`` on the same shuffle that materializes the
+      edges) — for the clique-shaped graphs near-dup evidence produces
+      this IS the component minimum, so the loop's first round is
+      already the convergence confirmation (init is sound for any
+      graph: every init label names a node inside the component, and
+      each component's true minimum labels itself);
+    - the convergence test rides the propagation job itself via
+      ``Observation``: the label SUM is monotonically non-increasing
+      and strictly decreases until fixpoint, and ``observe(sum)``
+      collects it during the localCheckpoint's materializing job — no
+      second ``.agg().first()`` action per round;
+    - each round POINTER-JUMPS as well as propagates: the new label is
+      ``min(l(n), min neighbor l(v), l(l(n)))`` — the extra self-join
+      on the label table shortcuts along label chains, cutting rounds
+      on long thin components (winnow span evidence produces
+      boilerplate CHAINS, not just cliques: the sf0.1 evidence graph
+      has a 3.7k-node diameter-16 component, measured 11 rounds → 8;
+      jumping cannot beat graph distance outright because the minimum
+      id still has to FLOW through local minima, but it collapses the
+      pointer trees that do form). Soundness is unchanged: ``l(n)``
+      always names a node inside n's component, so ``l(l(n))`` does
+      too, and at fixpoint symmetric edges force ``l(u) == l(v)`` per
+      edge with the component minimum labeling itself;
+    - the iteration REGIME adapts to the measured edge volume (riding
+      the edge-materialization job's observe): dup graphs far below
+      the corpus size run the loop with AQE off and a shuffle width
+      sized from the edge count — per-round cost there is pure
+      scheduling + adaptive re-planning latency, not data — while
+      large graphs leave the session conf untouched (AQE, full-width
+      shuffle joins). The session conf is restored in a finally.
+
+    Rounds needed ≈ effective diameter (cliques: 1 confirm round).
+    Each round is localCheckpoint'ed: without lineage truncation an
+    iterative plan re-derives every prior round per action (at
+    production scale use reliable checkpointing to cluster storage
+    instead; GraphX/GraphFrames' large-star/small-star does the same
+    job in O(log n) rounds if diameters ever get large).
+    tests/test_dedup_similarity.py pins the action count: 3 jobs total
+    for a clique fixture (edges + init + 1 confirm round)."""
+    spark = pairs.sparkSession
+    # Phase 1 — materialize the symmetric edge list ONCE under the
+    # session's normal conf: this job runs the whole upstream evidence
+    # pipeline (for the keep queries: LSH banding + verify joins), so
+    # it must keep full parallelism/AQE. The directed-edge count rides
+    # the checkpoint via observe.
+    e = F.explode(
+        F.array(
+            F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+            F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
         )
+    ).alias("e")
+    obs_e = Observation()
+    edges = (
+        pairs.select(e)
+        .select("e.u", "e.v")
+        .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("m"))
+        .localCheckpoint()
+    )
+    n_edges = obs_e.get["m"]
+
+    # Phase 2 — the iteration regime is chosen from the MEASURED edge
+    # volume (the decision AQE would make per-stage, paid once):
+    # near-dup graphs are dup-group-sized, usually orders of magnitude
+    # below the corpus, and for them every round is a handful of tiny
+    # tasks whose cost is pure scheduling + adaptive re-planning
+    # latency. Small regime → AQE off for the loop, shuffle width
+    # sized from the edge count, label-side joins broadcast (the
+    # checkpointed label frame is an ExistingRDD with no stats, so
+    # Catalyst would otherwise plan full-width shuffle joins every
+    # round). Large regime (a 100 TB corpus can produce billions of
+    # dup edges) → conf untouched: AQE, shuffle joins, full width.
+    small = n_edges <= 2 * broadcast_nodes
+    bc = F.broadcast if small else (lambda df: df)
+    conf_saved: dict[str, str] = {}
+    if small:
+        loop_parts = max(1, int(n_edges) // 2_000_000)
+        conf_saved = {
+            "spark.sql.adaptive.enabled":
+                spark.conf.get("spark.sql.adaptive.enabled"),
+            "spark.sql.shuffle.partitions":
+                spark.conf.get("spark.sql.shuffle.partitions"),
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        obs0 = Observation()
         labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            edges.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select(
+                F.col("u").alias("node"),
+                F.least("u", "_mn").alias("label"),
+            )
+            .observe(obs0, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+        prev_sum = obs0.get["s"]
+        for _ in range(max_iterations):
+            neighbor_labels = (
+                edges.join(bc(labels), edges.u == labels.node)
+                .select(F.col("v").alias("node"), "label")
+            )
+            jumped = (
+                labels.alias("a")
+                .join(
+                    bc(labels.alias("b")),
+                    F.col("a.label") == F.col("b.node"),
+                )
+                .select(
+                    F.col("a.node").alias("node"),
+                    F.col("b.label").alias("label"),
+                )
+            )
+            obs = Observation()
+            labels = (
+                labels.unionByName(neighbor_labels)
+                .unionByName(jumped)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .observe(obs, F.sum("label").alias("s"))
+                .localCheckpoint()
+            )
+            cur_sum = obs.get["s"]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        for k, v in conf_saved.items():
+            spark.conf.set(k, v)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 

@@ -925,7 +925,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
     marker sequence verified, DC predictors reset per T.81 E.1.4) —
     what build_jpeg / build_jpeg_color emit and
     the archival-thumbnail shapes. Anything else (progressive,
-    chroma-SUBSAMPLED color, DRI) returns None: the same
+    chroma-SUBSAMPLED color) returns None: the same
     fall-back-not-crash contract as decode_png_pixels; the remaining
     honest boundary is now subsampling/progressive scans. For ncomp=3
     ``pixels`` is row-major channel-interleaved (like the PNG RGB

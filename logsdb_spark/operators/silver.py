@@ -236,7 +236,9 @@ def gif_blob_layout(spark: SparkSession, sf_dir: str,
 
 def jpeg_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The baseline-JPEG fixture corpus as a materialized (doc_id,
-    payload) parquet (_blob_layout contract, prefix jpg1): real
+    payload) parquet (_blob_layout contract, prefix jpg2 — the v2
+    fixture bump gave odd doc_ids DRI restart intervals, mirroring
+    the jpgc2 color fixtures): real
     DC-exact baseline JPEGs whose decoded pixels a SQL oracle can
     recompute (operators/multimodal.build_jpeg). length(text) > 0
     mirrors the stats oracle's WHERE — block values come from the

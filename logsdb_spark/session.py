@@ -34,6 +34,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Default-off switch that matters for the iterative dedup/CC
+        # queries: without it AQE refuses to re-coalesce the output
+        # partitioning of cached plans, so a persisted dup-edge table
+        # (a few thousand rows at bench scale) keeps full-width
+        # 32-task shuffles through every label-propagation round. On a
+        # cluster the same flag lets AQE right-size cached iterative
+        # state to its actual volume.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 128 MB split targets: right for both local parquet and a

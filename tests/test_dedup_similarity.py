@@ -17,6 +17,7 @@ corpus measures ≈ 0.9, multi-table hyperplane LSH ≈ 0.2.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from logsdb_spark.catalog import load_table
@@ -275,6 +276,36 @@ def test_connected_components_chain_and_cliques(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_action_count_pinned(spark):
+    """Round 8: each CC round must cost exactly ONE action (the
+    convergence sum rides the propagation job via Observation), the
+    edges materialize once, and clique graphs converge in a single
+    confirm round off the closed-neighborhood init. Pinned as a job
+    budget for a two-clique fixture: 3 checkpoint actions (edges +
+    init + 1 round) + 2 broadcast builds in the round + 1 AQE stage
+    job in the edge phase = 6. The r7 form (self-label init, separate
+    .agg().first() convergence action per round, pre-union pair
+    checkpoint) spent >= 10 on the same input."""
+    from logsdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    connected_components(pairs).collect()  # warm: JIT/broadcast machinery
+    sc = spark.sparkContext
+    group = "cc-action-pin"
+    sc.setJobGroup(group, "pin CC per-round action count")
+    try:
+        comp = connected_components(pairs)
+    finally:
+        sc.setJobGroup("cc-action-pin-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 6, f"CC spent {len(jobs)} jobs on a clique fixture"
+    got = {r.doc_id: r.cluster for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_lsh_bucket_cap_guard(spark):
     """max_bucket sparsifies oversized buckets to star edges (the
     boilerplate-corpus guard, round 7: STAR, not drop) without
@@ -408,14 +439,29 @@ def test_ivf_quantized_matches_exact_topk(spark):
     assert quant == exact and len(exact) == 50
 
 
-def test_default_bucket_cap_does_not_bind_on_gated_corpus(spark):
+@pytest.mark.parametrize(
+    "corpus_dir, margin_num",
+    [(SF_DIR_MED, 1), ("/root/testdata/sf0.1", 3)],
+    ids=["sf0.01", "sf0.1"],
+)
+def test_default_bucket_cap_does_not_bind_on_gated_corpus(
+    spark, corpus_dir, margin_num
+):
     """DEFAULT_MAX_BUCKET must hold a wide margin over the largest
     bucket any routed LSH/blocking dedup produces on the oracle-gated
-    corpus — that margin is WHY the capped defaults stay hash-identical
+    corpora — that margin is WHY the capped defaults stay hash-identical
     to their brute-force SQL oracles (DuckDB cannot reproduce the
     xxhash64 banding, so the no-bind margin is the mirrored
     guarantee). Early warning at cap/4: a fixture regen that grows
-    dup groups toward the cap fails here long before parity breaks."""
+    dup groups toward the cap fails here long before parity breaks.
+    Parameterized over BOTH fixture scales the oracles gate at
+    (driver sf0.01, bench/local-parity sf0.1 — round-8 ADVICE): the
+    sf0.1 corpus is where the word-band max was previously only
+    claimed in a comment. The margin differs by scale: cap/4 at
+    sf0.01, 3·cap/4 at sf0.1 — the measured sf0.1 char-shingle max
+    bucket is 302 (59% of the 512 cap), so the guarantee pinned there
+    is strict no-bind with headroom, tripping before parity can
+    break."""
     from pyspark.sql import functions as F
 
     from logsdb_spark.operators.dedup import (
@@ -433,10 +479,10 @@ def test_default_bucket_cap_does_not_bind_on_gated_corpus(spark):
 
     from logsdb_spark.operators.scale import widen_for_compute
 
-    # widen: the 128-perm char minhash is CPU-bound and the sf0.01
+    # widen: the 128-perm char minhash is CPU-bound and the small-SF
     # scan is one split — serialized it costs ~3 min, widened ~30 s
     docs = widen_for_compute(
-        load_table(spark, SF_DIR_MED, "documents"), spark
+        load_table(spark, corpus_dir, "documents"), spark
     )
 
     def max_band_bucket(signed, n_bands, rows_per_band):
@@ -482,10 +528,11 @@ def test_default_bucket_cap_does_not_bind_on_gated_corpus(spark):
         .agg(F.max("count"))
         .first()[0]
     )
+    limit = DEFAULT_MAX_BUCKET * margin_num // 4
     for label, mx in (("word", word), ("char", char), ("simhash", chunk)):
-        assert mx <= DEFAULT_MAX_BUCKET // 4, (
-            f"{label} max bucket {mx} is within 4x of the "
-            f"{DEFAULT_MAX_BUCKET} cap — re-examine before parity breaks"
+        assert mx <= limit, (
+            f"{label} max bucket {mx} exceeds the {limit} margin under "
+            f"the {DEFAULT_MAX_BUCKET} cap — re-examine before parity breaks"
         )
 
 
