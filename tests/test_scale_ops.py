@@ -730,3 +730,71 @@ def test_dedup_index_layouts_match_inplan_and_evict_stale(spark, tmp_path):
     winnow_fp_layout(spark, sfd).count()
     after = (dirs("mhidx1"), dirs("wnidx1_20_8"))
     assert all(len(a) == 1 for a in after) and after != before
+
+
+def test_ivf_index_layouts_match_inplan_and_evict_stale(spark, tmp_path):
+    """Round 8: the materialized IVF assignment index and quantized
+    code corpus must hold exactly the in-plan derivations' rows
+    (deterministic functions of the embeddings — why the index-fed
+    dedup_embedding_ann and ann_ivf_quantized share the from-raw
+    oracles) and self-invalidate on an embeddings mtime bump."""
+    import hashlib
+    import os
+    import shutil
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.silver import (
+        _SILVER_ROOT,
+        ivf_assign_layout,
+        ivf_quantized_layout,
+    )
+    from logsdb_spark.operators.similarity import (
+        ivf_cell_assignments,
+        ivf_quantized_corpus,
+    )
+
+    sfd = str(tmp_path)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        os.path.join(sfd, "embeddings.parquet"),
+    )
+    emb = load_table(spark, sfd, "embeddings")
+
+    def asg_key(r):
+        return (r.vec_id, r.cell, r.rk, tuple(r.embedding), r.nrm)
+
+    got_a = sorted(asg_key(r) for r in ivf_assign_layout(spark, sfd).collect())
+    want_a = sorted(
+        asg_key(r)
+        for r in ivf_cell_assignments(
+            emb, n_assign=2, target_cell_rows=64
+        ).collect()
+    )
+    assert got_a == want_a and got_a
+
+    def q_key(r):
+        return (r.vec_id, r.cell, tuple(r.q), r.mx, tuple(r.embedding), r.nrm)
+
+    got_q = sorted(q_key(r) for r in ivf_quantized_layout(spark, sfd).collect())
+    want_q = sorted(
+        q_key(r) for r in ivf_quantized_corpus(emb, n_centroids=16).collect()
+    )
+    assert got_q == want_q and got_q
+
+    digest = hashlib.sha1(os.path.abspath(sfd).encode()).hexdigest()[:12]
+
+    def dirs(prefix):
+        return sorted(
+            d for d in os.listdir(_SILVER_ROOT)
+            if d.startswith(f"{prefix}_{digest}_") and ".tmp." not in d
+        )
+
+    before = (dirs("ivfidx1_2_64"), dirs("ivfq1_16"))
+    assert all(len(b) == 1 for b in before)
+    st = os.stat(os.path.join(sfd, "embeddings.parquet"))
+    os.utime(os.path.join(sfd, "embeddings.parquet"),
+             ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    ivf_assign_layout(spark, sfd).count()
+    ivf_quantized_layout(spark, sfd).count()
+    after = (dirs("ivfidx1_2_64"), dirs("ivfq1_16"))
+    assert all(len(a) == 1 for a in after) and after != before
