@@ -11,14 +11,17 @@ Two decode tiers live here:
   fully. ``build_png``/``build_wav`` construct REAL, spec-conformant
   files (zlib'd IDAT, CRC'd chunks, canonical 44-byte RIFF header) so
   the parse path is exercised on genuine bytes end-to-end.
-- **PNG pixel decode is REAL too** (``decode_png_pixels``): zlib'd
-  IDAT inflation + full per-scanline filter reversal (None/Sub/Up/
-  Average/Paeth) for non-interlaced 8-bit gray/RGB — pure
-  stdlib+numpy, so ``extract_features`` histograms GENUINE pixels for
-  PNG blobs and ``png_pixel_stats`` is oracle-gated on real decoded
-  values. Non-PNG codecs (JPEG entropy decode, audio sample decode)
-  stay documented stubs (``_decode_stub``, ``resize_media``): those
-  codec libraries are not in this container.
+- **Pixel/sample decode is REAL too**: ``decode_png_pixels`` (zlib'd
+  IDAT inflation + full per-scanline filter reversal for
+  non-interlaced 8-bit gray/RGB), ``decode_gif_pixels`` (true LZW +
+  4-pass de-interlace), ``decode_wav_samples`` (RIFF walk + PCM), and
+  ``decode_jpeg_pixels`` (round 7: canonical-Huffman baseline entropy
+  decode + float IDCT, grayscale and 4:4:4 color) — all pure
+  stdlib+numpy, each oracle-gated on real decoded values.
+  ``resize_media`` is a real decode → integer box-downsample →
+  re-encode since round 8 (PNG/GIF both directions). The remaining
+  documented boundary is JPEG chroma subsampling / progressive scans
+  (``_decode_stub`` marks the shapes that fall back).
 
 Design for 100 TB of blobs: mapInPandas streams Arrow record batches
 through Python, so per-row overhead is amortized; blobs never pass
@@ -1492,27 +1495,75 @@ def png_pixel_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, PNG_PIXEL_STATS_SCHEMA)
 
 
-def resize_media(blobs: DataFrame, target_bytes: int = 256) -> DataFrame:
-    """Resize/transcode plumbing: binary in → binary out through an
-    Arrow-batched pandas UDF — the signature and batch shape a real
-    thumbnailer (PIL resize / ffmpeg -s) plugs into.
+def resize_pixels_box(pixels: bytes, w: int, h: int,
+                      factor: int) -> tuple[bytes, int, int] | None:
+    """Integer box-downsample of a row-major single-channel pixel
+    buffer: output (w//factor, h//factor), each output pixel the
+    FLOOR of its factor×factor source-block mean — pure integer
+    arithmetic, so a SQL oracle can recompute the resized stream
+    exactly. Trailing rows/columns that don't fill a block are
+    dropped (the standard box contract). None when either output
+    dimension would be zero."""
+    import numpy as np
 
-    The transform itself is a deterministic STUB (truncate or
-    zero-pad to ``target_bytes``; real decode libs aren't in this
-    container). What this pins down for production is the part that
-    is hard to retrofit: payloads stay executor-side end-to-end, the
-    UDF sees pandas Series of bytes (one Arrow batch per ~10k rows,
-    not per row), and the output column is again ``binary`` so
-    downstream stages (metadata extract, frame sampling) compose."""
+    ow, oh = w // factor, h // factor
+    if ow < 1 or oh < 1:
+        return None
+    arr = np.frombuffer(pixels, dtype=np.uint8, count=w * h).reshape(h, w)
+    blocks = arr[: oh * factor, : ow * factor].astype(np.uint32)
+    sums = blocks.reshape(oh, factor, ow, factor).sum(axis=(1, 3))
+    out = (sums // (factor * factor)).astype(np.uint8)
+    return out.tobytes(), ow, oh
+
+
+def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL thumbnail transform — round 8 replaced the r4 byte-stub
+    (defensible when no codecs existed; the repo now ships genuine
+    PNG and GIF codecs in BOTH directions): decode → integer
+    box-downsample by ``factor`` → re-encode, inside an Arrow-batched
+    pandas UDF (payloads stay executor-side, one Arrow batch per
+    ~10k rows, binary in → binary out so downstream stages compose).
+
+    Formats: 8-bit grayscale PNG (decode_png_pixels → block mean →
+    build_png) and GIF (decode_gif_pixels, de-interlacing if needed →
+    block mean over palette indexes, exact for the grayscale identity
+    palette build_gif emits → sequential re-encode). Each output
+    pixel is floor(block_sum / factor²) — integer math end to end,
+    which is what lets the multimodal_resize_stats oracle recompute
+    the resized stream from the source text. Anything else (WAV, RGB
+    PNG, JPEG, images smaller than ``factor``) yields a NULL payload:
+    the same fall-back-not-crash contract as the decoders.
+    tests/test_multimodal.py pins round-trip parity against a
+    straight numpy downsample of the decoded source pixels."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     @pandas_udf(BinaryType())
     def _resize(payloads: pd.Series) -> pd.Series:
-        def fake_resize(p: bytes) -> bytes:
+        def one(p) -> bytes | None:
+            if p is None:
+                return None
             b = bytes(p)
-            return b[:target_bytes].ljust(target_bytes, b"\x00")
+            dec = decode_png_pixels(b)
+            if dec is not None and dec["n_channels"] == 1:
+                r = resize_pixels_box(
+                    dec["pixels"], dec["width"], dec["height"], factor
+                )
+                if r is None:
+                    return None
+                out, ow, oh = r
+                return build_png(ow, oh, out)
+            gif = decode_gif_pixels(b)
+            if gif is not None:
+                r = resize_pixels_box(
+                    gif["pixels"], gif["width"], gif["height"], factor
+                )
+                if r is None:
+                    return None
+                out, ow, oh = r
+                return build_gif(ow, oh, out)
+            return None
 
-        return payloads.map(fake_resize)
+        return payloads.map(one)
 
     return blobs.withColumn("payload", _resize(F.col("payload")))

@@ -1746,6 +1746,78 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 48 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents
+      WHERE doc_id % 2 = 0 AND length(text) > 0
+        AND doc_id % 64 + 1 >= 2 AND doc_id % 48 + 1 >= 2
+    ),
+    s AS (
+      SELECT doc_id, w, h, L, w // 2 AS ow, h // 2 AS oh,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+                            i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, ow, oh, ow * oh AS n,
+             list_sum(list_transform(range(0, CAST(ow * oh AS INTEGER)),
+               i -> (  bs[CAST((( (2*(i//ow))  *w + 2*(i%ow))     % L AS INTEGER) + 1]
+                     + bs[CAST((( (2*(i//ow))  *w + 2*(i%ow) + 1) % L AS INTEGER) + 1]
+                     + bs[CAST((( (2*(i//ow)+1)*w + 2*(i%ow))     % L AS INTEGER) + 1]
+                     + bs[CAST((( (2*(i//ow)+1)*w + 2*(i%ow) + 1) % L AS INTEGER) + 1]
+                    ) // 4)) AS px_sum
+      FROM s
+    )
+    SELECT doc_id,
+           ow AS width, oh AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST((10000 * px_sum) // n AS BIGINT) AS mean_pixel_e4
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL resize pipeline hash-gated end to end (round 8 —
+    replaces the r4 byte-stub, closing the COVERAGE watch item): the
+    PNG blob corpus is decoded (zlib IDAT + filter reversal), integer
+    box-downsampled 2×2 (each output pixel floor(block_sum/4) — pure
+    integer math), re-ENCODED as a genuine PNG (build_png), decoded
+    AGAIN by png_pixel_stats, and the stats of the re-decoded
+    thumbnail are compared against a DuckDB oracle that recomputes
+    the block averages straight from the document text (build_png
+    cycles the utf-8 bytes into the source pixel stream, so every
+    resized pixel is a closed-form function of the text). A resize
+    that mishandles any filter, block boundary, dimension floor, or
+    the re-encode round trip hash-mismatches. Sub-factor images
+    (w<2 or h<2) are excluded identically on both engines — the
+    operator returns NULL payloads for them by contract. Scale
+    shape: one widened layout scan → two Arrow kernels (resize,
+    stats), no shuffle until the presentation sort."""
+    from ..operators.multimodal import png_pixel_stats, resize_media
+    from ..operators.silver import media_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir,
+        media_blob_layout(spark, sf_dir)
+        .filter(
+            (F.col("doc_id") % 2 == 0) & (F.col("text_len") > 0)
+            & (F.col("doc_id") % 64 + 1 >= 2)
+            & (F.col("doc_id") % 48 + 1 >= 2)
+        )
+        .select("doc_id", "payload"),
+        "media_png_rs",
+    )
+    return png_pixel_stats(resize_media(blobs, factor=2)).orderBy("doc_id")
+
+
+@register(
     "multimodal_gif_pixel_stats",
     oracle="""
     WITH d AS (

@@ -10,40 +10,91 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from logsdb_spark.catalog import load_table
-from logsdb_spark.operators.multimodal import (
-    attach_binary_payload,
-    extract_media_metadata,
-    frame_sample_plan,
-    resize_media,
-)
 
 from conftest import SF_DIR
 
 
-def test_resize_media_normalizes_payload_size(spark):
-    docs = load_table(spark, SF_DIR, "documents").limit(50)
-    resized = resize_media(attach_binary_payload(docs), target_bytes=256)
-    assert dict(resized.dtypes)["payload"] == "binary"
-    sizes = resized.select(F.length("payload").alias("n")).distinct().collect()
-    assert [r["n"] for r in sizes] == [256]
+def test_resize_media_roundtrip_matches_numpy(spark):
+    """resize_media (round 8: real decode → box-downsample →
+    re-encode) must satisfy decode(resize(blob)) == numpy box
+    downsample of decode(blob), for PNG (all filter types via the
+    real zlib path), sequential GIF, AND interlaced GIF (the resize
+    decodes display order, so interlacing must be transparent)."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        build_gif,
+        build_png,
+        decode_gif_pixels,
+        decode_png_pixels,
+        resize_media,
+    )
+
+    def expect(pixels: bytes, w: int, h: int, k: int) -> bytes:
+        a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+        ow, oh = w // k, h // k
+        s = a[: oh * k, : ow * k].astype(np.uint32)
+        return (s.reshape(oh, k, ow, k).sum(axis=(1, 3)) // (k * k)) \
+            .astype(np.uint8).tobytes()
+
+    content = bytes(range(37)) * 40
+    cases = [
+        (1, build_png(13, 9, content), decode_png_pixels),
+        (2, build_gif(16, 11, content), decode_gif_pixels),
+        (3, build_gif(15, 10, content, interlaced=True), decode_gif_pixels),
+    ]
+    blobs = spark.createDataFrame(
+        [(i, p) for i, p, _ in cases], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: bytes(r.payload)
+        for r in resize_media(blobs, factor=2).collect()
+    }
+    for i, payload, dec in cases:
+        src = dec(payload)
+        out = dec(got[i])
+        assert out is not None
+        want = expect(src["pixels"], src["width"], src["height"], 2)
+        assert out["width"] == src["width"] // 2
+        assert out["height"] == src["height"] // 2
+        assert bytes(out["pixels"]) == want, f"case {i}"
 
 
-def test_resize_composes_with_metadata_and_frame_sample(spark):
-    docs = load_table(spark, SF_DIR, "documents").limit(20)
-    resized = resize_media(attach_binary_payload(docs), target_bytes=300)
-    meta = extract_media_metadata(resized)
-    assert meta.count() == 20
-    assert all(r["n_bytes"] == 300 for r in meta.collect())
-    # 300-byte payload at 1 KiB stride → exactly one frame at offset 0
-    frames = frame_sample_plan(resized).collect()
-    assert len(frames) == 20
-    assert all(r["frame_idx"] == 0 and r["byte_offset"] == 0 for r in frames)
+def test_resize_media_fallback_contract(spark):
+    """Non-resizable payloads must yield NULL, never crash the Arrow
+    batch: WAV (audio), sub-factor images, raw text bytes, NULL in."""
+    from logsdb_spark.operators.multimodal import (
+        build_png,
+        build_wav,
+        resize_media,
+    )
+
+    blobs = spark.createDataFrame(
+        [
+            (1, build_wav(1, 8000, 16, b"\x01\x02" * 50)),
+            (2, build_png(1, 9, b"abc")),   # width // 2 == 0
+            (3, b"not media at all"),
+            (4, None),
+            (5, build_png(4, 4, b"abcdef")),  # control: resizable
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.payload for r in resize_media(blobs).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[3] is None and got[4] is None
+    assert got[5] is not None
 
 
 def test_resize_is_deterministic(spark):
-    docs = load_table(spark, SF_DIR, "documents").limit(10)
-    a = resize_media(attach_binary_payload(docs)).orderBy("doc_id").collect()
-    b = resize_media(attach_binary_payload(docs)).orderBy("doc_id").collect()
+    from logsdb_spark.operators.multimodal import build_png, resize_media
+
+    blobs = spark.createDataFrame(
+        [(i, build_png(8 + i, 6 + i, bytes(range(11)) * 9))
+         for i in range(10)],
+        "doc_id long, payload binary",
+    )
+    a = resize_media(blobs).orderBy("doc_id").collect()
+    b = resize_media(blobs).orderBy("doc_id").collect()
     assert [bytes(r["payload"]) for r in a] == [bytes(r["payload"]) for r in b]
 
 
