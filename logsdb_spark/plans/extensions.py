@@ -1766,10 +1766,10 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT doc_id, ow, oh, ow * oh AS n,
              list_sum(list_transform(range(0, CAST(ow * oh AS INTEGER)),
-               i -> (  bs[CAST((( (2*(i//ow))  *w + 2*(i%ow))     % L AS INTEGER) + 1]
-                     + bs[CAST((( (2*(i//ow))  *w + 2*(i%ow) + 1) % L AS INTEGER) + 1]
-                     + bs[CAST((( (2*(i//ow)+1)*w + 2*(i%ow))     % L AS INTEGER) + 1]
-                     + bs[CAST((( (2*(i//ow)+1)*w + 2*(i%ow) + 1) % L AS INTEGER) + 1]
+               i -> (  bs[CAST((( (2*(i//ow))  *w + 2*(i%ow))     % L) AS INTEGER) + 1]
+                     + bs[CAST((( (2*(i//ow))  *w + 2*(i%ow) + 1) % L) AS INTEGER) + 1]
+                     + bs[CAST((( (2*(i//ow)+1)*w + 2*(i%ow))     % L) AS INTEGER) + 1]
+                     + bs[CAST((( (2*(i//ow)+1)*w + 2*(i%ow) + 1) % L) AS INTEGER) + 1]
                     ) // 4)) AS px_sum
       FROM s
     )
