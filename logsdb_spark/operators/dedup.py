@@ -523,6 +523,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
       large graphs leave the session conf untouched (AQE, full-width
       shuffle joins). The session conf is restored in a finally.
 
+    CONTRACT — single concurrent query per session: the small regime
+    toggles SESSION-GLOBAL conf (AQE, shuffle partitions) for the
+    loop's duration; a query running concurrently on the same
+    SparkSession would plan under the degraded conf, and an interrupt
+    between set and finally leaves a window of altered state. Every
+    registered pipeline runs queries serially (the driver contract),
+    so this holds today; a multi-tenant session should run CC via
+    spark.newSession() or accept full-width AQE rounds (the large
+    regime, conf untouched).
+
     Rounds needed ≈ effective diameter (cliques: 1 confirm round).
     Each round is localCheckpoint'ed: without lineage truncation an
     iterative plan re-derives every prior round per action (at
@@ -564,7 +574,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # Catalyst would otherwise plan full-width shuffle joins every
     # round). Large regime (a 100 TB corpus can produce billions of
     # dup edges) → conf untouched: AQE, shuffle joins, full width.
-    small = n_edges <= 2 * broadcast_nodes
+    # The force-broadcast table is the LABEL frame, which holds one
+    # row per distinct node — and every node appears as a source in
+    # the symmetrized directed edge set, so nodes <= n_edges. Gating
+    # on n_edges therefore bounds the broadcast table by
+    # broadcast_nodes rows (round 9: the previous 2x-edges gate let
+    # the label table reach double the bound F.broadcast bypasses
+    # autoBroadcastJoinThreshold for).
+    small = n_edges <= broadcast_nodes
     bc = F.broadcast if small else (lambda df: df)
     conf_saved: dict[str, str] = {}
     if small:

@@ -1516,6 +1516,43 @@ def resize_pixels_box(pixels: bytes, w: int, h: int,
     return out.tobytes(), ow, oh
 
 
+def _gif_identity_grayscale(b: bytes) -> bool:
+    """True iff a GIF's palette INDEXES are its pixel VALUES: the
+    global color table is the identity grayscale ramp (entry j ==
+    (j, j, j)) and the first image descriptor carries no local color
+    table. resize_media box-averages indexes, which is only
+    semantically a pixel average under this palette — build_gif's
+    output qualifies; an arbitrary real-world color table must fall
+    back to NULL instead of being silently index-averaged into a
+    wrong thumbnail (round-9 guard)."""
+    try:
+        packed = b[10]
+        if not packed & 0x80:
+            return False
+        n = 2 << (packed & 0x07)
+        gct = b[13: 13 + 3 * n]
+        if len(gct) < 3 * n:
+            return False
+        for j in range(n):
+            if gct[3 * j] != j or gct[3 * j + 1] != j or gct[3 * j + 2] != j:
+                return False
+        i = 13 + 3 * n
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x21:
+                i += 2
+                while b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif blk == 0x2C:
+                return not (b[i + 9] & 0x80)
+            else:
+                return False
+        return False
+    except IndexError:
+        return False
+
+
 def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
     """REAL thumbnail transform — round 8 replaced the r4 byte-stub
     (defensible when no codecs existed; the repo now ships genuine
@@ -1526,8 +1563,10 @@ def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
 
     Formats: 8-bit grayscale PNG (decode_png_pixels → block mean →
     build_png) and GIF (decode_gif_pixels, de-interlacing if needed →
-    block mean over palette indexes, exact for the grayscale identity
-    palette build_gif emits → sequential re-encode). Each output
+    block mean over palette indexes — VERIFIED first to be a real
+    pixel average via _gif_identity_grayscale; a GIF with an
+    arbitrary color table falls back to NULL rather than being
+    index-averaged wrong → sequential re-encode). Each output
     pixel is floor(block_sum / factor²) — integer math end to end,
     which is what lets the multimodal_resize_stats oracle recompute
     the resized stream from the source text. Anything else (WAV, RGB
@@ -1554,7 +1593,7 @@ def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
                 out, ow, oh = r
                 return build_png(ow, oh, out)
             gif = decode_gif_pixels(b)
-            if gif is not None:
+            if gif is not None and _gif_identity_grayscale(b):
                 r = resize_pixels_box(
                     gif["pixels"], gif["width"], gif["height"], factor
                 )

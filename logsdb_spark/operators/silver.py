@@ -196,7 +196,33 @@ def _blob_layout(spark: SparkSession, sf_dir: str, prefix: str,
                     and ".tmp." not in d):
                 shutil.rmtree(os.path.join(_SILVER_ROOT, d),
                               ignore_errors=True)
-    return spark.read.schema(schema).parquet(target)
+    df = spark.read.schema(schema).parquet(target)
+    # Tag the frame with its backing directory so callers can size
+    # compute stages from the footers (parquet_row_count) without a
+    # Spark job.
+    df._layout_dir = target
+    return df
+
+
+def parquet_row_count(df: DataFrame) -> int | None:
+    """Row count of a _blob_layout-backed frame read straight from
+    its parquet FOOTERS — a driver-side metadata scan (no Spark job),
+    the cheap cardinality a caller needs to size a compute stage's
+    shuffle width. None when the frame isn't a tagged layout or the
+    footers can't be read (callers fall back to core-count width)."""
+    target = getattr(df, "_layout_dir", None)
+    if not target:
+        return None
+    try:
+        import pyarrow.parquet as pq
+        total = 0
+        for f in os.listdir(target):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(target, f)).metadata.num_rows
+        return total
+    except Exception:
+        return None
 
 
 def gif_blob_layout(spark: SparkSession, sf_dir: str,

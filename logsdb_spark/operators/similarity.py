@@ -275,30 +275,37 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
 
 
 def _verify_cosine_pairs(cands: DataFrame, a: DataFrame, b: DataFrame,
-                         threshold: float, verify: str) -> DataFrame:
+                         threshold: float, verify: str,
+                         est_candidates: int | None = None,
+                         rows_per_task: int = 200_000) -> DataFrame:
     """Exact-cosine verification tail shared by the in-plan and
     index-fed IVF dedup routes: join the candidate pairs to the
     (id, vector, norm) sides and keep cos >= threshold. The rounded
     cosine is computed with the ordered fold either way, so the two
     callers are value-identical.
 
-    The candidate frame is REPARTITIONED to the cluster's core count
-    first: the verify stage is COMPUTE-bound (a 64-dim fold per
-    pair), and AQE's byte-based coalescing — seeing a few MB of
-    (id_a, id_b) pairs — would otherwise shrink it to one task
-    (measured round 8: the sf0.1 verify ran serially at ~2 s; spread
-    over 32 cores it is ~0.4 s). The explicit partition count marks
-    the exchange user-specified, which AQE honors; defaultParallelism
-    is total cluster cores — the right width for a compute stage at
-    any data scale (tasks grow with candidate volume, the normal
-    sizing model)."""
+    The candidate frame is REPARTITIONED first: the verify stage is
+    COMPUTE-bound (a 64-dim fold per pair), and AQE's byte-based
+    coalescing — seeing a few MB of (id_a, id_b) pairs — would
+    otherwise shrink it to one task (measured round 8: the sf0.1
+    verify ran serially at ~2 s; spread over 32 cores it is ~0.4 s).
+    The explicit partition count marks the exchange user-specified,
+    which AQE honors. Width is VOLUME-SCALED (round 9): the floor is
+    defaultParallelism (every core busy even on small candidate
+    sets), and when the caller supplies ``est_candidates`` (e.g. from
+    the materialized index's parquet footers — a driver-side metadata
+    read, no job) the width grows as ceil(est/rows_per_task), so
+    per-task work stays bounded at 100x candidate volume instead of
+    growing with a fixed core-count width."""
     if verify == "arrow":
         from ..functions.arrow_kernels import dot_arrow as _dot
     else:
         _dot = dot
-    cands = cands.repartition(
-        cands.sparkSession.sparkContext.defaultParallelism, F.col("id_a")
-    )
+    width = cands.sparkSession.sparkContext.defaultParallelism
+    if est_candidates:
+        width = min(max(width, -(-int(est_candidates) // rows_per_task)),
+                    65536)
+    cands = cands.repartition(width, F.col("id_a"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -374,14 +381,18 @@ def ivf_cell_assignments(emb: DataFrame, n_centroids: int | None = None,
 
 
 def ivf_near_dups_prepared(idx: DataFrame, threshold: float = 0.85,
-                           verify: str = "hof") -> DataFrame:
+                           verify: str = "hof",
+                           est_candidates: int | None = None) -> DataFrame:
     """ivf_cell_near_dups DOWNSTREAM of the assignment index: ``idx``
     is the (vec_id, cell, rk, embedding, nrm) relation — read from the
     materialized ivf_assign_layout or built in-plan. Candidate pairs
     come from the (vec_id, cell) projection (cell-keyed equi-join,
     identical to the in-plan form); the exact-cosine verify sides read
     the UNIQUE rk=0 rows, whose precomputed norms round-trip parquet
-    bit-exactly, so this shares the in-plan form's oracle."""
+    bit-exactly, so this shares the in-plan form's oracle.
+    ``est_candidates`` (rows x cell size / 2, derivable from the
+    layout's parquet footers) sizes the verify stage's width — see
+    _verify_cosine_pairs."""
     assigned = idx.select("vec_id", "cell")
     a_ids = assigned.select("cell", F.col("vec_id").alias("id_a"))
     b_ids = assigned.select("cell", F.col("vec_id").alias("id_b"))
@@ -402,7 +413,8 @@ def ivf_near_dups_prepared(idx: DataFrame, threshold: float = 0.85,
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("_nb"),
     )
-    return _verify_cosine_pairs(cands, a, b, threshold, verify)
+    return _verify_cosine_pairs(cands, a, b, threshold, verify,
+                                est_candidates=est_candidates)
 
 
 def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 2,

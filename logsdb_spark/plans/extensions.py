@@ -1277,11 +1277,18 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the index stores. The from-raw pipeline stays registered AND
     benched as ``dedup_embedding_ann_inplan``; the sqrt-cells
     0.4-threshold form lives on as ``dedup_embedding_ann_coverage``."""
-    from ..operators.silver import ivf_assign_layout
+    from ..operators.silver import ivf_assign_layout, parquet_row_count
     from ..operators.similarity import ivf_near_dups_prepared
 
     idx = ivf_assign_layout(spark, sf_dir, n_assign=2, target_cell_rows=64)
-    return ivf_near_dups_prepared(idx, threshold=0.85).orderBy("id_a", "id_b")
+    # Verify-stage width scales with candidate volume: each of the
+    # index's assignment rows pairs with its ~64-row cell (halved by
+    # id_a < id_b). Footer read, no job; None → core-count floor.
+    n_rows = parquet_row_count(idx)
+    est = n_rows * 32 if n_rows else None
+    return ivf_near_dups_prepared(
+        idx, threshold=0.85, est_candidates=est
+    ).orderBy("id_a", "id_b")
 
 
 @register(

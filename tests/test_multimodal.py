@@ -789,3 +789,35 @@ def test_decode_jpeg_rejects_unsupported_shapes():
     k = bytes(dri).index(b"\xff\xda")
     dri[k:k] = b"\xff\xdd" + _s.pack(">H", 4) + _s.pack(">H", 2)
     assert decode_jpeg_pixels(bytes(dri)) is None
+
+
+def test_resize_gif_nonidentity_palette_falls_back(spark):
+    """A GIF whose global color table is NOT the identity grayscale
+    ramp must resize to NULL (round 9): box-averaging palette INDEXES
+    is only a pixel average under the identity palette — silently
+    index-averaging an arbitrary color table would produce a wrong
+    thumbnail, violating the fall-back-not-crash contract."""
+    from logsdb_spark.operators.multimodal import (
+        _gif_identity_grayscale,
+        build_gif,
+        decode_gif_pixels,
+        resize_media,
+    )
+
+    good = build_gif(8, 6, bytes(range(48)))
+    bad = bytearray(good)
+    bad[13] = 255  # palette entry 0 becomes (255, 0, 0)
+    bad = bytes(bad)
+    # The decoder still reads the index stream fine — only resize
+    # must refuse.
+    assert decode_gif_pixels(bad) is not None
+    assert _gif_identity_grayscale(good)
+    assert not _gif_identity_grayscale(bad)
+    assert not _gif_identity_grayscale(b"GIF89a")  # truncated
+
+    blobs = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r.payload for r in resize_media(blobs).collect()}
+    assert got[1] is not None
+    assert got[2] is None

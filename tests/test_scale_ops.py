@@ -798,3 +798,79 @@ def test_ivf_index_layouts_match_inplan_and_evict_stale(spark, tmp_path):
     ivf_quantized_layout(spark, sfd).count()
     after = (dirs("ivfidx1_2_64"), dirs("ivfq1_16"))
     assert all(len(a) == 1 for a in after) and after != before
+
+
+def test_parquet_row_count_and_volume_scaled_verify_width(spark, tmp_path):
+    """Round 9: layouts are tagged with their backing dir and
+    parquet_row_count reads the exact cardinality from the footers
+    (no Spark job); _verify_cosine_pairs widens its compute stage as
+    ceil(est/rows_per_task) with a core-count floor, so per-task work
+    stays bounded at 100x candidate volume."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.silver import (
+        ivf_assign_layout,
+        parquet_row_count,
+    )
+    from logsdb_spark.operators.similarity import (
+        _verify_cosine_pairs,
+        _with_norm,
+        ivf_near_dups_prepared,
+    )
+
+    sfd = str(tmp_path)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        os.path.join(sfd, "embeddings.parquet"),
+    )
+    idx = ivf_assign_layout(spark, sfd)
+    n = parquet_row_count(idx)
+    assert n == idx.count()
+    # A frame that isn't a tagged layout reports None (core-count
+    # floor downstream).
+    assert parquet_row_count(idx.select("vec_id")) is None
+
+    # Width floor: tiny estimate keeps defaultParallelism; huge
+    # estimate widens the exchange.
+    dp = spark.sparkContext.defaultParallelism
+    emb = spark.read.parquet(os.path.join(sfd, "embeddings.parquet"))
+    a = _with_norm(
+        emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va")), "va", "_na")
+    b = _with_norm(
+        emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb")), "vb", "_nb")
+    cands = emb.select(F.col("vec_id").alias("id_a")).crossJoin(
+        emb.select(F.col("vec_id").alias("id_b"))
+    ).filter(F.col("id_a") < F.col("id_b")).limit(200)
+
+    def width_of(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        import re
+        m = re.search(r"RepartitionByExpression \[id_a[^\]]*\], (\d+)", plan)
+        assert m, plan
+        return int(m.group(1))
+
+    assert width_of(
+        _verify_cosine_pairs(cands, a, b, 0.0, "hof", est_candidates=10)
+    ) == dp
+    assert width_of(
+        _verify_cosine_pairs(cands, a, b, 0.0, "hof",
+                             est_candidates=100 * 200_000)
+    ) == max(dp, 100)
+
+    # End-to-end: the est-fed prepared route returns the same pairs
+    # as the un-estimated one.
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in ivf_near_dups_prepared(
+            idx, threshold=0.85, est_candidates=n * 32).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in ivf_near_dups_prepared(idx, threshold=0.85).collect()
+    )
+    assert got == want
