@@ -920,22 +920,29 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
     (DC prediction + EXTEND, AC run/size with ZRL and EOB), dezigzag,
     dequantize, float IDCT, level shift, clamp, and edge-block crop.
 
-    Supported: 8-bit baseline (SOF0), grayscale OR 3-component
-    non-subsampled color (4:4:4 — interleaved MCUs with per-component
-    quant/Huffman table selection and per-component DC predictors;
-    round 7 closed single-component, this closes the interleave), with
-    or without restart intervals (DRI/RSTn: byte-aligned modulo-8
-    marker sequence verified, DC predictors reset per T.81 E.1.4) —
-    what build_jpeg / build_jpeg_color emit and
-    the archival-thumbnail shapes. Anything else (progressive,
-    chroma-SUBSAMPLED color) returns None: the same
-    fall-back-not-crash contract as decode_png_pixels; the remaining
-    honest boundary is now subsampling/progressive scans. For ncomp=3
-    ``pixels`` is row-major channel-interleaved (like the PNG RGB
-    path) and no color-space conversion is applied — the decoded
-    component values are returned as stored (the YCbCr→RGB matrix is
-    a presentation choice, not part of entropy decode, and keeping
-    raw components is what makes the stats oracle exact)."""
+    Supported: 8-bit baseline (SOF0), grayscale OR 3-component color —
+    interleaved MCUs with per-component quant/Huffman table selection,
+    per-component DC predictors, AND chroma subsampling (round 9:
+    sampling factors 1–2 per axis where every component's grid divides
+    the max — 4:4:4, 4:2:2, 4:4:0, and the ubiquitous 4:2:0; the
+    component planes are decoded at their stored resolution per T.81
+    A.2.3 interleaved block ordering, cropped to ceil(dim·fi/fmax),
+    and replication-upsampled to full resolution — sample (x, y)
+    reads plane[y//ry][x//rx], the integer-exact nearest-neighbor
+    upsample). With or without restart intervals (DRI/RSTn:
+    byte-aligned modulo-8 marker sequence verified, DC predictors
+    reset per T.81 E.1.4) — what build_jpeg / build_jpeg_color /
+    build_jpeg_420 emit and the archival-thumbnail shapes. Anything
+    else (progressive scans, sampling factors > 2 or non-dividing
+    ratios) returns None: the same fall-back-not-crash contract as
+    decode_png_pixels; the remaining honest boundary is progressive.
+    For ncomp=3 ``pixels`` is row-major channel-interleaved (like the
+    PNG RGB path) and no color-space conversion is applied — the
+    decoded component values are returned as stored (the YCbCr→RGB
+    matrix is a presentation choice, not part of entropy decode —
+    ycbcr_to_rgb applies the standard libjpeg fixed-point matrix when
+    a pipeline wants RGB — and keeping raw components is what makes
+    the stats oracle exact)."""
     import numpy as np
 
     b = bytes(payload)
@@ -945,7 +952,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
         qt: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
         w = h = None
-        sof_comps: list[tuple[int, int]] = []  # (component id, quant id)
+        sof_comps: list[tuple[int, int, int, int]] = []  # (id, q, hi, vi)
         restart_interval = 0
         scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
         scan_order: list[int] = []
@@ -992,9 +999,22 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                     return None
                 for c in range(ncomp):
                     cid, sampling, tq = seg[6 + 3 * c: 9 + 3 * c]
-                    if sampling != 0x11:  # 1x1 only (no subsampling)
+                    hi, vi = sampling >> 4, sampling & 0x0F
+                    if not (1 <= hi <= 2 and 1 <= vi <= 2):
                         return None
-                    sof_comps.append((cid, tq))
+                    sof_comps.append((cid, tq, hi, vi))
+                # Grayscale scans are non-interleaved by definition —
+                # keep the 1x1 contract there. For color, any mix of
+                # 1/2 factors works IF every component's grid divides
+                # the max (replication upsample needs integer ratios):
+                # that is 4:4:4, 4:2:2, 4:4:0, and the round-9 target
+                # 4:2:0. Exotic ratios stay at the None boundary.
+                hmax = max(c[2] for c in sof_comps)
+                vmax = max(c[3] for c in sof_comps)
+                if ncomp == 1 and (hmax, vmax) != (1, 1):
+                    return None
+                if any(hmax % c[2] or vmax % c[3] for c in sof_comps):
+                    return None
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF family
@@ -1013,10 +1033,10 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
         else:
             return None
 
-        # per-component (q table, dc table, ac table), in SOF order —
-        # the interleaved MCU order for 1x1 sampling
+        # per-component (q table, dc table, ac table, hi, vi), in SOF
+        # order — the interleaved MCU component order
         comps = []
-        for cid, tq in sof_comps:
+        for cid, tq, hi, vi in sof_comps:
             if cid not in scan_tabs:
                 return None
             td, ta = scan_tabs[cid]
@@ -1025,19 +1045,26 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
             ac_tab = huff.get((1, ta))
             if q is None or dc_tab is None or ac_tab is None:
                 return None
-            comps.append((q, dc_tab, ac_tab))
+            comps.append((q, dc_tab, ac_tab, hi, vi))
         ncomp = len(comps)
+        hmax = max(c[3] for c in comps)
+        vmax = max(c[4] for c in comps)
 
         a = _idct_matrix()
-        bw, bh = (w + 7) // 8, (h + 7) // 8
+        # MCU grid covers 8*hmax x 8*vmax pixels per MCU; component
+        # ci contributes hi x vi blocks per MCU in raster order
+        # (T.81 A.2.3 interleaved data ordering).
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         planes = [
-            np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(ncomp)
+            np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+            for (_, _, _, hi, vi) in comps
         ]
         reader = _BitReader(b, data_start)
         preds = [0] * ncomp
         mcu = 0
-        for by in range(bh):
-            for bx in range(bw):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if (restart_interval and mcu
                         and mcu % restart_interval == 0):
                     # byte-align, verify the modulo-8 RSTn sequence,
@@ -1045,36 +1072,53 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                     reader.sync_restart(mcu // restart_interval - 1)
                     preds = [0] * ncomp
                 mcu += 1
-                for ci, (q, dc_tab, ac_tab) in enumerate(comps):
-                    coef = np.zeros(64, dtype=np.float64)
-                    t = reader.decode_huffman(dc_tab)
-                    preds[ci] += _extend(reader.receive(t), t)
-                    coef[0] = preds[ci] * q[0]
-                    k = 0
-                    while k < 63:
-                        rs = reader.decode_huffman(ac_tab)
-                        if rs == 0x00:  # EOB
-                            break
-                        r, s = rs >> 4, rs & 0x0F
-                        if rs == 0xF0:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        k += r + 1
-                        if k > 63 or s == 0:
-                            raise ValueError("corrupt AC run")
-                        coef[_ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
-                    block = np.zeros((8, 8))
-                    block.flat[:] = coef
-                    px = a.T @ block @ a + 128.0
-                    planes[ci][by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = (
-                        np.clip(np.rint(px), 0, 255).astype(np.uint8)
-                    )
+                for ci, (q, dc_tab, ac_tab, hi, vi) in enumerate(comps):
+                    for v in range(vi):
+                        for u in range(hi):
+                            coef = np.zeros(64, dtype=np.float64)
+                            t = reader.decode_huffman(dc_tab)
+                            preds[ci] += _extend(reader.receive(t), t)
+                            coef[0] = preds[ci] * q[0]
+                            k = 0
+                            while k < 63:
+                                rs = reader.decode_huffman(ac_tab)
+                                if rs == 0x00:  # EOB
+                                    break
+                                r, s = rs >> 4, rs & 0x0F
+                                if rs == 0xF0:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                k += r + 1
+                                if k > 63 or s == 0:
+                                    raise ValueError("corrupt AC run")
+                                coef[_ZIGZAG[k]] = (
+                                    _extend(reader.receive(s), s) * q[k]
+                                )
+                            block = np.zeros((8, 8))
+                            block.flat[:] = coef
+                            px = a.T @ block @ a + 128.0
+                            ry, rx = (my * vi + v) * 8, (mx * hi + u) * 8
+                            planes[ci][ry: ry + 8, rx: rx + 8] = (
+                                np.clip(np.rint(px), 0, 255).astype(np.uint8)
+                            )
+        # Crop each plane to its component resolution (ceil(w*hi/hmax)
+        # x ceil(h*vi/vmax), T.81 A.1.1), replicate subsampled planes
+        # up to full resolution (sample (x, y) reads plane[y//ry][x//rx]
+        # — the nearest-neighbor upsample, integer-exact), crop to
+        # (h, w).
+        full = []
+        for ci, (_, _, _, hi, vi) in enumerate(comps):
+            cw = (w * hi + hmax - 1) // hmax
+            ch = (h * vi + vmax - 1) // vmax
+            p = planes[ci][:ch, :cw]
+            if hi != hmax or vi != vmax:
+                p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                              hmax // hi, axis=1)
+            full.append(p[:h, :w])
         if ncomp == 1:
-            pixels = planes[0][:h, :w].tobytes()
+            pixels = full[0].tobytes()
         else:
-            pixels = np.stack(
-                [p[:h, :w] for p in planes], axis=-1
-            ).tobytes()
+            pixels = np.stack(full, axis=-1).tobytes()
         return {
             "width": int(w), "height": int(h), "n_channels": ncomp,
             "pixels": pixels,
@@ -1228,6 +1272,92 @@ def build_jpeg_color(width: int, height: int, content: bytes = b"",
             + entropy + b"\xff\xd9")
 
 
+def build_jpeg_420(width: int, height: int, content: bytes = b"",
+                   restart_interval: int = 0) -> bytes:
+    """A REAL baseline 4:2:0 chroma-subsampled JPEG (Y sampling 2x2,
+    Cb/Cr 1x1 — the sampling virtually every camera/web JPEG uses)
+    with the DC-exact block-constant contract: MCU m covers a 16x16
+    pixel area and carries SIX blocks in T.81 interleaved order —
+    four Y blocks (raster within the MCU) then one Cb and one Cr —
+    where block j of MCU m holds the constant value
+    ``content[(6*m + j) % len(content)]``. The chroma blocks span the
+    whole MCU at half resolution, so after the decoder's replication
+    upsample every pixel (x, y) has a closed-form (Y, Cb, Cr):
+      m  = (y // 16) * mcux + (x // 16)
+      Yb = 2 * ((y % 16) // 8) + ((x % 16) // 8)
+      Y  = content[(6m + Yb) % L],  Cb = content[(6m + 4) % L],
+      Cr = content[(6m + 5) % L]
+    — SQL-recomputable straight from the source text while the
+    decoder runs the full subsampled path (6-block MCUs, three DC
+    chains, per-component plane geometry, chroma upsample)."""
+    vals = content or b"\x00"
+    mcux, mcuy = (width + 15) // 16, (height + 15) // 16
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.restart(m // restart_interval - 1)
+            preds = [0, 0, 0]
+        for j in range(6):
+            c = 0 if j < 4 else j - 3  # component: Y Y Y Y Cb Cr
+            dc = 8 * (vals[(6 * m + j) % len(vals)] - 128)
+            diff = dc - preds[c]
+            preds[c] = dc
+            t = abs(diff).bit_length()
+            wtr.write(t, 4)
+            if t:
+                wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            wtr.write(0, 1)  # EOB
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 3)
+              + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                 + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
+            + entropy + b"\xff\xd9")
+
+
+# libjpeg's fixed-point YCbCr->RGB coefficients: round(c * 65536) for
+# c in (1.402, 0.344136, 0.714136, 1.772), applied with a +32768
+# rounding bias and an ARITHMETIC >> 16 (floor — Python, numpy, and
+# DuckDB's >> all agree on negative operands, unlike their integer
+# divisions, which is what makes the conversion oracle-exact).
+_YCC_R_CR = 91881
+_YCC_G_CB = 22554
+_YCC_G_CR = 46802
+_YCC_B_CB = 116130
+
+
+def ycbcr_to_rgb(pixels: bytes, n_pixels: int):
+    """Integer-exact JFIF YCbCr→RGB over a channel-interleaved uint8
+    buffer (decode_jpeg_pixels' ncomp=3 output) → (r, g, b) int64
+    numpy arrays, each value already clamped to 0..255. The matrix is
+    the standard libjpeg fixed-point form — a deterministic pure
+    function of (Y, Cb, Cr), so a SQL oracle reproduces it with the
+    same multiply/bias/shift."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(n_pixels, 3)
+    y = arr[:, 0].astype(np.int64)
+    cb = arr[:, 1].astype(np.int64) - 128
+    cr = arr[:, 2].astype(np.int64) - 128
+    r = np.clip(y + ((_YCC_R_CR * cr + 32768) >> 16), 0, 255)
+    g = np.clip(y - ((_YCC_G_CB * cb + _YCC_G_CR * cr + 32768) >> 16),
+                0, 255)
+    b = np.clip(y + ((_YCC_B_CB * cb + 32768) >> 16), 0, 255)
+    return r, g, b
+
+
 def synthesize_color_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Color-JPEG fixture generator: width = doc_id%24+1, height =
     doc_id%20+1, channel values from the text bytes at stride 3
@@ -1299,6 +1429,82 @@ def jpeg_color_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
 
     return blobs.mapInPandas(stats, JPEG_COLOR_STATS_SCHEMA)
+
+
+def synthesize_jpeg420s(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """4:2:0 JPEG fixture generator: width = doc_id%36+1, height =
+    doc_id%26+1 (cycles that exercise every MCU edge shape, including
+    widths <= 8 where a whole Y-block column of the rightmost MCU is
+    cropped away), six block-constant values per MCU from the text
+    bytes at stride 6 (build_jpeg_420's arithmetic — SQL-
+    recomputable). Odd doc_ids carry a 2-MCU restart interval, so the
+    mixed corpus hash-gates DRI under subsampled 6-block MCUs too."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_jpeg_420(
+                    int(doc_id) % 36 + 1,
+                    int(doc_id) % 26 + 1,
+                    ("" if text is None else str(text)).encode("utf-8"),
+                    restart_interval=2 if int(doc_id) % 2 else 0,
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(synth, schema)
+
+
+JPEG_RGB_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+    ]
+)
+
+
+def jpeg_rgb_stats(blobs: DataFrame) -> DataFrame:
+    """Per-channel RGB sums from REAL subsampled-JPEG decode —
+    entropy decode of 6-block 4:2:0 MCUs, per-component plane
+    geometry, chroma replication upsample, then the fixed-point
+    YCbCr→RGB matrix (ycbcr_to_rgb) — one Arrow kernel, blobs never
+    driver-side. Undecodable or non-color payloads yield NULL stats
+    (fall-back contract)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("width", "height", "n_pixels", "r_sum", "g_sum",
+                     "b_sum")}
+            for p in pdf["payload"]:
+                dec = decode_jpeg_pixels(bytes(p) if p is not None else b"")
+                if dec is None or dec.get("n_channels") != 3:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                n = dec["width"] * dec["height"]
+                r, g, bch = ycbcr_to_rgb(dec["pixels"], n)
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_pixels"].append(n)
+                rows["r_sum"].append(int(r.sum()))
+                rows["g_sum"].append(int(g.sum()))
+                rows["b_sum"].append(int(bch.sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, JPEG_RGB_STATS_SCHEMA)
 
 
 def synthesize_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame:

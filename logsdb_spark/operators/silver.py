@@ -320,6 +320,34 @@ def jpeg_color_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg420_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4:2:0 chroma-subsampled baseline-JPEG fixture corpus as a
+    materialized (doc_id, payload) parquet (prefix jpg420_1) —
+    build_jpeg_420's 6-block-MCU DC-exact fixtures, odd doc_ids with
+    DRI restarts; same contract as jpeg_blob_layout."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .multimodal import synthesize_jpeg420s
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_jpeg420s(docs)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "jpg420_1", make, schema).select(
+        "doc_id", "payload"
+    )
+
+
 def media_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG/WAV fixture corpus as a materialized (doc_id, payload,
     text_len) parquet (_blob_layout contract): even doc_ids are

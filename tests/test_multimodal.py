@@ -763,8 +763,11 @@ def test_build_jpeg_color_roundtrip_interleaved_exact():
 
 
 def test_decode_jpeg_rejects_unsupported_shapes():
-    """The documented fall-back boundary: subsampled color, progressive
-    scans, and nonzero restart intervals return None (never raise)."""
+    """The documented fall-back boundary (round 9 moved subsampling
+    INSIDE it — 4:2:0/4:2:2 now decode): sampling factors > 2,
+    subsampled GRAYSCALE, progressive scans, and a DRI that promises
+    restart markers the stream doesn't contain return None (never
+    raise)."""
     import struct as _s
 
     from logsdb_spark.operators.multimodal import (
@@ -777,8 +780,13 @@ def test_decode_jpeg_rejects_unsupported_shapes():
     # SOF0 seg: find marker 0xFFC0; component 1 sampling byte sits at
     # offset +11 within the segment (len2 prec1 h2 w2 n1 id1 -> samp)
     i = bytes(blob).index(b"\xff\xc0")
-    blob[i + 11] = 0x22  # 2x2 subsampling -> unsupported
+    blob[i + 11] = 0x33  # 3x3 sampling factor -> out of range
     assert decode_jpeg_pixels(bytes(blob)) is None
+
+    gray = bytearray(build_jpeg(9, 9, b"q"))
+    g = bytes(gray).index(b"\xff\xc0")
+    gray[g + 11] = 0x22  # subsampled single-component -> unsupported
+    assert decode_jpeg_pixels(bytes(gray)) is None
 
     prog = bytearray(build_jpeg(9, 9, b"q"))
     j = bytes(prog).index(b"\xff\xc0")
@@ -821,3 +829,138 @@ def test_resize_gif_nonidentity_palette_falls_back(spark):
     got = {r.doc_id: r.payload for r in resize_media(blobs).collect()}
     assert got[1] is not None
     assert got[2] is None
+
+
+def test_decode_jpeg_420_matches_closed_form():
+    """4:2:0 decode (round 9): build_jpeg_420's six-block MCUs decode
+    to the exact closed-form (Y, Cb, Cr) per pixel — Y from the
+    pixel's 8x8 block, chroma constant per 16x16 MCU after the
+    replication upsample — across edge shapes (widths <= 8 crop a
+    whole Y-block column of the last MCU) and restart intervals."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        build_jpeg_420,
+        decode_jpeg_pixels,
+    )
+
+    content = b"The quick brown fox jumps over the lazy dog 0123456789"
+    L = len(content)
+    for (w, h, ri) in [(1, 1, 0), (7, 5, 0), (16, 16, 0), (17, 9, 0),
+                       (33, 26, 2), (36, 26, 0), (9, 33, 3), (16, 1, 0),
+                       (1, 16, 0), (31, 31, 1)]:
+        dec = decode_jpeg_pixels(build_jpeg_420(w, h, content,
+                                                restart_interval=ri))
+        assert dec is not None and dec["n_channels"] == 3, (w, h)
+        assert (dec["width"], dec["height"]) == (w, h)
+        arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        mcux = (w + 15) // 16
+        ys, xs = np.mgrid[0:h, 0:w]
+        m = (ys // 16) * mcux + xs // 16
+        yb = 2 * ((ys % 16) // 8) + (xs % 16) // 8
+        cbytes = np.frombuffer(content, dtype=np.uint8)
+        want = np.stack(
+            [cbytes[(6 * m + yb) % L], cbytes[(6 * m + 4) % L],
+             cbytes[(6 * m + 5) % L]], axis=-1)
+        assert (arr == want).all(), (w, h, ri)
+
+
+def test_decode_jpeg_422_and_440():
+    """Non-square sampling (4:2:2 / 4:4:0) goes through the same
+    general MCU walk: an inline block-constant encoder with Y
+    sampling 2x1 (and 1x2) must decode to Y per 8x8 block and chroma
+    replicated along the subsampled axis only."""
+    import struct as _s
+
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _BitWriter,
+        decode_jpeg_pixels,
+    )
+
+    def build_sub(width, height, content, hy, vy):
+        vals = content
+        mcux = (width + 8 * hy - 1) // (8 * hy)
+        mcuy = (height + 8 * vy - 1) // (8 * vy)
+        nyb = hy * vy
+        wtr = _BitWriter()
+        preds = [0, 0, 0]
+        for m in range(mcux * mcuy):
+            for j in range(nyb + 2):
+                c = 0 if j < nyb else j - nyb + 1
+                dc = 8 * (vals[((nyb + 2) * m + j) % len(vals)] - 128)
+                diff = dc - preds[c]
+                preds[c] = dc
+                t = abs(diff).bit_length()
+                wtr.write(t, 4)
+                if t:
+                    wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                wtr.write(0, 1)
+        entropy = wtr.flush()
+
+        def seg(marker, body):
+            return (bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2)
+                    + body)
+
+        samp = (hy << 4) | vy
+        return (b"\xff\xd8"
+                + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+                + seg(0xC0, _s.pack(">BHHB", 8, height, width, 3)
+                      + bytes([1, samp, 0, 2, 0x11, 0, 3, 0x11, 0]))
+                + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                      + bytes(_JPEG_DC_VALS))
+                + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                      + bytes(_JPEG_AC_VALS))
+                + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+                + entropy + b"\xff\xd9")
+
+    content = bytes(range(33, 120))
+    L = len(content)
+    cbytes = np.frombuffer(content, dtype=np.uint8)
+    for hy, vy, w, h in [(2, 1, 21, 10), (2, 1, 8, 8), (1, 2, 10, 21)]:
+        dec = decode_jpeg_pixels(build_sub(w, h, content, hy, vy))
+        assert dec is not None and dec["n_channels"] == 3, (hy, vy)
+        arr = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        mw, mh = 8 * hy, 8 * vy
+        mcux = (w + mw - 1) // mw
+        nyb = hy * vy
+        ys, xs = np.mgrid[0:h, 0:w]
+        m = (ys // mh) * mcux + xs // mw
+        ybk = ((ys % mh) // 8) * hy + (xs % mw) // 8
+        want = np.stack(
+            [cbytes[((nyb + 2) * m + ybk) % L],
+             cbytes[((nyb + 2) * m + nyb) % L],
+             cbytes[((nyb + 2) * m + nyb + 1) % L]], axis=-1)
+        assert (arr == want).all(), (hy, vy)
+
+
+def test_ycbcr_to_rgb_fixed_point():
+    """The integer matrix matches the float JFIF conversion to within
+    one count (the fixed-point quantization) and is exactly the
+    documented multiply/bias/floor-shift — pinned on the full
+    per-channel range sweep."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import ycbcr_to_rgb
+
+    vals = np.arange(256, dtype=np.uint8)
+    buf = np.stack([vals, vals[::-1], np.roll(vals, 64)], axis=-1).tobytes()
+    r, g, b = ycbcr_to_rgb(buf, 256)
+    y = vals.astype(np.int64)
+    cb = vals[::-1].astype(np.int64) - 128
+    cr = np.roll(vals, 64).astype(np.int64) - 128
+    assert (r == np.clip(y + ((91881 * cr + 32768) >> 16), 0, 255)).all()
+    assert (g == np.clip(
+        y - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)).all()
+    assert (b == np.clip(y + ((116130 * cb + 32768) >> 16), 0, 255)).all()
+    rf = np.clip(np.round(y + 1.402 * cr), 0, 255)
+    gf = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    bf = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    assert np.abs(r - rf).max() <= 1
+    assert np.abs(g - gf).max() <= 1
+    assert np.abs(b - bf).max() <= 1
