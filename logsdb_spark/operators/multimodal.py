@@ -167,16 +167,23 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def build_png(width: int, height: int, content: bytes = b"") -> bytes:
-    """A REAL spec-conformant grayscale 8-bit PNG: IHDR + zlib'd IDAT
-    (scanlines with filter byte 0, pixels cycled from ``content``) +
-    IEND, all chunks CRC'd. Any PNG reader opens it."""
-    pix = (content or b"\x00") * ((width * height) // max(len(content), 1) + 1)
+def build_png(width: int, height: int, content: bytes = b"",
+              n_channels: int = 1) -> bytes:
+    """A REAL spec-conformant 8-bit PNG — grayscale (color type 0) or,
+    with ``n_channels=3`` (round 9), RGB (color type 2): IHDR + zlib'd
+    IDAT (scanlines with filter byte 0, the channel-interleaved pixel
+    stream cycled from ``content``) + IEND, all chunks CRC'd. Any PNG
+    reader opens it."""
+    stride = width * n_channels
+    pix = (content or b"\x00") * (
+        (stride * height) // max(len(content), 1) + 1
+    )
     raw = b"".join(
-        b"\x00" + pix[y * width: (y + 1) * width].ljust(width, b"\x00")
+        b"\x00" + pix[y * stride: (y + 1) * stride].ljust(stride, b"\x00")
         for y in range(height)
     )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    color_type = 0 if n_channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -677,6 +684,36 @@ def wav_sample_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
 
     return blobs.mapInPandas(stats, WAV_SAMPLE_STATS_SCHEMA)
+
+
+def synthesize_rgb_pngs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """RGB-PNG fixture generator (round 9, companion to
+    synthesize_media's grayscale path): each doc's utf-8 bytes become
+    the channel-interleaved pixel stream of a REAL color-type-2 PNG,
+    width = doc_id%40+1, height = doc_id%30+1 — sample (y, x, c) is
+    content[((y*w + x)*3 + c) % L], arithmetic a SQL oracle can
+    recompute. Feeds the RGB resize gate."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_png(
+                    int(doc_id) % 40 + 1,
+                    int(doc_id) % 30 + 1,
+                    ("" if text is None else str(text)).encode("utf-8"),
+                    n_channels=3,
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(synth, schema)
 
 
 def synthesize_gifs(docs: DataFrame, text_col: str = "text",
@@ -1702,22 +1739,24 @@ def png_pixel_stats(blobs: DataFrame) -> DataFrame:
 
 
 def resize_pixels_box(pixels: bytes, w: int, h: int,
-                      factor: int) -> tuple[bytes, int, int] | None:
-    """Integer box-downsample of a row-major single-channel pixel
-    buffer: output (w//factor, h//factor), each output pixel the
-    FLOOR of its factor×factor source-block mean — pure integer
-    arithmetic, so a SQL oracle can recompute the resized stream
-    exactly. Trailing rows/columns that don't fill a block are
-    dropped (the standard box contract). None when either output
-    dimension would be zero."""
+                      factor: int,
+                      channels: int = 1) -> tuple[bytes, int, int] | None:
+    """Integer box-downsample of a row-major (channel-interleaved when
+    ``channels`` > 1) pixel buffer: output (w//factor, h//factor),
+    each output sample the FLOOR of its channel's factor×factor
+    source-block mean — pure integer arithmetic, so a SQL oracle can
+    recompute the resized stream exactly. Trailing rows/columns that
+    don't fill a block are dropped (the standard box contract). None
+    when either output dimension would be zero."""
     import numpy as np
 
     ow, oh = w // factor, h // factor
     if ow < 1 or oh < 1:
         return None
-    arr = np.frombuffer(pixels, dtype=np.uint8, count=w * h).reshape(h, w)
-    blocks = arr[: oh * factor, : ow * factor].astype(np.uint32)
-    sums = blocks.reshape(oh, factor, ow, factor).sum(axis=(1, 3))
+    arr = np.frombuffer(pixels, dtype=np.uint8,
+                        count=w * h * channels).reshape(h, w, channels)
+    blocks = arr[: oh * factor, : ow * factor, :].astype(np.uint32)
+    sums = blocks.reshape(oh, factor, ow, factor, channels).sum(axis=(1, 3))
     out = (sums // (factor * factor)).astype(np.uint8)
     return out.tobytes(), ow, oh
 
@@ -1775,9 +1814,12 @@ def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
     index-averaged wrong → sequential re-encode). Each output
     pixel is floor(block_sum / factor²) — integer math end to end,
     which is what lets the multimodal_resize_stats oracle recompute
-    the resized stream from the source text. Anything else (WAV, RGB
-    PNG, JPEG, images smaller than ``factor``) yields a NULL payload:
-    the same fall-back-not-crash contract as the decoders.
+    the resized stream from the source text. RGB PNG (color type 2)
+    resizes per channel over the interleaved stream (round 9 — gated
+    by multimodal_resize_rgb_stats). Anything else (WAV, JPEG,
+    non-identity-palette GIF, images smaller than ``factor``) yields
+    a NULL payload: the same fall-back-not-crash contract as the
+    decoders.
     tests/test_multimodal.py pins round-trip parity against a
     straight numpy downsample of the decoded source pixels."""
     from pyspark.sql.functions import pandas_udf
@@ -1790,14 +1832,16 @@ def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
                 return None
             b = bytes(p)
             dec = decode_png_pixels(b)
-            if dec is not None and dec["n_channels"] == 1:
+            if dec is not None and dec["n_channels"] in (1, 3):
                 r = resize_pixels_box(
-                    dec["pixels"], dec["width"], dec["height"], factor
+                    dec["pixels"], dec["width"], dec["height"], factor,
+                    channels=dec["n_channels"],
                 )
                 if r is None:
                     return None
                 out, ow, oh = r
-                return build_png(ow, oh, out)
+                return build_png(ow, oh, out,
+                                 n_channels=dec["n_channels"])
             gif = decode_gif_pixels(b)
             if gif is not None and _gif_identity_grayscale(b):
                 r = resize_pixels_box(

@@ -348,6 +348,35 @@ def jpeg420_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rgb_png_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RGB (color type 2) PNG fixture corpus as a materialized
+    (doc_id, payload) parquet (prefix pngrgb1) —
+    synthesize_rgb_pngs' channel-interleaved fixtures; same contract
+    as jpeg_blob_layout (length(text) > 0 mirrors the stat oracles'
+    WHERE)."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .multimodal import synthesize_rgb_pngs
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_rgb_pngs(docs)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "pngrgb1", make, schema).select(
+        "doc_id", "payload"
+    )
+
+
 def media_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG/WAV fixture corpus as a materialized (doc_id, payload,
     text_len) parquet (_blob_layout contract): even doc_ids are

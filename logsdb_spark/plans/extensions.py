@@ -1825,6 +1825,82 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_rgb_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 40 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 30 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents
+      WHERE length(text) > 0
+        AND doc_id % 40 + 1 >= 2 AND doc_id % 30 + 1 >= 2
+    ),
+    s AS (
+      SELECT doc_id, w, h, L, w // 2 AS ow, h // 2 AS oh,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+                            i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, ow, oh, ow * oh * 3 AS n,
+             list_sum(list_transform(range(0, CAST(ow * oh * 3 AS INTEGER)),
+               i -> CAST((
+                  bs[CAST((((2 * ((i // 3) // ow) + 0) * w
+                     + 2 * ((i // 3) % ow) + 0) * 3 + (i % 3)) % L
+                     AS INTEGER) + 1]
+                + bs[CAST((((2 * ((i // 3) // ow) + 0) * w
+                     + 2 * ((i // 3) % ow) + 1) * 3 + (i % 3)) % L
+                     AS INTEGER) + 1]
+                + bs[CAST((((2 * ((i // 3) // ow) + 1) * w
+                     + 2 * ((i // 3) % ow) + 0) * 3 + (i % 3)) % L
+                     AS INTEGER) + 1]
+                + bs[CAST((((2 * ((i // 3) // ow) + 1) * w
+                     + 2 * ((i // 3) % ow) + 1) * 3 + (i % 3)) % L
+                     AS INTEGER) + 1]
+               ) // 4 AS BIGINT))) AS px_sum
+      FROM s
+    )
+    SELECT doc_id,
+           ow AS width, oh AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST((10000 * px_sum) // n AS BIGINT) AS mean_pixel_e4
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize pipeline over RGB (color type 2) PNGs (round 9 —
+    closes the r8 verdict's resize format gap): decode the
+    channel-interleaved corpus (synthesize_rgb_pngs cycles the utf-8
+    bytes into the sample stream), per-channel 2x2 integer
+    box-downsample, re-encode as a genuine RGB PNG, decode AGAIN via
+    png_pixel_stats, and compare against an oracle that recomputes
+    every resized sample from the source text — sample (oy, ox, c) is
+    floor(sum of the four source samples ((2oy+dr)*w + 2ox+dc, c) / 4)
+    with source index ((y*w + x)*3 + c) % L. A resize that drops the
+    channel axis, interleaves wrong, or mishandles the color-type-2
+    re-encode hash-mismatches. Sub-factor images excluded identically
+    on both engines. Scale shape: one widened layout scan → two Arrow
+    kernels (resize, stats), no shuffle until the presentation
+    sort."""
+    from ..operators.multimodal import png_pixel_stats, resize_media
+    from ..operators.silver import rgb_png_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir,
+        rgb_png_blob_layout(spark, sf_dir).filter(
+            (F.col("doc_id") % 40 + 1 >= 2)
+            & (F.col("doc_id") % 30 + 1 >= 2)
+        ),
+        "pngrgb_rs",
+    )
+    return png_pixel_stats(resize_media(blobs, factor=2)).orderBy("doc_id")
+
+
+@register(
     "multimodal_gif_pixel_stats",
     oracle="""
     WITH d AS (

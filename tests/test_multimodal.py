@@ -30,11 +30,11 @@ def test_resize_media_roundtrip_matches_numpy(spark):
         resize_media,
     )
 
-    def expect(pixels: bytes, w: int, h: int, k: int) -> bytes:
-        a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+    def expect(pixels: bytes, w: int, h: int, k: int, c: int = 1) -> bytes:
+        a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, c)
         ow, oh = w // k, h // k
-        s = a[: oh * k, : ow * k].astype(np.uint32)
-        return (s.reshape(oh, k, ow, k).sum(axis=(1, 3)) // (k * k)) \
+        s = a[: oh * k, : ow * k, :].astype(np.uint32)
+        return (s.reshape(oh, k, ow, k, c).sum(axis=(1, 3)) // (k * k)) \
             .astype(np.uint8).tobytes()
 
     content = bytes(range(37)) * 40
@@ -42,6 +42,7 @@ def test_resize_media_roundtrip_matches_numpy(spark):
         (1, build_png(13, 9, content), decode_png_pixels),
         (2, build_gif(16, 11, content), decode_gif_pixels),
         (3, build_gif(15, 10, content, interlaced=True), decode_gif_pixels),
+        (4, build_png(11, 7, content, n_channels=3), decode_png_pixels),
     ]
     blobs = spark.createDataFrame(
         [(i, p) for i, p, _ in cases], "doc_id long, payload binary"
@@ -54,9 +55,11 @@ def test_resize_media_roundtrip_matches_numpy(spark):
         src = dec(payload)
         out = dec(got[i])
         assert out is not None
-        want = expect(src["pixels"], src["width"], src["height"], 2)
+        nc = src.get("n_channels", 1)
+        want = expect(src["pixels"], src["width"], src["height"], 2, nc)
         assert out["width"] == src["width"] // 2
         assert out["height"] == src["height"] // 2
+        assert out.get("n_channels", 1) == nc
         assert bytes(out["pixels"]) == want, f"case {i}"
 
 
