@@ -360,27 +360,49 @@ def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
     alongside the documents, making this a pure scan+probe."""
     c_sh = shingle_sets(corpus, text_col)
     n_sh = shingle_sets(new_docs, text_col).persist()
-    c_sig = minhash_signatures(c_sh)
-    n_sig = minhash_signatures(n_sh)
+    # two separate corpus branches on purpose: carrying the (large)
+    # signature expression tree into the shingle-verify branch as one
+    # combined frame measurably deepens the optimized expression tree
+    # (a combined-frame variant overflowed the driver stack at plan
+    # time) — the stored-index path avoids this for free because its
+    # sig/shingles are plain parquet columns
+    return _minhash_cross_verify(
+        minhash_signatures(c_sh), c_sh, minhash_signatures(n_sh), n_sh,
+        threshold,
+    )
 
-    def banded(signed: DataFrame, id_alias: str) -> DataFrame:
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-            lambda b: F.struct(
-                b.alias("band_idx"),
-                F.xxhash64(
-                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1,
-                            F.lit(ROWS_PER_BAND))
-                ).alias("band_hash"),
-            ),
-        )
-        return signed.select(
-            F.col("doc_id").alias(id_alias), F.explode(bands).alias("b")
-        ).select(id_alias, "b.band_idx", "b.band_hash")
 
+def _banded_keys(signed: DataFrame, id_alias: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH keys from a (doc_id, sig)
+    frame — the banding both the from-raw and index-fed incremental
+    probes share."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band_idx"),
+            F.xxhash64(
+                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1,
+                        F.lit(ROWS_PER_BAND))
+            ).alias("band_hash"),
+        ),
+    )
+    return signed.select(
+        F.col("doc_id").alias(id_alias), F.explode(bands).alias("b")
+    ).select(id_alias, "b.band_idx", "b.band_hash")
+
+
+def _minhash_cross_verify(c_sig: DataFrame, c_sh: DataFrame,
+                          n_sig: DataFrame, n_sh: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Shared tail of the incremental MinHash probe: band the two
+    sides (batch side broadcasts), exact-jaccard verify the
+    candidates. ``c_sig``/``c_sh`` carry the corpus (doc_id, sig) and
+    (doc_id, shingles) — separate in-plan branches for the from-raw
+    form, the same stored-index frame twice for the prepared form."""
     cands = (
-        banded(c_sig, "corpus_id")
-        .join(F.broadcast(banded(n_sig, "new_id")), ["band_idx", "band_hash"])
+        _banded_keys(c_sig, "corpus_id")
+        .join(F.broadcast(_banded_keys(n_sig, "new_id")),
+              ["band_idx", "band_hash"])
         .select("corpus_id", "new_id")
         .distinct()
     )
@@ -398,6 +420,84 @@ def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
         )
         .filter(F.col("jac") >= threshold)
     )
+
+
+def minhash_cross_pairs_prepared(c_idx: DataFrame, new_docs: DataFrame,
+                                 text_col: str = "text",
+                                 threshold: float = 0.6) -> DataFrame:
+    """minhash_near_dups_incremental DOWNSTREAM of the stored MinHash
+    index (round 9 — makes the docstrings' "at steady state the
+    corpus signatures are precomputed columnar" real for the
+    INCREMENTAL/streaming path too, not just the batch keep queries):
+    ``c_idx`` is the (doc_id, shingles, sig) relation read from
+    operators/silver.minhash_index_layout. Signatures are
+    deterministic functions of the text, so the prepared probe is
+    value-identical to the from-raw form (pinned by
+    tests/test_streaming.py); per batch the corpus side is a pure
+    scan+probe — no shingling, hashing, or signature folds."""
+    n_sh = shingle_sets(new_docs, text_col).persist()
+    n_sig = minhash_signatures(n_sh)
+    return _minhash_cross_verify(c_idx, c_idx, n_sig, n_sh, threshold)
+
+
+def winnow_cross_pairs_prepared(c_fp: DataFrame, new_docs: DataFrame,
+                                text_col: str = "text", k: int = 20,
+                                w: int = 8, max_fp_corpus: int = 32,
+                                min_shared: int = 2) -> DataFrame:
+    """winnow_cross_pairs DOWNSTREAM of the stored fingerprint index:
+    ``c_fp`` is the exploded (doc_id, fp) relation read from
+    operators/silver.winnow_fp_layout (``k``/``w`` must match the
+    layout's — they parameterize only the batch side here).
+    Fingerprints are md5-derived and deterministic, so the prepared
+    probe is value-identical to the from-raw form; the corpus-side
+    occupancy cap behaves identically because it counts the same
+    (doc_id, fp) rows."""
+    from ..functions.text import winnow_fingerprints
+
+    c_rows = c_fp.select(
+        F.col("doc_id").alias("corpus_id"), "fp"
+    ).distinct()
+    n_rows = (
+        winnow_fingerprints(new_docs, "doc_id", text_col, k=k, w=w)
+        .select(F.col("doc_id").alias("new_id"),
+                F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    ok = (
+        c_rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_fp_corpus)
+        .select("fp")
+    )
+    return (
+        c_rows.join(ok, "fp")
+        .join(F.broadcast(n_rows), "fp")
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def ensemble_near_dups_prepared(c_mh_idx: DataFrame, c_fp_idx: DataFrame,
+                                new_docs: DataFrame,
+                                text_col: str = "text",
+                                threshold: float = 0.6) -> DataFrame:
+    """ensemble_near_dups_incremental DOWNSTREAM of the stored
+    indexes — the production steady state of the streaming ensemble
+    probe: both corpus evidence sides read materialized columnar
+    state (MinHash signature index + winnow fingerprint index), so a
+    micro-batch costs two map-side broadcast probes plus the verify
+    joins, never the corpus normalize/tokenize/hash chains.
+    Value-identical to the from-raw incremental form (parity-pinned
+    alongside the streaming == incremental == batch chain)."""
+    mh = minhash_cross_pairs_prepared(
+        c_mh_idx, new_docs, text_col, threshold
+    ).select("corpus_id", "new_id")
+    wn = winnow_cross_pairs_prepared(c_fp_idx, new_docs, text_col).select(
+        "corpus_id", "new_id"
+    )
+    return mh.unionByName(wn).distinct()
 
 
 def winnow_cross_pairs(corpus: DataFrame, new_docs: DataFrame,

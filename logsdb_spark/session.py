@@ -40,7 +40,11 @@ def get_spark(
         # (a few thousand rows at bench scale) keeps full-width
         # 32-task shuffles through every label-propagation round. On a
         # cluster the same flag lets AQE right-size cached iterative
-        # state to its actual volume.
+        # state to its actual volume. A/B-measured round 9 on the
+        # r8-flagged dedup_minhash_lsh creep suspicion: 4 warm reps
+        # each, ON 2.0/1.9 s medians vs OFF 2.0 s — neutral there
+        # (the r8 2.5->3.1 s wobble was probe noise), so the flag
+        # stays for the CC win.
         .config(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",

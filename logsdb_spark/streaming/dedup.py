@@ -138,6 +138,7 @@ def start_ensemble_stream(
     out_dir: str,
     threshold: float = 0.6,
     max_files_per_trigger: int | None = None,
+    indexes: tuple[DataFrame, DataFrame] | None = None,
 ) -> StreamingQuery:
     """Streaming MULTI-SIGNAL dedup flagging — the in-flight form of
     dedup_ensemble_keep's edge generation: each arriving micro-batch
@@ -152,7 +153,15 @@ def start_ensemble_stream(
     invariant under shard boundaries (each signal probes the STATIC
     corpus only; the winnow hub cap counts corpus occupancy — see
     operators/dedup.winnow_cross_pairs), pinned against the batch
-    ensemble edges by tests/test_streaming.py."""
+    ensemble edges by tests/test_streaming.py.
+
+    ``indexes`` = (minhash index (doc_id, shingles, sig), winnow
+    fingerprint index (doc_id, fp)) — pass the materialized layouts
+    (operators/silver.{minhash_index_layout,winnow_fp_layout}) to run
+    the probe in its production steady state: the corpus evidence
+    sides become pure stored-state scans instead of per-batch
+    normalize/tokenize/hash chains (round 9; value-identical,
+    parity-pinned)."""
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -161,7 +170,8 @@ def start_ensemble_stream(
     sink = os.path.join(out_dir, "ensemble_flags")
 
     def probe(batch: DataFrame, batch_id: int) -> None:
-        _write_ensemble_batch(corpus, batch, batch_id, sink, threshold)
+        _write_ensemble_batch(corpus, batch, batch_id, sink, threshold,
+                              indexes=indexes)
 
     return (
         stream.writeStream.foreachBatch(probe)
@@ -173,13 +183,26 @@ def start_ensemble_stream(
 
 def _write_ensemble_batch(corpus: DataFrame, batch: DataFrame,
                           batch_id: int, sink: str,
-                          threshold: float) -> None:
+                          threshold: float,
+                          indexes: tuple[DataFrame, DataFrame] | None
+                          = None) -> None:
     """Idempotent per-batch write of the two-signal probe (same
-    contract as _write_probe_batch)."""
-    from ..operators.dedup import ensemble_near_dups_incremental
+    contract as _write_probe_batch). With ``indexes`` the corpus
+    evidence reads the stored columnar state (see
+    start_ensemble_stream)."""
+    from ..operators.dedup import (
+        ensemble_near_dups_incremental,
+        ensemble_near_dups_prepared,
+    )
 
-    (
-        ensemble_near_dups_incremental(corpus, batch, threshold=threshold)
-        .write.mode("overwrite")
-        .parquet(os.path.join(sink, f"batch_id={batch_id}"))
+    if indexes is not None:
+        flags = ensemble_near_dups_prepared(
+            indexes[0], indexes[1], batch, threshold=threshold
+        )
+    else:
+        flags = ensemble_near_dups_incremental(
+            corpus, batch, threshold=threshold
+        )
+    flags.write.mode("overwrite").parquet(
+        os.path.join(sink, f"batch_id={batch_id}")
     )

@@ -36,7 +36,18 @@ background overlap (documented at plans/extensions.dedup_embedding_ann),
 which no replication scheme can linearize.
 
 Usage: python scripts/scale_probe.py  [--rebuild] [--skip-corpus]
-                                      [--copies N]
+                                      [--copies N] [--skip-queries]
+                                      [--corpus-probes a,b,...]
+                                      [--re-exec]
+``--skip-queries`` probes only the dedup/ANN corpus paths (the 100x
+run targets those four scale paths; replicating the relational facts
+100x adds build time without new information past the 30x point).
+``--corpus-probes`` restricts the corpus probes by name
+("ensemble" = dedup_ensemble_keep, "embedding" =
+dedup_embedding_ann@0.85). ``--re-exec`` times each scaled corpus
+probe a SECOND time (scaled_warm_s/ratio_warm): first execution at
+Nx pays a one-time Janino/JIT compile cliff the warm number excludes
+(measured r7: minhash 25.6x single-shot vs 2.8x re-executed).
 Writes the replicated dataset to /tmp/logsdb_scale_probe/x{N} once per
 replication factor and reuses it; --rebuild forces a rewrite. Output
 JSON keys are base_s (the sf0.1 run) and scaled_s (the Nx run).
@@ -184,7 +195,10 @@ def build(spark) -> None:
         src = os.path.join(SRC, f"{name}.parquet")
         dst = os.path.join(DST, f"{name}.parquet")
         df = spark.read.parquet(src)
-        if name in FACTS:
+        # --skip-queries runs only the documents/embeddings corpus
+        # probes: keep the relational tables present (originals) but
+        # skip replicating the facts N-fold
+        if name in FACTS and "--skip-queries" not in sys.argv:
             parts = []
             for i in range(COPIES):
                 p = df
@@ -314,12 +328,13 @@ def main() -> None:
     )
 
     silver_events(spark, SRC)
-    silver_events(spark, DST)
-    # same contract for the bucketed orderkey layout: the DEFAULT
-    # q3/q4/q12/q18/q21 route reads it since round 6, and production
-    # pays the write once at layout time
     bucketed_orderkey_tables(spark, SRC)
-    bucketed_orderkey_tables(spark, DST)
+    if "--skip-queries" not in sys.argv:
+        silver_events(spark, DST)
+        # same contract for the bucketed orderkey layout: the DEFAULT
+        # q3/q4/q12/q18/q21 route reads it since round 6, and
+        # production pays the write once at layout time
+        bucketed_orderkey_tables(spark, DST)
     # and for the fitted k-means codebook (ann_ivf_kmeans's DEFAULT
     # route reads this model layout since round 7; the fit is paid
     # once at model-build time in production)
@@ -337,10 +352,26 @@ def main() -> None:
     minhash_index_layout(spark, DST).limit(1).count()
     winnow_fp_layout(spark, SRC).limit(1).count()
     winnow_fp_layout(spark, DST).limit(1).count()
+    # and the round-8 embedding index layouts (dedup_embedding_ann's
+    # default route reads the IVF assignment inverted lists;
+    # ann_ivf_quantized reads the int8 code corpus)
+    from logsdb_spark.operators.silver import (
+        ivf_assign_layout,
+        ivf_quantized_layout,
+    )
+
+    ivf_assign_layout(spark, SRC).limit(1).count()
+    ivf_assign_layout(spark, DST).limit(1).count()
+    ivf_quantized_layout(spark, SRC).limit(1).count()
+    ivf_quantized_layout(spark, DST).limit(1).count()
 
     results = {}
     queries = all_queries()
-    for name in QUERIES:
+    if "--skip-queries" in sys.argv:
+        query_list = []
+    else:
+        query_list = QUERIES
+    for name in query_list:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, SRC).count()
@@ -353,6 +384,20 @@ def main() -> None:
             "scaled_s": round(t_big, 3),
             "ratio": round(t_big / t_small, 2),
         }
+
+    probe_filter = None
+    for _i, _a in enumerate(sys.argv):
+        if _a == "--corpus-probes" and _i + 1 < len(sys.argv):
+            probe_filter = set(sys.argv[_i + 1].split(","))
+
+    def probed(name: str) -> bool:
+        if probe_filter is None:
+            return True
+        short = {"dedup_ensemble_keep": "ensemble",
+                 "dedup_embedding_ann@0.85": "embedding"}.get(name)
+        return name in probe_filter or short in probe_filter
+
+    re_exec = "--re-exec" in sys.argv
 
     corpus = {}
     if "--skip-corpus" not in sys.argv:
@@ -368,28 +413,32 @@ def main() -> None:
         n_emb_planted = _n_planted(spark, "embeddings", "vec_id")
         doc_parts = _participants(spark, "documents", "doc_id")
         emb_parts = _participants(spark, "embeddings", "vec_id")
-        eligible = {
-            "dedup_minhash_lsh": _n_eligible(
+        eligible_fns = {
+            "dedup_minhash_lsh": lambda: _n_eligible(
                 brute_force_near_dups(doc_parts, threshold=0.6)),
-            "dedup_ngram_lsh": _n_eligible(
+            "dedup_ngram_lsh": lambda: _n_eligible(
                 char_ngram_near_dups(doc_parts, n=3, threshold=0.8)),
-            "dedup_containment_prefix": _n_eligible(
+            "dedup_containment_prefix": lambda: _n_eligible(
                 containment_near_dups(doc_parts, threshold=0.8)),
             # span truth: planted pairs still sharing a >= 35-char
             # verbatim run (the winnow two-window guarantee bound)
-            "dedup_substring_winnow": _n_eligible(
+            "dedup_substring_winnow": lambda: _n_eligible(
                 shared_run_pairs(doc_parts, run_len=35)),
-            "dedup_embedding_ann@0.85": _n_eligible(
+            "dedup_embedding_ann@0.85": lambda: _n_eligible(
                 pairwise_cosine_dedup(emb_parts, threshold=0.85)),
         }
+        # eligibility ground truth is O(participants^2) — compute it
+        # only for the paths actually probed this run
+        eligible = {k: fn() for k, fn in eligible_fns.items() if probed(k)}
 
         # dedup_embedding_ann IS the linear production config since
         # round 5 (constant target-cell size → linear candidate
         # volume); probe the registered default directly so the
         # measured plan is exactly what queries() runs.
-        probes = [(n, queries[n]) for n in CORPUS_QUERIES]
-        probes.append(("dedup_embedding_ann@0.85",
-                       queries["dedup_embedding_ann"]))
+        probes = [(n, queries[n]) for n in CORPUS_QUERIES if probed(n)]
+        if probed("dedup_embedding_ann@0.85"):
+            probes.append(("dedup_embedding_ann@0.85",
+                           queries["dedup_embedding_ann"]))
         for name, fn in probes:
             t0 = time.perf_counter()
             fn(spark, SRC).count()
@@ -416,37 +465,50 @@ def main() -> None:
                     _recall_on_planted(big, total, eligible[name])
                 )
             big.unpersist()
+            if re_exec:
+                t0 = time.perf_counter()
+                fn(spark, DST).count()
+                t_warm = time.perf_counter() - t0
+                corpus[name]["scaled_warm_s"] = round(t_warm, 3)
+                corpus[name]["ratio_warm"] = round(t_warm / t_small, 2)
 
         # Ensemble keep decision: its output is per-doc (cluster, keep),
         # not pairs, so recall is measured as the TWIN-DROP rate — a
         # planted twin (copy i of original a, where a % PLANT_MOD == i)
         # must land in its original's component and be dropped.
         name = "dedup_ensemble_keep"
-        fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, SRC).count()
-        t_small = time.perf_counter() - t0
-        # build inside the timer — the component iterations run as
-        # jobs during plan construction (see note above)
-        t0 = time.perf_counter()
-        big = fn(spark, DST).persist()
-        big.count()
-        t_big = time.perf_counter() - t0
-        c = F.col("doc_id")
-        twin = (c >= ID_SHIFT) & (
-            (c % ID_SHIFT) % PLANT_MOD == (c / ID_SHIFT).cast("long")
-        )
-        dropped = big.filter(twin & ~F.col("keep")).count()
-        corpus[name] = {
-            "base_s": round(t_small, 3),
-            "scaled_s": round(t_big, 3),
-            "ratio": round(t_big / t_small, 2),
-            "planted": n_doc_planted,
-            "twin_dropped": dropped,
-            "twin_drop_rate": (round(dropped / n_doc_planted, 4)
-                               if n_doc_planted else None),
-        }
-        big.unpersist()
+        if probed(name):
+            fn = queries[name]
+            t0 = time.perf_counter()
+            fn(spark, SRC).count()
+            t_small = time.perf_counter() - t0
+            # build inside the timer — the component iterations run as
+            # jobs during plan construction (see note above)
+            t0 = time.perf_counter()
+            big = fn(spark, DST).persist()
+            big.count()
+            t_big = time.perf_counter() - t0
+            c = F.col("doc_id")
+            twin = (c >= ID_SHIFT) & (
+                (c % ID_SHIFT) % PLANT_MOD == (c / ID_SHIFT).cast("long")
+            )
+            dropped = big.filter(twin & ~F.col("keep")).count()
+            corpus[name] = {
+                "base_s": round(t_small, 3),
+                "scaled_s": round(t_big, 3),
+                "ratio": round(t_big / t_small, 2),
+                "planted": n_doc_planted,
+                "twin_dropped": dropped,
+                "twin_drop_rate": (round(dropped / n_doc_planted, 4)
+                                   if n_doc_planted else None),
+            }
+            big.unpersist()
+            if re_exec:
+                t0 = time.perf_counter()
+                fn(spark, DST).count()
+                t_warm = time.perf_counter() - t0
+                corpus[name]["scaled_warm_s"] = round(t_warm, 3)
+                corpus[name]["ratio_warm"] = round(t_warm / t_small, 2)
     print(json.dumps({"copies": COPIES, "queries": results, "corpus": corpus}))
 
 
