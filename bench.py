@@ -109,11 +109,14 @@ HEADLINE = [
     # pipeline's full compute cost visible, mirroring how
     # dedup_minhash_lsh stays the from-raw evidence entry
     "dedup_embedding_ann_inplan",
-    # round-9: the real resize pipelines (grayscale from r8, RGB new)
-    # and the 4:2:0 chroma-subsampled JPEG decode + YCbCr->RGB
+    # round-9: the real resize pipelines (grayscale from r8, RGB new),
+    # the 4:2:0 chroma-subsampled JPEG decode + YCbCr->RGB, the WAV
+    # box-resample, and the JPEG->PNG lossless transcode
     "multimodal_resize_stats",
     "multimodal_resize_rgb_stats",
     "multimodal_jpeg_420_stats",
+    "multimodal_resample_stats",
+    "multimodal_transcode_stats",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by

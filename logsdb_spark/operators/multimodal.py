@@ -1798,6 +1798,76 @@ def _gif_identity_grayscale(b: bytes) -> bool:
         return False
 
 
+def _resample_wav(wav: dict, factor: int) -> bytes | None:
+    """Integer box-resample of decoded PCM (round 9 — the audio leg
+    of resize_media): every ``factor`` consecutive FRAMES collapse to
+    one whose per-channel sample is floor(frame_sum / factor), and
+    the result is re-encoded at rate//factor in the source bit depth
+    — the 1-D analogue of the image box-downsample, same pure-integer
+    contract so a SQL oracle recomputes every output sample. None
+    when fewer than ``factor`` frames or the rate would hit zero."""
+    import numpy as np
+
+    s = wav["samples"]
+    nch = wav["n_channels"]
+    bits = wav["bit_depth"]
+    rate = wav["sample_rate_hz"] // factor
+    frames = s.size // nch
+    of = frames // factor
+    if of < 1 or rate < 1:
+        return None
+    a = s[: of * factor * nch].astype(np.int64).reshape(of, factor, nch)
+    out = a.sum(axis=1) // factor
+    if bits == 16:
+        pcm = out.astype("<i2").tobytes()
+    else:
+        pcm = out.astype(np.uint8).tobytes()
+    return build_wav(nch, rate, bits, pcm)
+
+
+def transcode_media(blobs: DataFrame, to: str = "png") -> DataFrame:
+    """Format-converting re-encode (round 9 — the transcode half of
+    the thumbnail pipeline): decode any supported still image —
+    PNG (gray/RGB), identity-palette GIF, baseline JPEG including
+    4:2:0 chroma-subsampled color — and re-encode the decoded pixel
+    buffer as a lossless PNG of the same dimensions/channel count.
+    Binary→binary Arrow pandas UDF like resize_media (payloads stay
+    executor-side); non-image, unsupported-shape, or
+    non-identity-palette-GIF payloads yield NULL. JPEG components are
+    carried RAW (no color matrix — decode_jpeg_pixels' contract), so
+    the transcoded PNG is a lossless container for the decoded
+    planes and every byte is oracle-recomputable."""
+    if to != "png":
+        raise ValueError("transcode_media supports to='png'")
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _trans(payloads: pd.Series) -> pd.Series:
+        def one(p) -> bytes | None:
+            if p is None:
+                return None
+            b = bytes(p)
+            dec = decode_png_pixels(b)
+            if dec is None:
+                g = decode_gif_pixels(b)
+                if g is not None:
+                    if not _gif_identity_grayscale(b):
+                        return None
+                    dec = {"width": g["width"], "height": g["height"],
+                           "n_channels": 1, "pixels": g["pixels"]}
+                else:
+                    dec = decode_jpeg_pixels(b)
+            if dec is None or dec["n_channels"] not in (1, 3):
+                return None
+            return build_png(dec["width"], dec["height"], dec["pixels"],
+                             n_channels=dec["n_channels"])
+
+        return payloads.map(one)
+
+    return blobs.withColumn("payload", _trans(F.col("payload")))
+
+
 def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
     """REAL thumbnail transform — round 8 replaced the r4 byte-stub
     (defensible when no codecs existed; the repo now ships genuine
@@ -1815,11 +1885,12 @@ def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
     pixel is floor(block_sum / factor²) — integer math end to end,
     which is what lets the multimodal_resize_stats oracle recompute
     the resized stream from the source text. RGB PNG (color type 2)
-    resizes per channel over the interleaved stream (round 9 — gated
-    by multimodal_resize_rgb_stats). Anything else (WAV, JPEG,
-    non-identity-palette GIF, images smaller than ``factor``) yields
-    a NULL payload: the same fall-back-not-crash contract as the
-    decoders.
+    resizes per channel over the interleaved stream, and WAV audio
+    box-resamples frames at rate//factor (round 9 — gated by
+    multimodal_resize_rgb_stats / multimodal_resample_stats).
+    Anything else (JPEG, non-identity-palette GIF, media smaller
+    than ``factor``) yields a NULL payload: the same
+    fall-back-not-crash contract as the decoders.
     tests/test_multimodal.py pins round-trip parity against a
     straight numpy downsample of the decoded source pixels."""
     from pyspark.sql.functions import pandas_udf
@@ -1851,6 +1922,9 @@ def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
                     return None
                 out, ow, oh = r
                 return build_gif(ow, oh, out)
+            wav = decode_wav_samples(b)
+            if wav is not None:
+                return _resample_wav(wav, factor)
             return None
 
         return payloads.map(one)

@@ -2308,6 +2308,158 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resample_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST((doc_id // 2) % 2 + 1 AS BIGINT) AS nch,
+             CAST((8000 + doc_id % 4 * 4000) // 2 AS BIGINT) AS rate,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents
+      WHERE doc_id % 2 = 1 AND length(text) > 0
+        AND length(text) > ((doc_id // 2) % 2 + 1) * 2
+    ),
+    s AS (
+      SELECT doc_id, nch, rate, L, nch * 2 AS bpf,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+             ) AS bs
+      FROM d
+    ),
+    p AS (
+      SELECT doc_id, nch, rate, bs, bpf,
+             (((L + bpf - 1) // bpf) // 2) * nch AS n
+      FROM s
+    ),
+    sm AS (
+      SELECT doc_id, nch, rate, n,
+             list_transform(range(CAST(n AS INTEGER)),
+               j -> (  COALESCE(bs[CAST(2*(j//nch)*bpf + 2*(j%nch) + 1
+                                  AS INTEGER)], 0)
+                     + 256 * COALESCE(bs[CAST(2*(j//nch)*bpf + 2*(j%nch) + 2
+                                  AS INTEGER)], 0)
+                     + COALESCE(bs[CAST((2*(j//nch)+1)*bpf + 2*(j%nch) + 1
+                                  AS INTEGER)], 0)
+                     + 256 * COALESCE(bs[CAST((2*(j//nch)+1)*bpf + 2*(j%nch)
+                                  + 2 AS INTEGER)], 0)
+                    ) // 2) AS samples
+      FROM p
+    )
+    SELECT doc_id,
+           nch AS n_channels,
+           rate AS sample_rate_hz,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_sum(samples), 0) AS BIGINT) AS sample_sum,
+           CAST(COALESCE(list_sum(list_transform(samples, x -> x * x)), 0)
+                AS BIGINT) AS sample_sumsq,
+           CAST((10000 * COALESCE(list_sum(samples), 0)) // n AS BIGINT)
+             AS mean_sample_e4
+    FROM sm
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV RESAMPLE pipeline hash-gated end to end (round 9 —
+    closes the audio leg of the resize format matrix): the PCM corpus
+    is decoded (RIFF walk, int16 LE), box-resampled 2:1 (every two
+    frames collapse to floor(frame_sum/2) per channel — pure integer
+    math, the 1-D analogue of the image box-downsample), re-ENCODED
+    as a genuine half-rate WAV (build_wav), decoded AGAIN by
+    wav_sample_stats, and compared against an oracle that recomputes
+    every resampled sample from the document text (sample (i, c) =
+    (s(2i,c) + s(2i+1,c)) // 2 over the zero-padded byte-pair
+    samples; the ASCII corpus keeps all values non-negative, so
+    floor-div agrees across engines). A resampler that misaligns
+    frames, mixes channels, or mishandles the trailing odd frame
+    hash-mismatches. Docs too short for two frames are excluded
+    identically on both engines (the operator returns NULL payloads
+    for them by contract). Scale shape: one widened layout scan →
+    two Arrow kernels (resample, stats), no shuffle until the
+    presentation sort."""
+    from ..operators.multimodal import resize_media, wav_sample_stats
+    from ..operators.silver import media_blob_layout
+
+    bpf = (F.shiftright(F.col("doc_id"), 1) % 2 + 1) * 2
+    blobs = _widened_layout(
+        spark, sf_dir,
+        media_blob_layout(spark, sf_dir)
+        .filter((F.col("doc_id") % 2 == 1) & (F.col("text_len") > bpf))
+        .select("doc_id", "payload"),
+        "media_wav_rs",
+    )
+    return wav_sample_stats(resize_media(blobs, factor=2)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_transcode_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 36 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 26 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    g AS (
+      SELECT doc_id, text, w, h, L,
+             (w + 15) // 16 AS mx, (h + 15) // 16 AS my
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, w, h,
+             list_sum(list_transform(range(0, CAST(mx * my * 4 AS INTEGER)),
+               i -> CAST(ascii(substr(text,
+                        CAST((6 * (i // 4) + (i % 4)) % L + 1 AS INTEGER),
+                        1)) AS BIGINT)
+                    * GREATEST(0, LEAST(8,
+                        w - 8 * (2 * ((i // 4) % mx) + (i % 4) % 2)))
+                    * GREATEST(0, LEAST(8,
+                        h - 8 * (2 * ((i // 4) // mx) + (i % 4) // 2)))))
+               AS y_sum,
+             list_sum(list_transform(range(0, CAST(mx * my AS INTEGER)),
+               m -> CAST(ascii(substr(text,
+                        CAST((6 * m + 4) % L + 1 AS INTEGER), 1))
+                    + ascii(substr(text,
+                        CAST((6 * m + 5) % L + 1 AS INTEGER), 1)) AS BIGINT)
+                    * LEAST(16, w - 16 * (m % mx))
+                    * LEAST(16, h - 16 * (m // mx)))) AS c_sum
+      FROM g
+    )
+    SELECT doc_id,
+           w AS width, h AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(w * h * 3 AS BIGINT) AS n_pixels,
+           CAST(y_sum + c_sum AS BIGINT) AS px_sum,
+           CAST((10000 * (y_sum + c_sum)) // (w * h * 3) AS BIGINT)
+             AS mean_pixel_e4
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def multimodal_transcode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSCODE pipeline hash-gated end to end (round 9): the
+    4:2:0 JPEG corpus is entropy-decoded (6-block MCUs, chroma
+    replication upsample), the raw full-resolution YCbCr planes are
+    re-encoded LOSSLESSLY as 3-channel PNGs (transcode_media — the
+    decode→re-encode half of a thumbnail/normalization pipeline),
+    and the PNGs are decoded AGAIN by png_pixel_stats. The oracle
+    recomputes the full-res component sums straight from the text:
+    Y per edge-cropped 8x8 block, chroma constant per 16x16 MCU
+    (upsampled 2x2, so each MCU contributes (Cb+Cr) x its visible
+    pixel count). A transcode that drops the upsample, reorders
+    channels, or corrupts the PNG re-encode hash-mismatches. Scale
+    shape: one widened layout scan → two Arrow kernels (transcode,
+    stats), no shuffle until the presentation sort."""
+    from ..operators.multimodal import png_pixel_stats, transcode_media
+    from ..operators.silver import jpeg420_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir, jpeg420_blob_layout(spark, sf_dir), "jpg420_tc"
+    )
+    return png_pixel_stats(transcode_media(blobs)).orderBy("doc_id")
+
+
+@register(
     "vector_stats",
     oracle="""
     WITH v AS (

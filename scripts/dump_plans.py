@@ -101,11 +101,14 @@ PICKS = {
         "exact verify on candidates only."
     ),
     "dedup_embedding_ann": (
-        "IVF-blocked embedding dedup, linear production config (round-5 "
-        "default: constant target_cell_rows=64 → cell count n/64 → "
-        "candidate volume LINEAR): centroid argmax in a map stage (1-row "
-        "broadcast), cell equi-join pair generation, exact-cosine verify. "
-        "No O(n^2) self-join."
+        "IVF-blocked embedding dedup, linear production config "
+        "(target_cell_rows=64 → candidate volume LINEAR), INDEX-FED since "
+        "round 8: every scan below reads the materialized ivfidx layout "
+        "(assignments + precomputed norms, rk=0 and column pruning pushed "
+        "to the parquet scan) — the centroid-scoring chain never runs at "
+        "query time; cell equi-join pair generation, exact-cosine verify "
+        "on a volume-scaled width (round 9). No O(n^2) self-join. "
+        "From-raw form benched as dedup_embedding_ann_inplan."
     ),
     "o2_total_order_ranged": (
         "Distributed total order: range repartition + per-partition rank + "

@@ -65,20 +65,24 @@ def test_resize_media_roundtrip_matches_numpy(spark):
 
 def test_resize_media_fallback_contract(spark):
     """Non-resizable payloads must yield NULL, never crash the Arrow
-    batch: WAV (audio), sub-factor images, raw text bytes, NULL in."""
+    batch: sub-factor media (images AND audio), raw text bytes, NULL
+    in. WAV with enough frames resamples (round 9) — the 50-frame
+    control must round-trip."""
     from logsdb_spark.operators.multimodal import (
         build_png,
         build_wav,
+        decode_wav_samples,
         resize_media,
     )
 
     blobs = spark.createDataFrame(
         [
-            (1, build_wav(1, 8000, 16, b"\x01\x02" * 50)),
+            (1, build_wav(1, 8000, 16, b"\x01\x02")),  # 1 frame
             (2, build_png(1, 9, b"abc")),   # width // 2 == 0
             (3, b"not media at all"),
             (4, None),
             (5, build_png(4, 4, b"abcdef")),  # control: resizable
+            (6, build_wav(1, 8000, 16, b"\x01\x02" * 50)),  # 50 frames
         ],
         "doc_id long, payload binary",
     )
@@ -86,6 +90,10 @@ def test_resize_media_fallback_contract(spark):
     assert got[1] is None and got[2] is None
     assert got[3] is None and got[4] is None
     assert got[5] is not None
+    out = decode_wav_samples(bytes(got[6]))
+    assert out is not None
+    assert out["sample_rate_hz"] == 4000
+    assert out["samples"].size == 25
 
 
 def test_resize_is_deterministic(spark):
@@ -967,3 +975,90 @@ def test_ycbcr_to_rgb_fixed_point():
     assert np.abs(r - rf).max() <= 1
     assert np.abs(g - gf).max() <= 1
     assert np.abs(b - bf).max() <= 1
+
+
+def test_resample_wav_matches_numpy(spark):
+    """WAV box-resample (round 9): decode(resize(wav)) must equal the
+    numpy per-channel pairwise frame mean (floor), at half the rate,
+    for mono AND stereo, odd frame counts (trailing frame dropped),
+    and 16-bit signed values including negatives."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        build_wav,
+        decode_wav_samples,
+        resize_media,
+    )
+
+    cases = []
+    rng = np.random.default_rng(7)
+    for i, (nch, rate, frames) in enumerate(
+            [(1, 8000, 9), (2, 16000, 50), (1, 12000, 2), (2, 8000, 7)]):
+        pcm = rng.integers(-32768, 32768, size=frames * nch,
+                           dtype=np.int64).astype("<i2").tobytes()
+        cases.append((i, nch, rate, build_wav(nch, rate, 16, pcm)))
+    blobs = spark.createDataFrame(
+        [(i, p) for i, _, _, p in cases], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r.payload for r in resize_media(blobs).collect()}
+    for i, nch, rate, payload in cases:
+        src = decode_wav_samples(payload)
+        out = decode_wav_samples(bytes(got[i]))
+        assert out is not None
+        assert out["sample_rate_hz"] == rate // 2
+        assert out["n_channels"] == nch
+        s = src["samples"].astype(np.int64)
+        frames = s.size // nch
+        of = frames // 2
+        want = s[: of * 2 * nch].reshape(of, 2, nch).sum(axis=1) // 2
+        assert (out["samples"].reshape(of, nch) == want).all(), i
+
+
+def test_transcode_media_lossless_roundtrip(spark):
+    """transcode_media (round 9) must re-encode the decoded pixel
+    buffer LOSSLESSLY as PNG for every supported input — grayscale
+    PNG (identity), RGB PNG, identity-palette GIF, grayscale JPEG,
+    4:4:4 color JPEG, 4:2:0 subsampled JPEG — and NULL everything
+    else (WAV, junk, non-identity-palette GIF)."""
+    from logsdb_spark.operators.multimodal import (
+        build_gif,
+        build_jpeg,
+        build_jpeg_420,
+        build_jpeg_color,
+        build_png,
+        build_wav,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        transcode_media,
+    )
+
+    content = bytes(range(32, 110))
+    bad_gif = bytearray(build_gif(8, 6, content))
+    bad_gif[13] = 200
+    cases = [
+        (1, build_png(9, 7, content), decode_png_pixels, 1),
+        (2, build_png(5, 4, content, n_channels=3), decode_png_pixels, 3),
+        (3, build_gif(10, 6, content, interlaced=True),
+         decode_gif_pixels, 1),
+        (4, build_jpeg(17, 9, content), decode_jpeg_pixels, 1),
+        (5, build_jpeg_color(9, 9, content), decode_jpeg_pixels, 3),
+        (6, build_jpeg_420(33, 18, content, restart_interval=2),
+         decode_jpeg_pixels, 3),
+    ]
+    nulls = [(7, build_wav(1, 8000, 16, content)),
+             (8, b"junk"), (9, bytes(bad_gif))]
+    blobs = spark.createDataFrame(
+        [(i, p) for i, p, _, _ in cases] + nulls,
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.payload for r in transcode_media(blobs).collect()}
+    for i, payload, dec, nc in cases:
+        src = dec(payload)
+        out = decode_png_pixels(bytes(got[i]))
+        assert out is not None, i
+        assert (out["width"], out["height"]) == (src["width"], src["height"])
+        assert out["n_channels"] == nc
+        assert bytes(out["pixels"]) == bytes(src["pixels"]), i
+    for i, _ in nulls:
+        assert got[i] is None, i
