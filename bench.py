@@ -123,6 +123,9 @@ HEADLINE = [
     "multimodal_jpeg_420_stats",
     "multimodal_resample_stats",
     "multimodal_transcode_stats",
+    # round-9: progressive (SOF2) JPEG decode — the last decode
+    # boundary, closed
+    "multimodal_jpeg_progressive_stats",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -302,9 +305,13 @@ def warm_up(spark, sf_dir: str) -> None:
     )
 
     touch_blobs(jpeg_color_blob_layout(spark, sf_dir))
-    # round-9 fixtures: the 4:2:0 JPEG corpus and the RGB PNG corpus
+    # round-9 fixtures: the 4:2:0 + progressive JPEG corpora and the
+    # RGB PNG corpus
     touch_blobs(jpeg420_blob_layout(spark, sf_dir))
     touch_blobs(rgb_png_blob_layout(spark, sf_dir))
+    from logsdb_spark.operators.silver import jpeg_progressive_blob_layout
+
+    touch_blobs(jpeg_progressive_blob_layout(spark, sf_dir))
     # dedup index layouts (round 7): the keep queries read the stored
     # MinHash signature + winnow fingerprint indexes — production
     # maintains them at ingest, so their build is layout time

@@ -949,13 +949,209 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _scan_sequential(reader, scan, sof_comps, coefs, grids,
+                     mcux, mcuy, ri) -> None:
+    """The single full-band interleaved SOF0 scan: per MCU, per
+    component, DC predict + EXTEND then AC run/size with ZRL/EOB —
+    raw (undequantized) coefficients land in natural order; the
+    caller dequantizes and IDCTs once all scans are in."""
+    preds = {e[0]: 0 for e in scan}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                reader.sync_restart(mcu // ri - 1)
+                for key in preds:
+                    preds[key] = 0
+            mcu += 1
+            for ci, dc_tab, ac_tab in scan:
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("missing Huffman table")
+                _, _, hi, vi = sof_comps[ci]
+                nbx = grids[ci][1]
+                for v in range(vi):
+                    for u in range(hi):
+                        cf = coefs[ci][(my * vi + v) * nbx + (mx * hi + u)]
+                        t = reader.decode_huffman(dc_tab)
+                        preds[ci] += _extend(reader.receive(t), t)
+                        cf[0] = preds[ci]
+                        k = 0
+                        while k < 63:
+                            rs = reader.decode_huffman(ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            r, s = rs >> 4, rs & 0x0F
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            k += r + 1
+                            if k > 63 or s == 0:
+                                raise ValueError("corrupt AC run")
+                            cf[_ZIGZAG[k]] = _extend(reader.receive(s), s)
+
+
+def _scan_dc(reader, scan, sof_comps, coefs, grids, mcux, mcuy, ri,
+             ah, al, w, h, hmax, vmax) -> None:
+    """Progressive DC scan (Ss=Se=0). First pass (Ah=0): Huffman
+    diff-coded point-transformed DC, coefficient = pred << Al.
+    Refinement (Ah>0, Al=Ah-1): one raw bit per block ORed in at Al —
+    two's-complement OR, which reconstructs the lower magnitude bits
+    for negative values exactly as the encoder's arithmetic-shift
+    emitted them (T.81 G.1.2.1). Interleaved (multi-component, MCU
+    walk) or single-component (ceil-grid data-unit walk)."""
+    preds = {e[0]: 0 for e in scan}
+    if len(scan) > 1:
+        units = [
+            [(ci, (my * vi + v) * grids[ci][1] + (mx * hi + u))
+             for ci, _, _ in scan
+             for _, _, hi, vi in (sof_comps[ci],)
+             for v in range(vi) for u in range(hi)]
+            for my in range(mcuy) for mx in range(mcux)
+        ]
+    else:
+        ci = scan[0][0]
+        _, _, hi, vi = sof_comps[ci]
+        cbx = ((w * hi + hmax - 1) // hmax + 7) // 8
+        cby = ((h * vi + vmax - 1) // vmax + 7) // 8
+        nbx = grids[ci][1]
+        units = [[(ci, by * nbx + bx)]
+                 for by in range(cby) for bx in range(cbx)]
+    dc_tabs = {e[0]: e[1] for e in scan}
+    n = 0
+    for unit in units:
+        if ri and n and n % ri == 0:
+            reader.sync_restart(n // ri - 1)
+            for key in preds:
+                preds[key] = 0
+        n += 1
+        for ci, blk in unit:
+            cf = coefs[ci][blk]
+            if ah == 0:
+                dc_tab = dc_tabs[ci]
+                if dc_tab is None:
+                    raise ValueError("missing DC table")
+                t = reader.decode_huffman(dc_tab)
+                preds[ci] += _extend(reader.receive(t), t)
+                cf[0] = preds[ci] << al
+            else:
+                if reader.read_bit():
+                    cf[0] = int(cf[0]) | (1 << al)
+
+
+def _ac_first(reader, cf, ss, se, al, ac_tab, eobrun) -> int:
+    """Progressive AC first pass over the Ss..Se band (T.81 G.1.2.2):
+    run/size with ZRL, values EXTENDed then shifted by Al, and
+    EOB RUNS (symbol r<15, s=0 → 2^r - 1 + r extra bits of following
+    all-zero-band blocks). Returns the remaining EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huffman(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eob = (1 << r) - 1
+                if r:
+                    eob += reader.receive(r)
+                return eob
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt AC run")
+        cf[_ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, cf, ss, se, al, ac_tab, eobrun) -> int:
+    """Progressive AC refinement (T.81 G.1.2.3): each newly nonzero
+    coefficient arrives as ±1<<Al after skipping r ZERO-HISTORY
+    positions, and every nonzero-history coefficient passed over (or
+    covered by an EOB run) carries one correction bit — appended to
+    the magnitude only when the Al bit is still clear. Returns the
+    remaining EOBRUN."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(z: int) -> None:
+        if reader.read_bit() and (int(cf[z]) & p1) == 0:
+            cf[z] += p1 if cf[z] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huffman(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("corrupt refinement size")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                if cf[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                cf[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if cf[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_ac(reader, entry, sof_comps, coefs, grids, ri, ss, se,
+             ah, al, w, h, hmax, vmax) -> None:
+    """Progressive AC scan — always single-component (T.81 B.2.3),
+    walking the component's ceil-grid data units in raster order;
+    restarts reset the EOB run."""
+    ci, _, ac_tab = entry
+    if ac_tab is None:
+        raise ValueError("missing AC table")
+    _, _, hi, vi = sof_comps[ci]
+    cbx = ((w * hi + hmax - 1) // hmax + 7) // 8
+    cby = ((h * vi + vmax - 1) // vmax + 7) // 8
+    nbx = grids[ci][1]
+    eobrun = 0
+    n = 0
+    for by in range(cby):
+        for bx in range(cbx):
+            if ri and n and n % ri == 0:
+                reader.sync_restart(n // ri - 1)
+                eobrun = 0
+            n += 1
+            cf = coefs[ci][by * nbx + bx]
+            if ah == 0:
+                eobrun = _ac_first(reader, cf, ss, se, al, ac_tab, eobrun)
+            else:
+                eobrun = _ac_refine(reader, cf, ss, se, al, ac_tab, eobrun)
+
+
 def decode_jpeg_pixels(payload: bytes) -> dict | None:
     """REAL baseline-sequential JPEG pixel decode, pure stdlib+numpy —
     the decode boundary COVERAGE.md carried as out-of-scope until
     round 7: marker walk, DQT/DHT parsing (canonical Huffman
     construction per Annex C), SOF0, then per-MCU entropy decode
     (DC prediction + EXTEND, AC run/size with ZRL and EOB), dezigzag,
-    dequantize, float IDCT, level shift, clamp, and edge-block crop.
+    dequantize, float IDCT, level shift, clamp, and edge-block crop
+    — and, since round 9, multi-scan PROGRESSIVE (SOF2) progressions.
 
     Supported: 8-bit baseline (SOF0), grayscale OR 3-component color —
     interleaved MCUs with per-component quant/Huffman table selection,
@@ -969,10 +1165,15 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
     upsample). With or without restart intervals (DRI/RSTn:
     byte-aligned modulo-8 marker sequence verified, DC predictors
     reset per T.81 E.1.4) — what build_jpeg / build_jpeg_color /
-    build_jpeg_420 emit and the archival-thumbnail shapes. Anything
-    else (progressive scans, sampling factors > 2 or non-dividing
-    ratios) returns None: the same fall-back-not-crash contract as
-    decode_png_pixels; the remaining honest boundary is progressive.
+    build_jpeg_420 emit and the archival-thumbnail shapes. Round 9
+    also closed PROGRESSIVE (SOF2) scans: coefficients accumulate
+    across scans per T.81 G — DC first/refinement with the point
+    transform and two's-complement bit OR, AC first/refinement over
+    spectral bands with EOB runs, newly-nonzero ±1<<Al insertion and
+    correction bits — then ONE batched dequantize + IDCT at EOI.
+    Anything else (12-bit, hierarchical, arithmetic-coded frames,
+    sampling factors > 2 or non-dividing ratios) returns None: the
+    same fall-back-not-crash contract as decode_png_pixels.
     For ncomp=3 ``pixels`` is row-major channel-interleaved (like the
     PNG RGB path) and no color-space conversion is applied — the
     decoded component values are returned as stored (the YCbCr→RGB
@@ -989,19 +1190,27 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
         qt: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
         w = h = None
+        progressive = False
         sof_comps: list[tuple[int, int, int, int]] = []  # (id, q, hi, vi)
         restart_interval = 0
-        scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
-        scan_order: list[int] = []
+        coefs = None   # per-comp (n_blocks, 64) RAW coefficients, natural order
+        grids = None   # per-comp (nby, nbx) MCU-padded block grid
+        hmax = vmax = 1
+        mcux = mcuy = 0
+        got_scan = False
         i = 2
-        while i + 4 <= len(b):
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 return None
             marker = b[i + 1]
             if marker == 0xFF:
                 i += 1
                 continue
-            if marker == 0xD9:  # EOI before SOS
+            if marker == 0xD9:  # EOI: the progression (or single scan) ends
+                break
+            if 0xD0 <= marker <= 0xD8:  # stray RST/SOI between segments
+                return None
+            if i + 4 > len(b):
                 return None
             seglen = struct.unpack(">H", b[i + 2: i + 4])[0]
             seg = b[i + 4: i + 2 + seglen]
@@ -1019,7 +1228,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                             for k in range(64)
                         ]
                         j += 128
-            elif marker == 0xC4:  # DHT (possibly several tables)
+            elif marker == 0xC4:  # DHT (possibly several tables, any scan)
                 j = 0
                 while j < len(seg):
                     cls, tid = seg[j] >> 4, seg[j] & 0x0F
@@ -1028,7 +1237,10 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                     vals = list(seg[j + 17: j + 17 + n])
                     huff[(cls, tid)] = _huffman_table(bits, vals)
                     j += 17 + n
-            elif marker == 0xC0:  # SOF0: baseline sequential
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                if coefs is not None:
+                    return None  # second frame header
+                progressive = marker == 0xC2
                 prec = seg[0]
                 h, w = struct.unpack(">HH", seg[1:5])
                 ncomp = seg[5]
@@ -1040,111 +1252,98 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                     if not (1 <= hi <= 2 and 1 <= vi <= 2):
                         return None
                     sof_comps.append((cid, tq, hi, vi))
-                # Grayscale scans are non-interleaved by definition —
-                # keep the 1x1 contract there. For color, any mix of
-                # 1/2 factors works IF every component's grid divides
-                # the max (replication upsample needs integer ratios):
-                # that is 4:4:4, 4:2:2, 4:4:0, and the round-9 target
-                # 4:2:0. Exotic ratios stay at the None boundary.
+                # Grayscale keeps the 1x1 contract; color accepts any
+                # mix of 1/2 factors whose grids divide the max
+                # (replication upsample needs integer ratios): 4:4:4,
+                # 4:2:2, 4:4:0, 4:2:0. Exotic ratios stay at None.
                 hmax = max(c[2] for c in sof_comps)
                 vmax = max(c[3] for c in sof_comps)
                 if ncomp == 1 and (hmax, vmax) != (1, 1):
                     return None
                 if any(hmax % c[2] or vmax % c[3] for c in sof_comps):
                     return None
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coefs, grids = [], []
+                for _, _, hi, vi in sof_comps:
+                    nby, nbx = mcuy * vi, mcux * hi
+                    grids.append((nby, nbx))
+                    coefs.append(np.zeros((nby * nbx, 64), dtype=np.int64))
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF family
-            elif marker == 0xDD:  # DRI: restart every N MCUs
+                return None  # 12-bit / hierarchical / arithmetic SOFs
+            elif marker == 0xDD:  # DRI: restart every N MCUs/data units
                 restart_interval = struct.unpack(">H", seg[:2])[0]
-            elif marker == 0xDA:  # SOS
-                if w is None or seg[0] != len(sof_comps):
+            elif marker == 0xDA:  # SOS — one of possibly many scans
+                if coefs is None:
                     return None
-                for c in range(seg[0]):
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
                     cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                    scan_tabs[cs] = (tabs >> 4, tabs & 0x0F)
-                    scan_order.append(cs)
-                data_start = i + 2 + seglen
-                break
+                    ci = next((idx for idx, sc in enumerate(sof_comps)
+                               if sc[0] == cs), None)
+                    if ci is None:
+                        return None
+                    scan.append((ci, huff.get((0, tabs >> 4)),
+                                 huff.get((1, tabs & 0x0F))))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                reader = _BitReader(b, i + 2 + seglen)
+                if not progressive:
+                    # baseline: exactly one full-band interleaved scan
+                    if (ns != len(sof_comps) or ss != 0 or se != 63
+                            or ah or al):
+                        return None
+                    _scan_sequential(reader, scan, sof_comps, coefs,
+                                     grids, mcux, mcuy, restart_interval)
+                elif ss == 0:  # progressive DC scan (first or refine)
+                    if se != 0 or (ah and al != ah - 1):
+                        return None
+                    _scan_dc(reader, scan, sof_comps, coefs, grids,
+                             mcux, mcuy, restart_interval, ah, al,
+                             w, h, hmax, vmax)
+                else:          # progressive AC scan: single component
+                    if ns != 1 or se < ss or se > 63 \
+                            or (ah and al != ah - 1):
+                        return None
+                    _scan_ac(reader, scan[0], sof_comps, coefs, grids,
+                             restart_interval, ss, se, ah, al,
+                             w, h, hmax, vmax)
+                got_scan = True
+                i = reader.pos
+                if i >= len(b) or b[i] != 0xFF:
+                    return None  # garbage after the entropy segment
+                continue
             i += 2 + seglen
-        else:
+        if not got_scan or coefs is None:
             return None
 
-        # per-component (q table, dc table, ac table, hi, vi), in SOF
-        # order — the interleaved MCU component order
-        comps = []
-        for cid, tq, hi, vi in sof_comps:
-            if cid not in scan_tabs:
-                return None
-            td, ta = scan_tabs[cid]
-            q = qt.get(tq)
-            dc_tab = huff.get((0, td))
-            ac_tab = huff.get((1, ta))
-            if q is None or dc_tab is None or ac_tab is None:
-                return None
-            comps.append((q, dc_tab, ac_tab, hi, vi))
-        ncomp = len(comps)
-        hmax = max(c[3] for c in comps)
-        vmax = max(c[4] for c in comps)
-
+        # All scans are in: dequantize (DQT is zigzag-ordered — remap
+        # to natural), one BATCHED IDCT per component (einsum over the
+        # stacked blocks — round 9, measurably faster than the old
+        # per-block matmuls), level shift, clamp, assemble planes,
+        # upsample subsampled components, crop.
         a = _idct_matrix()
-        # MCU grid covers 8*hmax x 8*vmax pixels per MCU; component
-        # ci contributes hi x vi blocks per MCU in raster order
-        # (T.81 A.2.3 interleaved data ordering).
-        mcux = (w + 8 * hmax - 1) // (8 * hmax)
-        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-        planes = [
-            np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
-            for (_, _, _, hi, vi) in comps
-        ]
-        reader = _BitReader(b, data_start)
-        preds = [0] * ncomp
-        mcu = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if (restart_interval and mcu
-                        and mcu % restart_interval == 0):
-                    # byte-align, verify the modulo-8 RSTn sequence,
-                    # reset every component's DC predictor (T.81 E.1.4)
-                    reader.sync_restart(mcu // restart_interval - 1)
-                    preds = [0] * ncomp
-                mcu += 1
-                for ci, (q, dc_tab, ac_tab, hi, vi) in enumerate(comps):
-                    for v in range(vi):
-                        for u in range(hi):
-                            coef = np.zeros(64, dtype=np.float64)
-                            t = reader.decode_huffman(dc_tab)
-                            preds[ci] += _extend(reader.receive(t), t)
-                            coef[0] = preds[ci] * q[0]
-                            k = 0
-                            while k < 63:
-                                rs = reader.decode_huffman(ac_tab)
-                                if rs == 0x00:  # EOB
-                                    break
-                                r, s = rs >> 4, rs & 0x0F
-                                if rs == 0xF0:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                k += r + 1
-                                if k > 63 or s == 0:
-                                    raise ValueError("corrupt AC run")
-                                coef[_ZIGZAG[k]] = (
-                                    _extend(reader.receive(s), s) * q[k]
-                                )
-                            block = np.zeros((8, 8))
-                            block.flat[:] = coef
-                            px = a.T @ block @ a + 128.0
-                            ry, rx = (my * vi + v) * 8, (mx * hi + u) * 8
-                            planes[ci][ry: ry + 8, rx: rx + 8] = (
-                                np.clip(np.rint(px), 0, 255).astype(np.uint8)
-                            )
-        # Crop each plane to its component resolution (ceil(w*hi/hmax)
-        # x ceil(h*vi/vmax), T.81 A.1.1), replicate subsampled planes
-        # up to full resolution (sample (x, y) reads plane[y//ry][x//rx]
-        # — the nearest-neighbor upsample, integer-exact), crop to
-        # (h, w).
+        planes = []
+        for ci, (_, tq, hi, vi) in enumerate(sof_comps):
+            q = qt.get(tq)
+            if q is None:
+                return None
+            qn = np.zeros(64, dtype=np.float64)
+            for k in range(64):
+                qn[_ZIGZAG[k]] = q[k]
+            nby, nbx = grids[ci]
+            blocks = (coefs[ci].astype(np.float64) * qn).reshape(-1, 8, 8)
+            px = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + 128.0
+            px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+            planes.append(
+                px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
+        ncomp = len(sof_comps)
         full = []
-        for ci, (_, _, _, hi, vi) in enumerate(comps):
+        for ci, (_, _, hi, vi) in enumerate(sof_comps):
             cw = (w * hi + hmax - 1) // hmax
             ch = (h * vi + vmax - 1) // vmax
             p = planes[ci][:ch, :cw]
@@ -1364,6 +1563,87 @@ def build_jpeg_420(width: int, height: int, content: bytes = b"",
             + entropy + b"\xff\xd9")
 
 
+# Progressive-fixture AC table: the four EOB-run symbols 0x00..0x30
+# as canonical 2-bit codes (EOBRUN up to 15 blocks per symbol — the
+# block-constant fixtures emit no AC coefficients, so the AC scans
+# are pure EOB-run streams; the decoder handles arbitrary tables and
+# nonzero progressive ACs, pinned by the independent test encoder).
+_JPEG_ACP_BITS = [0, 4] + [0] * 14
+_JPEG_ACP_VALS = [0x00, 0x10, 0x20, 0x30]
+
+
+def build_jpeg_progressive(width: int, height: int,
+                           content: bytes = b"") -> bytes:
+    """A REAL spec-conformant PROGRESSIVE (SOF2) grayscale JPEG with
+    the DC-exact block-constant contract of build_jpeg — seven scans
+    exercising the full successive-approximation + spectral-selection
+    machinery any progressive reader runs:
+
+      1. DC first scan at Al=4 (diff-coded point-transformed DC);
+      2-5. four DC refinement scans (Ah=4→Al=3 … Ah=1→Al=0), one raw
+         bit per block — dc = 8·(v-128) makes the Al=3 bit carry real
+         data ((v-128) & 1) while the lower scans carry structural
+         zeros, so refinement is exercised with both bit values;
+      6-7. two AC first scans split over spectral bands 1-5 and 6-63,
+         coded entirely as EOB RUNS (all ACs are zero for
+         block-constant content) with genuine 2^r+extra run lengths.
+
+    Because (dc>>4)<<4 OR the refined bits reconstructs dc exactly in
+    two's complement, the decoded pixels equal build_jpeg's closed
+    form: block i carries content[i % len(content)] — a SQL oracle
+    recomputes every pixel while the decoder walks a real multi-scan
+    progression."""
+    vals = content or b"\x00"
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    nb = bw * bh
+    dcs = [8 * (vals[i % len(vals)] - 128) for i in range(nb)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int, entropy: bytes) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+                   ) + entropy
+
+    wtr = _BitWriter()
+    pred = 0
+    for dc in dcs:
+        v = dc >> 4
+        diff = v - pred
+        pred = v
+        t = abs(diff).bit_length()
+        wtr.write(t, 4)
+        if t:
+            wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    scans = sos(0, 0, 0, 4, wtr.flush())
+    for al in (3, 2, 1, 0):
+        wtr = _BitWriter()
+        for dc in dcs:
+            wtr.write((dc >> al) & 1, 1)
+        scans += sos(0, 0, al + 1, al, wtr.flush())
+    for ss, se in ((1, 5), (6, 63)):
+        wtr = _BitWriter()
+        left = nb
+        while left > 0:
+            chunk = min(left, 15)
+            r = chunk.bit_length() - 1
+            wtr.write(r, 2)           # canonical code for symbol (r<<4)|0
+            if r:
+                wtr.write(chunk - (1 << r), r)
+            left -= chunk
+        scans += sos(ss, se, 0, 0, wtr.flush())
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                 + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JPEG_ACP_BITS)
+                 + bytes(_JPEG_ACP_VALS))
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + scans
+            + b"\xff\xd9")
+
+
 # libjpeg's fixed-point YCbCr->RGB coefficients: round(c * 65536) for
 # c in (1.402, 0.344136, 0.714136, 1.772), applied with a +32768
 # rounding bias and an ARITHMETIC >> 16 (floor — Python, numpy, and
@@ -1563,6 +1843,36 @@ def synthesize_jpegs(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     int(doc_id) % 28 + 1,
                     ("" if text is None else str(text)).encode("utf-8"),
                     restart_interval=3 if int(doc_id) % 2 else 0,
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(synth, schema)
+
+
+def synthesize_progressive_jpegs(docs: DataFrame,
+                                 text_col: str = "text") -> DataFrame:
+    """PROGRESSIVE-JPEG fixture generator (round 9): width =
+    doc_id%44+1, height = doc_id%22+1, block values from the text
+    bytes (build_jpeg_progressive's arithmetic — identical closed
+    form to build_jpeg, but delivered through a seven-scan SOF2
+    progression with successive approximation and spectral
+    selection)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_jpeg_progressive(
+                    int(doc_id) % 44 + 1,
+                    int(doc_id) % 22 + 1,
+                    ("" if text is None else str(text)).encode("utf-8"),
                 )
                 for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
             ]

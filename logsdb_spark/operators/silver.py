@@ -348,6 +348,35 @@ def jpeg420_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_progressive_blob_layout(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The PROGRESSIVE (SOF2) JPEG fixture corpus as a materialized
+    (doc_id, payload) parquet (prefix jpgp1) —
+    build_jpeg_progressive's seven-scan successive-approximation
+    fixtures; same contract as jpeg_blob_layout."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .multimodal import synthesize_progressive_jpegs
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_progressive_jpegs(docs)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "jpgp1", make, schema).select(
+        "doc_id", "payload"
+    )
+
+
 def rgb_png_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RGB (color type 2) PNG fixture corpus as a materialized
     (doc_id, payload) parquet (prefix pngrgb1) —

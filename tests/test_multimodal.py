@@ -775,10 +775,11 @@ def test_build_jpeg_color_roundtrip_interleaved_exact():
 
 def test_decode_jpeg_rejects_unsupported_shapes():
     """The documented fall-back boundary (round 9 moved subsampling
-    INSIDE it — 4:2:0/4:2:2 now decode): sampling factors > 2,
-    subsampled GRAYSCALE, progressive scans, and a DRI that promises
-    restart markers the stream doesn't contain return None (never
-    raise)."""
+    AND progressive inside it): sampling factors > 2, subsampled
+    GRAYSCALE, a baseline stream MISLABELED progressive (its
+    full-band interleaved scan is an invalid SOF2 progression), and
+    a DRI that promises restart markers the stream doesn't contain
+    return None (never raise)."""
     import struct as _s
 
     from logsdb_spark.operators.multimodal import (
@@ -1025,6 +1026,7 @@ def test_transcode_media_lossless_roundtrip(spark):
         build_jpeg,
         build_jpeg_420,
         build_jpeg_color,
+        build_jpeg_progressive,
         build_png,
         build_wav,
         decode_gif_pixels,
@@ -1045,6 +1047,8 @@ def test_transcode_media_lossless_roundtrip(spark):
         (5, build_jpeg_color(9, 9, content), decode_jpeg_pixels, 3),
         (6, build_jpeg_420(33, 18, content, restart_interval=2),
          decode_jpeg_pixels, 3),
+        (10, build_jpeg_progressive(21, 13, content),
+         decode_jpeg_pixels, 1),
     ]
     nulls = [(7, build_wav(1, 8000, 16, content)),
              (8, b"junk"), (9, bytes(bad_gif))]
@@ -1062,3 +1066,259 @@ def test_transcode_media_lossless_roundtrip(spark):
         assert bytes(out["pixels"]) == bytes(src["pixels"]), i
     for i, _ in nulls:
         assert got[i] is None, i
+
+
+def test_decode_jpeg_progressive_fixture_closed_form():
+    """build_jpeg_progressive's seven-scan stream (DC first at Al=4,
+    four DC refinements, two spectral-band AC EOB-run scans) must
+    decode to the same block-constant closed form as the baseline
+    fixture — across edge dims, including >15-block EOB runs."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        build_jpeg,
+        build_jpeg_progressive,
+        decode_jpeg_pixels,
+    )
+
+    content = b"Progressive scans decode the very same pixels 0123456789"
+    L = len(content)
+    for w, h in [(1, 1), (17, 9), (40, 28), (44, 22), (7, 29),
+                 (128, 1), (1, 128), (48, 40)]:
+        d = decode_jpeg_pixels(build_jpeg_progressive(w, h, content))
+        assert d is not None and (d["width"], d["height"]) == (w, h)
+        arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w)
+        bw = (w + 7) // 8
+        ys, xs = np.mgrid[0:h, 0:w]
+        want = np.frombuffer(content, dtype=np.uint8)[
+            ((ys // 8) * bw + xs // 8) % L]
+        assert (arr == want).all(), (w, h)
+        # and the progression decodes IDENTICALLY to the baseline
+        # encoding of the same content
+        base = decode_jpeg_pixels(build_jpeg(w, h, content))
+        assert d["pixels"] == base["pixels"], (w, h)
+
+
+def _canonical_code_map(bits, vals):
+    """(symbol -> (code, length)) for a canonical DHT table — the
+    encoder-side mirror of _huffman_table."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def test_decode_jpeg_progressive_nonzero_ac_vs_numpy():
+    """The progressive AC machinery against an INDEPENDENT encoder
+    (written from T.81 G.1.2.2/G.1.2.3, not shared with the decoder):
+    random sparse coefficient blocks streamed as DC first + DC refine
+    + AC first at Al=1 + AC refinement at Al=0 — with newly-nonzero
+    coefficients, sign bits, buffered correction bits, ZRL inside
+    refinement, and EOB runs >= 2 spanning correction-only blocks.
+    The decoded pixels must equal a straight numpy IDCT of the exact
+    coefficients."""
+    import math
+
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _ZIGZAG,
+        _BitWriter,
+        decode_jpeg_pixels,
+    )
+
+    # --- build random sparse blocks (values small; trailing two
+    # blocks carry ONLY |c| in {2,3} so the refinement scan covers
+    # them with an EOBRUN=2 + correction-bits-only path; one block
+    # gets a lone high-k coefficient to force ZRL) ---
+    rng = np.random.default_rng(11)
+    W, H = 30, 20  # 4x3 blocks, edge-cropped
+    bw, bh = (W + 7) // 8, (H + 7) // 8
+    nb = bw * bh
+    blocks = []
+    for bi in range(nb):
+        c = np.zeros(64, dtype=np.int64)
+        if bi == 2:
+            c[1 + 40] = 0  # keep band sparse…
+            c[63] = 9      # …but force a >15 zero run before k=63
+        elif bi >= nb - 2:
+            picks = rng.choice(np.arange(1, 64), size=4, replace=False)
+            c[picks] = rng.choice([2, 3, -2, -3], size=4)
+        else:
+            picks = rng.choice(np.arange(1, 64), size=6, replace=False)
+            c[picks] = rng.integers(-15, 16, size=6)
+            c[picks] = np.where(c[picks] == 0, 5, c[picks])
+        c[0] = int(rng.integers(-100, 101))
+        blocks.append(c)  # NATURAL order coefficients
+
+    # --- independent encoder ---
+    ac_syms = ([0x00, 0x10, 0x20, 0x30, 0xF0]
+               + [(r << 4) | s for r in range(16) for s in range(1, 6)])
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # all 8-bit canonical codes (85 < 256)
+    ac_map = _canonical_code_map(ac_bits, ac_syms)
+    dc_map = _canonical_code_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+
+    def put(wtr, sym, cmap):
+        code, length = cmap[sym]
+        wtr.write(code, length)
+
+    def put_mag(wtr, v):
+        s = abs(v).bit_length()
+        put(wtr, s, dc_map)
+        if s:
+            wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+
+    def zz(c, k):
+        return int(c[_ZIGZAG[k]])
+
+    # scan 1: DC first, Al=1
+    w1 = _BitWriter()
+    pred = 0
+    for c in blocks:
+        v = int(c[0]) >> 1
+        put_mag(w1, v - pred)
+        pred = v
+    # scan 2: DC refine to Al=0
+    w2 = _BitWriter()
+    for c in blocks:
+        w2.write(int(c[0]) & 1, 1)
+    # scan 3: AC first, band 1..63, Al=1 (values abs>>1 with sign)
+    w3 = _BitWriter()
+    eob_group = 0
+
+    def flush_eob(wtr, n):
+        while n > 0:
+            chunk = min(n, 15)
+            r = chunk.bit_length() - 1
+            put(wtr, r << 4, ac_map)
+            if r:
+                wtr.write(chunk - (1 << r), r)
+            n -= chunk
+
+    for c in blocks:
+        vals = [(k, (abs(zz(c, k)) >> 1) * (1 if zz(c, k) > 0 else -1))
+                for k in range(1, 64)]
+        vals = [(k, v) for k, v in vals if v != 0]
+        if not vals:
+            eob_group += 1
+            continue
+        flush_eob(w3, eob_group)
+        eob_group = 0
+        prev = 0
+        for k, v in vals:
+            r = k - prev - 1
+            while r > 15:
+                put(w3, 0xF0, ac_map)
+                r -= 16
+            s = abs(v).bit_length()
+            put(w3, (r << 4) | s, ac_map)
+            w3.write(v if v > 0 else v + (1 << s) - 1, s)
+            prev = k
+        if prev < 63:
+            put(w3, 0x00, ac_map)  # EOB (run of 1)
+    flush_eob(w3, eob_group)
+    # scan 4: AC refinement, Ah=1 -> Al=0 (T.81 G.1.2.3 encode)
+    w4 = _BitWriter()
+    i = 0
+    while i < nb:
+        c = blocks[i]
+        temps = [abs(zz(c, k)) for k in range(1, 64)]
+        has_new = any(t == 1 for t in temps)
+        if not has_new:
+            # group consecutive correction-only blocks into one EOBRUN
+            j = i
+            while (j < nb and not any(
+                    abs(zz(blocks[j], k)) == 1 for k in range(1, 64))):
+                j += 1
+            g = j - i
+            while g > 0:
+                chunk = min(g, 15)
+                r = chunk.bit_length() - 1
+                put(w4, r << 4, ac_map)
+                if r:
+                    w4.write(chunk - (1 << r), r)
+                for c2 in blocks[i: i + chunk]:
+                    for k in range(1, 64):
+                        t = abs(zz(c2, k))
+                        if t > 1:
+                            w4.write(t & 1, 1)
+                i += chunk
+                g -= chunk
+            continue
+        eobk = max(k for k in range(1, 64) if abs(zz(c, k)) == 1)
+        r = 0
+        buffered = []
+        for k in range(1, 64):
+            t = abs(zz(c, k))
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobk:
+                put(w4, 0xF0, ac_map)
+                for bit in buffered:
+                    w4.write(bit, 1)
+                buffered = []
+                r -= 16
+            if t > 1:
+                buffered.append(t & 1)
+                continue
+            put(w4, (r << 4) | 1, ac_map)
+            r = 0
+            w4.write(1 if zz(c, k) > 0 else 0, 1)
+            for bit in buffered:
+                w4.write(bit, 1)
+            buffered = []
+        if r > 0 or buffered:
+            put(w4, 0x00, ac_map)
+            for bit in buffered:
+                w4.write(bit, 1)
+        i += 1
+
+    import struct as _s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    def sos(ss, se, ah, al, entropy):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) \
+            + entropy
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC2, _s.pack(">BHHB", 8, H, W, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+              + bytes(_JPEG_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms))
+        + sos(0, 0, 0, 1, w1.flush())
+        + sos(0, 0, 1, 0, w2.flush())
+        + sos(1, 63, 0, 1, w3.flush())
+        + sos(1, 63, 1, 0, w4.flush())
+        + b"\xff\xd9"
+    )
+    d = decode_jpeg_pixels(blob)
+    assert d is not None and (d["width"], d["height"]) == (W, H)
+
+    # ground truth: numpy IDCT of the exact coefficients
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = cu / 2 * math.cos((2 * x + 1) * u * math.pi / 16)
+    want = np.zeros((bh * 8, bw * 8))
+    for bi, c in enumerate(blocks):
+        by, bx = divmod(bi, bw)
+        s = c.astype(np.float64).reshape(8, 8)
+        want[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = a.T @ s @ a + 128.0
+    want = np.clip(np.rint(want), 0, 255).astype(np.uint8)[:H, :W]
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(H, W)
+    assert (got == want).all()
