@@ -123,9 +123,10 @@ HEADLINE = [
     "multimodal_jpeg_420_stats",
     "multimodal_resample_stats",
     "multimodal_transcode_stats",
-    # round-9: progressive (SOF2) JPEG decode — the last decode
-    # boundary, closed
+    # round-9: progressive (SOF2) JPEG decode and Adam7-interlaced
+    # PNG — the last decode boundaries, closed
     "multimodal_jpeg_progressive_stats",
+    "multimodal_png_interlaced_stats",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -309,9 +310,12 @@ def warm_up(spark, sf_dir: str) -> None:
     # RGB PNG corpus
     touch_blobs(jpeg420_blob_layout(spark, sf_dir))
     touch_blobs(rgb_png_blob_layout(spark, sf_dir))
-    from logsdb_spark.operators.silver import jpeg_progressive_blob_layout
+    from logsdb_spark.operators.silver import (
+        jpeg_progressive_blob_layout, png_interlaced_blob_layout,
+    )
 
     touch_blobs(jpeg_progressive_blob_layout(spark, sf_dir))
+    touch_blobs(png_interlaced_blob_layout(spark, sf_dir))
     # dedup index layouts (round 7): the keep queries read the stored
     # MinHash signature + winnow fingerprint indexes — production
     # maintains them at ingest, so their build is layout time

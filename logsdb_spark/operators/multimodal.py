@@ -168,22 +168,43 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def build_png(width: int, height: int, content: bytes = b"",
-              n_channels: int = 1) -> bytes:
+              n_channels: int = 1, interlaced: bool = False) -> bytes:
     """A REAL spec-conformant 8-bit PNG — grayscale (color type 0) or,
     with ``n_channels=3`` (round 9), RGB (color type 2): IHDR + zlib'd
     IDAT (scanlines with filter byte 0, the channel-interleaved pixel
     stream cycled from ``content``) + IEND, all chunks CRC'd. Any PNG
-    reader opens it."""
+    reader opens it. ``interlaced=True`` (round 9) emits the SAME
+    image through the Adam7 seven-pass lattice — pixel (y, x) still
+    carries content[((y*w + x)*nch + c) % L], so the interlaced and
+    sequential encodings of one doc decode identically and share one
+    oracle."""
     stride = width * n_channels
     pix = (content or b"\x00") * (
         (stride * height) // max(len(content), 1) + 1
     )
-    raw = b"".join(
-        b"\x00" + pix[y * stride: (y + 1) * stride].ljust(stride, b"\x00")
-        for y in range(height)
-    )
+    if not interlaced:
+        raw = b"".join(
+            b"\x00" + pix[y * stride: (y + 1) * stride].ljust(stride, b"\x00")
+            for y in range(height)
+        )
+    else:
+        import numpy as np
+
+        arr = np.frombuffer(
+            pix[: stride * height].ljust(stride * height, b"\x00"),
+            dtype=np.uint8,
+        ).reshape(height, width, n_channels)
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            if width <= x0 or height <= y0:
+                continue
+            sub = arr[y0::ys, x0::xs, :]
+            for row in sub:
+                parts.append(b"\x00" + row.tobytes())
+        raw = b"".join(parts)
     color_type = 0 if n_channels == 1 else 2
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+                       1 if interlaced else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -309,14 +330,73 @@ def synthesize_media(docs: DataFrame, text_col: str = "text",
     )
 
 
+# Adam7 pass lattice: (x_start, y_start, x_step, y_step) — PNG spec
+# §8.2. Pass p holds pixels with y ≡ y0 (mod ystep), x ≡ x0 (mod
+# xstep); each pass is filtered as an independent sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, wpx: int, hpx: int, nch: int):
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth —
+    the full spec set) for one (sub-)image of ``wpx`` x ``hpx``
+    pixels starting at ``pos`` in the inflated stream → ((hpx,
+    wpx*nch) uint8 array, next pos). Filters reference the previous
+    scanline of the SAME (sub-)image — which is what makes this the
+    shared core of both the sequential path and each Adam7 pass."""
+    import numpy as np
+
+    stride = wpx * nch
+    if len(raw) < pos + hpx * (1 + stride):
+        raise ValueError("truncated PNG pixel stream")
+    out = np.zeros((hpx, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(hpx):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=pos + 1)
+        pos += 1 + stride
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = ((line.astype(np.int32) + prev) % 256).astype(np.uint8)
+        else:  # Sub / Average / Paeth need the running left pixel
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                up = int(prev[x])
+                ul = int(prev[x - nch]) if x >= nch else 0
+                if ftype == 1:  # Sub
+                    pred = left
+                elif ftype == 3:  # Average
+                    pred = (left + up) // 2
+                elif ftype == 4:  # Paeth
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (
+                        up if pb <= pc else ul
+                    )
+                else:
+                    raise ValueError("unknown PNG filter")
+                cur[x] = (int(line[x]) + pred) % 256
+        out[y] = cur
+        prev = cur
+    return out, pos
+
+
 def decode_png_pixels(payload: bytes) -> dict | None:
     """REAL PNG pixel decode, pure stdlib+numpy: zlib-inflate the IDAT
     stream and reverse the per-scanline filters (None/Sub/Up/Average/
-    Paeth — the full spec set) for non-interlaced 8-bit grayscale
-    (color type 0) and RGB (color type 2) images. Returns
-    ``{"width", "height", "n_channels", "pixels": bytes}`` with pixels
-    in row-major scanline order, or None when the payload is not a PNG
-    this decoder supports (other color types, 16-bit, interlaced,
+    Paeth — the full spec set) for 8-bit grayscale (color type 0) and
+    RGB (color type 2) images, SEQUENTIAL or ADAM7-INTERLACED (round
+    9 — the seven-pass lattice, each pass unfiltered as its own
+    sub-image against its own previous scanline, then scattered into
+    display order; empty passes contribute no scanlines, per spec).
+    Returns ``{"width", "height", "n_channels", "pixels": bytes}``
+    with pixels in row-major scanline order, or None when the payload
+    is not a PNG this decoder supports (other color types, 16-bit,
     truncated) — callers fall back rather than crash the Arrow batch.
 
     This is the honest next increment past header decode
@@ -330,7 +410,8 @@ def decode_png_pixels(payload: bytes) -> dict | None:
     try:
         w, h = struct.unpack(">II", b[16:24])
         depth, color, _comp, _filt, interlace = b[24:29]
-        if depth != 8 or color not in (0, 2) or interlace != 0 or not w or not h:
+        if (depth != 8 or color not in (0, 2) or interlace not in (0, 1)
+                or not w or not h):
             return None
         nch = 1 if color == 0 else 3
         # concatenate every IDAT chunk in stream order
@@ -345,42 +426,19 @@ def decode_png_pixels(payload: bytes) -> dict | None:
                 break
             i += 12 + clen  # len + tag + body + crc
         raw = zlib.decompress(bytes(idat))
-        stride = w * nch
-        if len(raw) < h * (1 + stride):
-            return None
-        out = np.zeros((h, stride), dtype=np.uint8)
-        pos = 0
-        prev = np.zeros(stride, dtype=np.uint8)
-        for y in range(h):
-            ftype = raw[pos]
-            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
-            pos += 1 + stride
-            if ftype == 0:  # None
-                cur = line.copy()
-            elif ftype == 2:  # Up
-                cur = (line.astype(np.int32) + prev) % 256
-                cur = cur.astype(np.uint8)
-            else:  # Sub / Average / Paeth need the running left pixel
-                cur = np.zeros(stride, dtype=np.uint8)
-                for x in range(stride):
-                    left = int(cur[x - nch]) if x >= nch else 0
-                    up = int(prev[x])
-                    ul = int(prev[x - nch]) if x >= nch else 0
-                    if ftype == 1:  # Sub
-                        pred = left
-                    elif ftype == 3:  # Average
-                        pred = (left + up) // 2
-                    elif ftype == 4:  # Paeth
-                        p = left + up - ul
-                        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                        pred = left if pa <= pb and pa <= pc else (
-                            up if pb <= pc else ul
-                        )
-                    else:
-                        return None
-                    cur[x] = (int(line[x]) + pred) % 256
-            out[y] = cur
-            prev = cur
+        if interlace == 0:
+            out, _ = _png_unfilter(raw, 0, w, h, nch)
+        else:
+            out = np.zeros((h, w * nch), dtype=np.uint8)
+            view = out.reshape(h, w, nch)
+            pos = 0
+            for x0, y0, xs, ys in _ADAM7:
+                pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+                ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                sub, pos = _png_unfilter(raw, pos, pw, ph, nch)
+                view[y0::ys, x0::xs, :] = sub.reshape(ph, pw, nch)
         return {
             "width": int(w), "height": int(h), "n_channels": nch,
             "pixels": out.tobytes(),
@@ -820,6 +878,73 @@ def gif_pixel_position_stats(blobs: DataFrame) -> DataFrame:
             for p in pdf["payload"]:
                 dec = decode_gif_pixels(bytes(p) if p is not None else b"")
                 if dec is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = dec["width"] * dec["height"]
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_pixels"].append(n)
+                rows["px_sum"].append(int(arr.sum()))
+                rows["px_wsum"].append(
+                    int((arr * np.arange(1, n + 1, dtype=np.int64)).sum())
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, GIF_POSITION_STATS_SCHEMA)
+
+
+def synthesize_interlaced_pngs(docs: DataFrame,
+                               text_col: str = "text") -> DataFrame:
+    """Adam7 parity fixture generator (round 9, companion to
+    synthesize_gifs' interlace_odd mix): grayscale PNGs with width =
+    doc_id%38+1, height = doc_id%26+1, pixel (y, x) =
+    content[(y*w + x) % L]; ODD doc_ids are encoded through the
+    seven-pass Adam7 lattice, even ones sequentially — the decoded
+    image is identical either way, which is exactly what the
+    position-weighted gate checks."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_png(
+                    int(doc_id) % 38 + 1,
+                    int(doc_id) % 26 + 1,
+                    ("" if text is None else str(text)).encode("utf-8"),
+                    interlaced=bool(int(doc_id) % 2),
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(synth, schema)
+
+
+def png_pixel_position_stats(blobs: DataFrame) -> DataFrame:
+    """Per-PNG POSITION-WEIGHTED pixel statistics — the Adam7
+    counterpart of gif_pixel_position_stats: px_wsum = Σ (i+1)·px[i]
+    over DISPLAY order, which changes if the decoder scatters any
+    interlace pass to the wrong lattice positions (px_sum alone is
+    permutation-invariant and cannot see that). Same Arrow kernel
+    shape; undecodable payloads yield NULL stats."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("width", "height", "n_pixels", "px_sum", "px_wsum")}
+            for p in pdf["payload"]:
+                dec = decode_png_pixels(bytes(p) if p is not None else b"")
+                if dec is None or dec["n_channels"] != 1:
                     for k in rows:
                         rows[k].append(None)
                     continue

@@ -377,6 +377,35 @@ def jpeg_progressive_blob_layout(spark: SparkSession,
     )
 
 
+def png_interlaced_blob_layout(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The mixed Adam7/sequential PNG fixture corpus as a
+    materialized (doc_id, payload) parquet (prefix pngi1) —
+    synthesize_interlaced_pngs' parity mix (odd doc_ids interlaced);
+    same contract as gif_blob_layout(interlace_odd=True)."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .multimodal import synthesize_interlaced_pngs
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_interlaced_pngs(docs)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "pngi1", make, schema).select(
+        "doc_id", "payload"
+    )
+
+
 def rgb_png_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RGB (color type 2) PNG fixture corpus as a materialized
     (doc_id, payload) parquet (prefix pngrgb1) —

@@ -2018,6 +2018,66 @@ def multimodal_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_png_interlaced_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 38 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 26 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id, w, h, L, w * h AS n,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+                            i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, w, h, n,
+             (n // L) * COALESCE(list_sum(bs), 0)
+               + COALESCE(list_sum(bs[1:CAST(n % L AS INTEGER)]), 0) AS px_sum,
+             COALESCE(list_sum(list_transform(
+               range(CAST(n AS INTEGER)),
+               i -> (i + 1) * bs[CAST(i % L AS INTEGER) + 1])), 0) AS px_wsum
+      FROM s
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(px_sum AS BIGINT) AS px_sum,
+           CAST(px_wsum AS BIGINT) AS px_wsum
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_interlaced_stats(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Adam7 de-interlace parity, hash-gated end to end (round 9 —
+    the PNG twin of multimodal_gif_interlaced_stats, closing the
+    decoder's last PNG boundary besides bit depth/color types): a
+    MIXED corpus (odd doc_ids encoded through the seven-pass Adam7
+    lattice, each pass zlib'd and filtered as its own sub-image; even
+    ones sequential) decoded to POSITION-WEIGHTED pixel sums. px_sum
+    is permutation-invariant, so the gate is px_wsum = Σ (i+1)·px[i]
+    over display order, which the oracle recomputes from the cycled
+    source bytes assuming CORRECT display order — a decoder that
+    scatters any pass to the wrong lattice offsets/strides, or reads
+    pass scanlines against the wrong previous row, produces a
+    different px_wsum for every odd doc_id and hash-mismatches;
+    identical oracle rows for both parities prove the decoded image
+    is independent of the on-wire pass structure. Scale shape:
+    materialized blob layout, one widened scan, one Arrow decode
+    kernel, no shuffle until the presentation sort."""
+    from ..operators.multimodal import png_pixel_position_stats
+    from ..operators.silver import png_interlaced_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir, png_interlaced_blob_layout(spark, sf_dir), "pngi"
+    )
+    return png_pixel_position_stats(blobs).orderBy("doc_id")
+
+
+@register(
     "multimodal_jpeg_pixel_stats",
     oracle="""
     WITH d AS (

@@ -1322,3 +1322,67 @@ def test_decode_jpeg_progressive_nonzero_ac_vs_numpy():
     want = np.clip(np.rint(want), 0, 255).astype(np.uint8)[:H, :W]
     got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(H, W)
     assert (got == want).all()
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7 decode (round 9): the interlaced encoding of an image
+    must decode identically to the sequential one (pinned across
+    shapes where passes go empty), and per-pass FILTERING must be
+    scoped to the pass — a hand-assembled interlaced PNG whose passes
+    use Sub/Up/Average/Paeth (forward-filtered here against the
+    pass's own previous scanline) must invert exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        _ADAM7,
+        _png_chunk,
+        build_png,
+        decode_png_pixels,
+    )
+
+    content = bytes(range(17, 230))
+    for w, h, nc in [(1, 1, 1), (7, 5, 3), (9, 9, 1), (38, 26, 1),
+                     (2, 2, 3), (1, 16, 1), (16, 1, 1)]:
+        seq = decode_png_pixels(build_png(w, h, content, n_channels=nc))
+        il = decode_png_pixels(
+            build_png(w, h, content, n_channels=nc, interlaced=True))
+        assert il is not None and il["pixels"] == seq["pixels"], (w, h, nc)
+
+    # hand-assembled 9x9 grayscale Adam7 with a different filter per
+    # pass (cycling 1..4), forward-filtered against pass-local rows
+    w = h = 9
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for pi, (x0, y0, xs, ys) in enumerate(_ADAM7):
+        if w <= x0 or h <= y0:
+            continue
+        sub = img[y0::ys, x0::xs]
+        ftype = pi % 4 + 1  # Sub/Up/Average/Paeth across passes
+        for y in range(sub.shape[0]):
+            raw.append(ftype)
+            for x in range(sub.shape[1]):
+                v = int(sub[y, x])
+                left = int(sub[y, x - 1]) if x else 0
+                up = int(sub[y - 1, x]) if y else 0
+                ul = int(sub[y - 1, x - 1]) if x and y else 0
+                pred = {1: left, 2: up, 3: (left + up) // 2,
+                        4: paeth(left, up, ul)}[ftype]
+                raw.append((v - pred) % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    dec = decode_png_pixels(png)
+    assert dec is not None
+    got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w)
+    assert (got == img).all()
