@@ -12,16 +12,19 @@ Two decode tiers live here:
   files (zlib'd IDAT, CRC'd chunks, canonical 44-byte RIFF header) so
   the parse path is exercised on genuine bytes end-to-end.
 - **Pixel/sample decode is REAL too**: ``decode_png_pixels`` (zlib'd
-  IDAT inflation + full per-scanline filter reversal for
-  non-interlaced 8-bit gray/RGB), ``decode_gif_pixels`` (true LZW +
-  4-pass de-interlace), ``decode_wav_samples`` (RIFF walk + PCM), and
-  ``decode_jpeg_pixels`` (round 7: canonical-Huffman baseline entropy
-  decode + float IDCT, grayscale and 4:4:4 color) — all pure
-  stdlib+numpy, each oracle-gated on real decoded values.
-  ``resize_media`` is a real decode → integer box-downsample →
-  re-encode since round 8 (PNG/GIF both directions). The remaining
-  documented boundary is JPEG chroma subsampling / progressive scans
-  (``_decode_stub`` marks the shapes that fall back).
+  IDAT inflation + full per-scanline filter reversal for 8-bit
+  gray/RGB, sequential or Adam7-interlaced since round 9),
+  ``decode_gif_pixels`` (true LZW + 4-pass de-interlace),
+  ``decode_wav_samples`` (RIFF walk + PCM), and
+  ``decode_jpeg_pixels`` (canonical-Huffman entropy decode + float
+  IDCT — grayscale, 4:4:4/4:2:2/4:2:0 color, baseline AND
+  progressive SOF2 since round 9) — all pure stdlib+numpy, each
+  oracle-gated on real decoded values. ``resize_media`` is a real
+  decode → integer box-downsample → re-encode since round 8 (PNG
+  gray/RGB, identity-palette GIF, WAV frame resample);
+  ``transcode_media`` re-encodes any decodable image losslessly as
+  PNG. The remaining documented boundaries: 16-bit/paletted PNG,
+  12-bit/hierarchical/arithmetic JPEG, compressed audio.
 
 Design for 100 TB of blobs: mapInPandas streams Arrow record batches
 through Python, so per-row overhead is amortized; blobs never pass
