@@ -9,10 +9,12 @@ every query here ends in an agg/sort/limit so count() is not
 short-circuitable) after a warm-up of the input file listing.
 Per-query time is the MIN over $SPARK_GRAFT_BENCH_REPS (default 2)
 back-to-back executions — the steady-state estimator that strips
-host-contention transients without crediting unperformed work; the
-JSON records reps/estimator. A "streaming" sub-object carries
-measured ingest + ensemble-probe throughput (SPARK_GRAFT_STREAMING=0
-disables).
+host-contention transients without crediting unperformed work. The
+stdout line is kept under LINE_BUDGET (1,900 B) because the capture
+window is ~2,000 chars; full-precision timings, per-rep spread, the
+streaming ingest/probe throughput, and the estimator metadata go to
+the scripts/bench_extras.json sidecar the line cites
+(SPARK_GRAFT_STREAMING=0 skips the streaming measurement).
 """
 
 from __future__ import annotations
@@ -479,13 +481,16 @@ def main() -> None:
     # in the JSON so round-over-round comparisons know the estimator.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = None
+        rep_times: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             elapsed = time.perf_counter() - t0
+            rep_times.append(round(elapsed, 3))
             best = elapsed if best is None else min(best, elapsed)
             # UNTIMED between-query hygiene: several pipelines
             # persist() intermediates (minhash shingles/signatures)
@@ -504,6 +509,7 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
         timings[name] = round(best, 3)
+        spreads[name] = rep_times
 
     total = round(sum(timings.values()), 3)
 
@@ -514,18 +520,73 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0":
         streaming = streaming_bench(spark, sf_dir)
 
-    record = {
+    # Sidecar: full-precision per-query timings + per-rep spread +
+    # streaming throughput + run metadata. The stdout line stays
+    # compact (the bench harness that captures it keeps only the last
+    # ~2,000 chars of stdout — BENCH_r09 was lost to a 2,250-byte
+    # line); everything verbose lives here and the line cites it.
+    extras = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "reps": reps,
         "estimator": "min" if reps > 1 else "single",
+        "queries": timings,
+        "rep_times": spreads,
     }
     if streaming is not None:
-        record["streaming"] = streaming
-    print(json.dumps(record))
+        extras["streaming"] = streaming
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scripts", "bench_extras.json")
+    with open(sidecar, "w") as fh:
+        json.dump(extras, fh, indent=1, sort_keys=True)
+
+    print(render_record(total, timings, sf, reps))
+
+
+# Hard budget for the emitted line: the capture window is ~2,000
+# chars of stdout tail; 1,900 leaves headroom for a trailing newline
+# and any stray log line. tests/test_bench_record.py pins this
+# against the full registry with pessimistic 5-char timings.
+LINE_BUDGET = 1900
+
+
+def render_record(total: float, timings: dict[str, float], sf: float,
+                  reps: int) -> str:
+    """One JSON line under LINE_BUDGET bytes, guaranteed parseable.
+
+    Degrade ladder (full detail is always in scripts/bench_extras.json):
+      1. all queries, 2-decimal values, compact separators;
+      2. if still over budget, drop the FASTEST queries from the line
+         one at a time (they stay in the sidecar), recording how many
+         were elided under "omitted".
+    """
+    def line_for(qs: dict[str, float], omitted: int) -> str:
+        rec = {
+            "metric": "headline_queries_total",
+            "value": round(total, 2),
+            "unit": "sec",
+            "sf": sf,
+            "reps": reps,
+            "queries": {k: round(v, 2) for k, v in qs.items()},
+            "extras": "scripts/bench_extras.json",
+        }
+        if omitted:
+            rec["omitted"] = omitted
+        return json.dumps(rec, separators=(",", ":"))
+
+    shown = dict(timings)
+    omitted = 0
+    line = line_for(shown, omitted)
+    by_speed = sorted(timings, key=lambda k: (timings[k], k))
+    while len(line) >= LINE_BUDGET and shown:
+        shown.pop(by_speed[omitted])
+        omitted += 1
+        line = line_for(shown, omitted)
+    assert len(line) < LINE_BUDGET, (
+        f"bench record {len(line)}B exceeds {LINE_BUDGET}B even empty")
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,64 @@
+"""The bench stdout line must stay under the capture window.
+
+Round 9 lost its bench record: the driver keeps only the last ~2,000
+chars of stdout and the JSON line had grown to 2,250 bytes, so
+BENCH_r09.json recorded ``parsed: null``.  These tests pin the
+emitted line against the FULL headline registry with pessimistic
+timing widths so the regression can never be silent again.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_line_under_budget_with_pessimistic_timings():
+    # 99.99 s per query is far beyond any observed sf0.1 timing
+    # (worst headline entry ever recorded: 6.5 s) — if the line fits
+    # with 5-char values for every registered headline query, any
+    # real run fits too.
+    timings = {name: 99.99 for name in bench.HEADLINE}
+    line = bench.render_record(
+        total=sum(timings.values()), timings=timings, sf=0.1, reps=2
+    )
+    assert len(line) < bench.LINE_BUDGET
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_queries_total"
+    assert rec["unit"] == "sec"
+    assert rec["extras"] == "scripts/bench_extras.json"
+    # Whatever was elided for space is accounted for: shown + omitted
+    # covers the whole registry, and anything shown is a real entry.
+    shown = rec["queries"]
+    assert len(shown) + rec.get("omitted", 0) == len(bench.HEADLINE)
+    assert set(shown) <= set(bench.HEADLINE)
+
+
+def test_line_parses_with_typical_timings():
+    timings = {name: 0.42 for name in bench.HEADLINE}
+    line = bench.render_record(
+        total=sum(timings.values()), timings=timings, sf=0.1, reps=2
+    )
+    assert len(line) < bench.LINE_BUDGET
+    rec = json.loads(line)
+    # At typical widths nothing should need eliding.
+    assert rec.get("omitted", 0) == 0
+    assert set(rec["queries"]) == set(bench.HEADLINE)
+
+
+def test_degrade_ladder_drops_fastest_first():
+    # Force eliding by inflating the registry: the dropped entries
+    # must be the fastest ones, keeping the slow (interesting)
+    # queries visible in the compact line.
+    timings = {f"synthetic_query_with_a_long_name_{i:03d}": float(i)
+               for i in range(120)}
+    line = bench.render_record(
+        total=sum(timings.values()), timings=timings, sf=0.1, reps=2
+    )
+    assert len(line) < bench.LINE_BUDGET
+    rec = json.loads(line)
+    assert rec["omitted"] > 0
+    shown_vals = sorted(rec["queries"].values())
+    # every shown value >= every omitted value
+    assert shown_vals[0] >= rec["omitted"] - 1
