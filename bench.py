@@ -129,6 +129,11 @@ HEADLINE = [
     # PNG — the last decode boundaries, closed
     "multimodal_jpeg_progressive_stats",
     "multimodal_png_interlaced_stats",
+    # round-10: image-CONTENT near-dup — perceptual dHash over real
+    # decoded pixels + Hamming-ball banding (pairs subsumes the hash
+    # kernel; both benched so the banding cost stays visible)
+    "dedup_image_phash",
+    "dedup_image_phash_pairs",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by

@@ -120,43 +120,23 @@ def winnow_fingerprints(df, id_col: str, text_col: str,
                         k: int = 5, w: int = 4):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
     local algorithm, public literature): hash every char k-gram of the
-    normalized text with the DuckDB-portable 60-bit hash, take the min
-    of each w-length sliding window of hashes → per-doc sorted distinct
-    fingerprint set. Returns (id_col, fps).
+    normalized text, take the min of each w-length sliding window of
+    hashes → per-doc sorted distinct fingerprint set. Returns
+    (id_col, fps).
 
-    The expensive k-gram md5 array is LET-BOUND via a higher-order
-    function — ``transform(array(<hash expr>), h -> <lattice over h>)``
-    — so every downstream reference (the w-1 shifted zip_with minima,
-    the size() bounds, the short-doc fallback) points at the lambda
-    variable, and the md5 transform appears EXACTLY ONCE in the
-    expression tree no matter how Catalyst collapses projections.
-    Earlier formulations (raw Column, then staged projections) were
-    both re-inlined by CollapseProject — measured 19 copies of the
-    md5 transform through this operator's explode+groupBy consumers,
-    ~19x the hashing cost. The let-binding is collapse-proof because
-    a lambda variable is a bound VALUE, not an expression: pinned by
-    tests/test_plan_audit.py::test_winnow_hashes_each_gram_once.
-    No cache, no checkpoint, no extra shuffle — still scan-local.
+    Rounds 5-9 computed this JVM-side (md5 + conv per k-gram through
+    a collapse-proof let-bound HOF). Correct, but the md5-per-char
+    constant was the repo's largest scale cost: at 100x data the
+    extraction stage was 82 s of an 82 s query. Round 10 moved the
+    hashing to the batched Arrow kernel in functions/winnow_fast.py —
+    a polynomial rolling hash (uint64 wraparound, 62-bit mask, so
+    values stay positive and BIGINT-portable) vectorized across the
+    WHOLE Arrow batch, with the per-doc distinct+sort done as one
+    global lexsort. Still scan-local: no shuffle, no cache, no
+    driver-side work; the DuckDB oracles re-derive the same hash
+    HUGEINT-side (see the winnow oracles in plans/extensions.py).
+    Short docs degrade exactly as before: < k chars → one gram (the
+    whole text); < w hashes → one window (min over all)."""
+    from .winnow_fast import winnow_fingerprints_fast
 
-    Window minima use the same shifted-zip_with trick as word_ngrams
-    (elementwise least against w-1 shifted copies — one codegen pass,
-    no slice-per-index). Docs shorter than k+w-1 chars degrade to a
-    single fingerprint: min over whatever hashes exist."""
-    hexpr = F.transform(char_ngrams(normalize_text(text_col), k),
-                        portable_hash64)
-
-    def _lattice(h):
-        n = F.size(h)
-        acc = h
-        for s in range(1, w):
-            shifted = F.slice(h, s + 1, F.greatest(n - s, F.lit(1)))
-            # zip_with pads with null; F.least skips nulls, which would
-            # leak partial-window minima — slice the tail off below.
-            acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
-        wins = F.when(n < w, F.array(F.array_min(h))).otherwise(
-            F.slice(acc, 1, F.greatest(n - (w - 1), F.lit(1)))
-        )
-        return F.array_sort(F.array_distinct(wins))
-
-    fps = F.get(F.transform(F.array(hexpr), _lattice), 0)
-    return df.select(id_col, fps.alias("fps"))
+    return winnow_fingerprints_fast(df, id_col, text_col, k=k, w=w)

@@ -448,7 +448,7 @@ def winnow_cross_pairs_prepared(c_fp: DataFrame, new_docs: DataFrame,
     ``c_fp`` is the exploded (doc_id, fp) relation read from
     operators/silver.winnow_fp_layout (``k``/``w`` must match the
     layout's — they parameterize only the batch side here).
-    Fingerprints are md5-derived and deterministic, so the prepared
+    Fingerprints are deterministic functions of the text, so the prepared
     probe is value-identical to the from-raw form; the corpus-side
     occupancy cap behaves identically because it counts the same
     (doc_id, fp) rows."""
@@ -1106,4 +1106,74 @@ def shared_run_pairs(docs: DataFrame, run_len: int = 35,
         )
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. image-content near-dup (round 10): Hamming-ball LSH over the
+#     56-bit perceptual dHash (operators/multimodal.image_dhash)
+# ---------------------------------------------------------------------------
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                         id_col: str = "doc_id",
+                         hash_col: str = "phash") -> DataFrame:
+    """Image near-dup pairs from perceptual hashes: band the 56-bit
+    dHash into 4 x 14-bit slices, bucket on (band, slice value), emit
+    pairs inside buckets (the winnow/LSH shape — one shuffle on the
+    band key, no self-join), then verify bit_count(xor) <= ``max_ham-
+    ming``. The banding is EXACT for the default radius, not
+    probabilistic: a pair within Hamming distance 3 differs in at
+    most 3 of the 4 bands (pigeonhole), so at least one band matches
+    and the pair is guaranteed to surface — which is why the oracle
+    can be the brute-force self-join and still hash-match. Radii
+    above n_bands-1 would make recall probabilistic; callers wanting
+    a wider ball should raise the band count to max_hamming+1.
+
+    Buckets are NOT capped: a bucket's size is bounded by the true
+    near-identical group size (plus 14-bit background collisions,
+    ~n/16384 per band), and unlike the winnow hub caps there is no
+    "boilerplate" regime to discard — identical tiny images ARE the
+    duplicate structure. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Null hashes (undecodable payloads) are dropped before banding."""
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_ph")
+    )
+    n_bands = max(4, max_hamming + 1)
+    width = 56 // n_bands
+    banded = h.select(
+        "_id", "_ph",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_ph"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+            )
+            for b in range(n_bands)
+        ])).alias("bk"),
+    )
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.array_sort(
+            F.collect_set(F.struct("_id", "_ph"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "b -> struct(a._id AS id_a, b._id AS id_b, "
+                "a._ph AS ph_a, b._ph AS ph_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.ph_a", "p.ph_b").distinct()
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )

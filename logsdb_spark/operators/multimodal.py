@@ -2368,3 +2368,78 @@ def resize_media(blobs: DataFrame, factor: int = 2) -> DataFrame:
         return payloads.map(one)
 
     return blobs.withColumn("payload", _resize(F.col("payload")))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (round 10): the pipeline endpoint the real
+# decoders enable — image-CONTENT near-dup evidence, format-agnostic.
+# ---------------------------------------------------------------------------
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def dhash56(pixels: bytes, w: int, h: int, nch: int = 1) -> int:
+    """56-bit difference hash over an 8x8 center-sampled luminance
+    grid — the classic dHash (public technique: compare adjacent
+    cells of a small resample, one bit per comparison), specified
+    here in EXACT integer arithmetic so a SQL oracle can recompute
+    it from the closed-form fixtures:
+
+      gray(y, x)  = sum(channels) // nch            (identity for 1ch)
+      rr[r]       = ((2r+1) * h) // 16,  r in 0..7  (row centers)
+      cc[c]       = ((2c+1) * w) // 16,  c in 0..7  (col centers)
+      bit(r, c)   = gray(rr[r], cc[c]) > gray(rr[r], cc[c+1]),
+                    c in 0..6
+      phash       = sum over set bits of 2^(r*7 + c)   (< 2^56)
+
+    Center SAMPLING (not box averaging) keeps every cell well-defined
+    for images smaller than the grid (w or h < 8 just resamples the
+    same pixels) and keeps the oracle a flat 64-term expression.
+    56 bits (8 rows x 7 horizontal diffs) stay strictly positive in a
+    signed BIGINT on every engine. Returns the hash as int."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w * nch)
+    if nch > 1:
+        arr = arr.reshape(h, w, nch).sum(axis=2, dtype=np.int64) // nch
+    rr = ((2 * np.arange(8) + 1) * h) // 16
+    cc = ((2 * np.arange(8) + 1) * w) // 16
+    g = arr[np.ix_(rr, cc)].astype(np.int64)
+    bits = (g[:, :7] > g[:, 1:]).astype(np.uint64).ravel()
+    return int((bits << np.arange(56, dtype=np.uint64)).sum())
+
+
+def image_dhash(blobs: DataFrame) -> DataFrame:
+    """(doc_id, phash) perceptual hashes for an image-blob relation —
+    format-SNIFFING: each payload is routed by magic bytes to the real
+    PNG / GIF / baseline+progressive-JPEG decoder and the decoded
+    display-order pixels feed dhash56, so the SAME content hashes to
+    the SAME value regardless of container (pinned by
+    tests/test_image_phash.py::test_cross_format_same_hash).
+    Undecodable payloads yield NULL. Arrow-batched mapInPandas, scan
+    local — the dedup shuffle happens downstream on the hash bands
+    (operators/dedup.phash_near_dup_pairs)."""
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                dec = None
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    dec = decode_png_pixels(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    dec = decode_gif_pixels(b)
+                elif b[:2] == b"\xff\xd8":
+                    dec = decode_jpeg_pixels(b)
+                if dec is None:
+                    out.append(None)
+                    continue
+                out.append(dhash56(
+                    dec["pixels"], dec["width"], dec["height"],
+                    dec.get("n_channels", 1),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": out})
+
+    return blobs.mapInPandas(hashes, IMAGE_DHASH_SCHEMA)

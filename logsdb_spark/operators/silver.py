@@ -500,7 +500,10 @@ def winnow_fp_layout(spark: SparkSession, sf_dir: str, k: int = 20,
     """The winnowing span-dedup INDEX as a materialized (doc_id, fp)
     parquet — the exploded inverted-index-ready form (one row per
     distinct fingerprint per doc), written once per documents mtime
-    (prefix ``wnidx1_<k>_<w>``). Fingerprints are md5-derived and
+    (prefix ``wnidx2_<k>_<w>`` — r10 bumped the prefix when the
+    hash family changed from per-gram md5 to the batched polynomial
+    rolling hash, so stale r9 layouts can never feed index queries).
+    Fingerprints are deterministic functions of the text, and
     deterministic, so index-fed span pipelines are value-identical to
     the in-plan winnow_fingerprints chain and share its oracle."""
     from pyspark.sql.types import LongType, StructField, StructType
@@ -524,7 +527,7 @@ def winnow_fp_layout(spark: SparkSession, sf_dir: str, k: int = 20,
         StructField("doc_id", LongType()),
         StructField("fp", LongType()),
     ])
-    return _blob_layout(spark, sf_dir, f"wnidx1_{k}_{w}", make, schema)
+    return _blob_layout(spark, sf_dir, f"wnidx2_{k}_{w}", make, schema)
 
 
 def kmeans_centroid_layout(spark: SparkSession, sf_dir: str, k: int = 16,

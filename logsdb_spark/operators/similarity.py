@@ -189,7 +189,8 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
                        n_centroids: int | None = None,
                        n_assign: int = 2,
                        target_cell_rows: int | None = None,
-                       verify: str = "hof") -> DataFrame:
+                       verify: str = "hof",
+                       prefilter: str = "blas") -> DataFrame:
     """IVF-blocked embedding near-dup: assign every vector to its
     ``n_assign`` nearest centroid cells (multi-assignment — the
     pair-generation analogue of query-side nprobe), emit candidate
@@ -228,28 +229,44 @@ def ivf_cell_near_dups(emb: DataFrame, threshold: float = 0.4,
     centroid-selection filter (not a driver-side ``count()`` at build
     time), so constructing this plan runs no job; pass an explicit
     ``n_centroids`` to pin it and let the centroid filter push down to
-    the scan instead."""
-    assigned = ivf_cell_assignments(
+    the scan instead.
+
+    ``prefilter="blas"`` (the default since round 10) scores every
+    intra-cell pair with one fp64 GEMM per cell and hands only the
+    survivors (answer + a conservative guard band — see
+    functions/arrow_kernels.cell_prefilter_pairs for the no-false-
+    negative derivation) to the exact ordered-fold verify, so the
+    final values are identical to ``prefilter="none"`` (the r5-r9
+    candidate-equi-join shape, kept for A/B) while candidate-volume
+    work never reaches the join machinery."""
+    full_assigned = ivf_cell_assignments(
         emb, n_centroids=n_centroids, n_assign=n_assign,
         target_cell_rows=target_cell_rows,
-    ).select("vec_id", "cell")
-    # Intra-cell pair generation by cell-keyed EQUI-join, not the
-    # collect_list pair-emit the LSH dedup uses: LSH buckets are
-    # bounded by true dup-group size, but an IVF cell holds
-    # ~corpus/n_centroids vectors — collecting one and emitting k²/2
-    # pair structs in a single row would concentrate a cell's whole
-    # quadratic output in one task's one row. The equi-join shuffles
-    # on the same cell key but streams the pair space through normal
-    # join machinery (AQE can split a skewed cell). A pair sharing
-    # both assigned cells is folded by the distinct.
-    a_ids = assigned.select("cell", F.col("vec_id").alias("id_a"))
-    b_ids = assigned.select("cell", F.col("vec_id").alias("id_b"))
-    cands = (
-        a_ids.join(b_ids, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
     )
+    if prefilter == "blas":
+        from ..functions.arrow_kernels import cell_prefilter_pairs
+
+        cands = cell_prefilter_pairs(full_assigned, threshold)
+    else:
+        assigned = full_assigned.select("vec_id", "cell")
+        # Intra-cell pair generation by cell-keyed EQUI-join, not the
+        # collect_list pair-emit the LSH dedup uses: LSH buckets are
+        # bounded by true dup-group size, but an IVF cell holds
+        # ~corpus/n_centroids vectors — collecting one and emitting
+        # k²/2 pair structs in a single row would concentrate a
+        # cell's whole quadratic output in one task's one row. The
+        # equi-join shuffles on the same cell key but streams the
+        # pair space through normal join machinery (AQE can split a
+        # skewed cell). A pair sharing both assigned cells is folded
+        # by the distinct.
+        a_ids = assigned.select("cell", F.col("vec_id").alias("id_a"))
+        b_ids = assigned.select("cell", F.col("vec_id").alias("id_b"))
+        cands = (
+            a_ids.join(b_ids, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     a = _with_norm(
         emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
         "va", "_na",
@@ -382,26 +399,38 @@ def ivf_cell_assignments(emb: DataFrame, n_centroids: int | None = None,
 
 def ivf_near_dups_prepared(idx: DataFrame, threshold: float = 0.85,
                            verify: str = "hof",
-                           est_candidates: int | None = None) -> DataFrame:
+                           est_candidates: int | None = None,
+                           prefilter: str = "blas") -> DataFrame:
     """ivf_cell_near_dups DOWNSTREAM of the assignment index: ``idx``
     is the (vec_id, cell, rk, embedding, nrm) relation — read from the
-    materialized ivf_assign_layout or built in-plan. Candidate pairs
-    come from the (vec_id, cell) projection (cell-keyed equi-join,
-    identical to the in-plan form); the exact-cosine verify sides read
-    the UNIQUE rk=0 rows, whose precomputed norms round-trip parquet
-    bit-exactly, so this shares the in-plan form's oracle.
-    ``est_candidates`` (rows x cell size / 2, derivable from the
-    layout's parquet footers) sizes the verify stage's width — see
-    _verify_cosine_pairs."""
-    assigned = idx.select("vec_id", "cell")
-    a_ids = assigned.select("cell", F.col("vec_id").alias("id_a"))
-    b_ids = assigned.select("cell", F.col("vec_id").alias("id_b"))
-    cands = (
-        a_ids.join(b_ids, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    materialized ivf_assign_layout or built in-plan. With
+    ``prefilter="blas"`` (default, round 10) the index rows group by
+    cell straight into the GEMM prefilter (vectors + norms ride in
+    the layout, so no join precedes it) and only the survivor pairs
+    reach the exact verify; ``prefilter="none"`` keeps the r8-r9
+    candidate-equi-join shape. Either way the exact-cosine verify
+    sides read the UNIQUE rk=0 rows, whose precomputed norms
+    round-trip parquet bit-exactly, so this shares the in-plan form's
+    oracle. ``est_candidates`` (rows x cell size / 2, derivable from
+    the layout's parquet footers) sizes the verify stage's width — see
+    _verify_cosine_pairs (with the prefilter the survivor set is
+    ~answer-sized, so the volume-scaled width matters only for the
+    "none" shape)."""
+    if prefilter == "blas":
+        from ..functions.arrow_kernels import cell_prefilter_pairs
+
+        cands = cell_prefilter_pairs(idx, threshold)
+        est_candidates = None
+    else:
+        assigned = idx.select("vec_id", "cell")
+        a_ids = assigned.select("cell", F.col("vec_id").alias("id_a"))
+        b_ids = assigned.select("cell", F.col("vec_id").alias("id_b"))
+        cands = (
+            a_ids.join(b_ids, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     uniq = idx.filter(F.col("rk") == 0)
     a = uniq.select(
         F.col("vec_id").alias("id_a"),

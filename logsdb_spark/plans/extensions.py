@@ -965,7 +965,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(
                list_transform(range(1, GREATEST(len(t) - 18, 2)),
                               i -> substr(t, i, 20)),
-               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+               g -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+               % 4611686018427387904::HUGEINT AS BIGINT)
              ) AS hs
       FROM wnorm
     ),
@@ -3073,7 +3076,10 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
              list_transform(
                list_transform(range(1, GREATEST(len(t) - 3, 2)),
                               i -> substr(t, i, 5)),
-               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+               g -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+               % 4611686018427387904::HUGEINT AS BIGINT)
              ) AS hs
       FROM norm
     ),
@@ -3095,12 +3101,15 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
 )
 def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=5 char-grams, w=4 windows) with the
-    DuckDB-portable md5-based hash; output is the fingerprint-set size,
+    DuckDB-portable polynomial rolling hash (functions/winnow_fast.py,
+    re-derived HUGEINT-side in the oracle); output is the fingerprint-set size,
     min, and xor-checksum per doc (order-insensitive set equality
-    without comparing raw arrays)."""
+    without comparing raw arrays). Widened scan: the Arrow kernel's
+    parallelism is the partition count, and a small parquet is 1-4
+    splits (no-op at scale, see operators/scale.py)."""
     from ..functions.text import winnow_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _widened(spark, sf_dir, "documents")
     fps_df = winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
     fps = F.col("fps")
     xor_all = F.aggregate(
@@ -5338,7 +5347,10 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(
                list_transform(range(1, GREATEST(len(t) - 18, 2)),
                               i -> substr(t, i, 20)),
-               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+               g -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+               % 4611686018427387904::HUGEINT AS BIGINT)
              ) AS hs
       FROM norm
     ),
@@ -5383,30 +5395,30 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs share ~70-120 fingerprints here, background pairs 1).
 
     Scale shape (same as every LSH dedup here): fingerprints are
-    computed scan-locally (staged HOF arrays, no shuffle), the ONLY
-    corpus-keyed shuffle is the fingerprint-bucket groupBy, pairs are
-    emitted inside buckets (no self-join; plan-audit clean), and hub
+    computed scan-locally (the batched Arrow rolling-hash kernel,
+    functions/winnow_fast.py — no shuffle), the ONLY corpus-keyed
+    shuffle is the fingerprint-bucket groupBy, pairs are emitted
+    inside buckets (no self-join; plan-audit clean), and hub
     fingerprints (> 32 docs — boilerplate so common it stops being a
     dedup signal) are dropped on BOTH engines, bounding bucket
-    fan-out. The oracle reproduces the md5-based hashes, the winnow
-    lattice, the bucket cap, and the pair counts exactly."""
+    fan-out. The oracle reproduces the polynomial k-gram hashes
+    HUGEINT-side, the winnow lattice, the bucket cap, and the pair
+    counts exactly."""
     from ..functions.text import winnow_fingerprints
 
-    # widening: the md5 k-gram stage is CPU-bound; a small parquet
+    # widening: the k-gram hash stage is CPU-bound; a small parquet
     # scan is 1-4 splits, which would serialize it. No-op at scale
     # (see operators/scale.py docstring).
     docs = _widened(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, "doc_id", "text", k=20, w=8)
-    # explode_OUTER + null filter, not plain explode: the inner explode
-    # triggers InferFiltersFromGenerate, whose size(fps)>0/isnotnull
-    # predicates get pushed through the projection with the WHOLE
-    # fingerprint expression substituted in — 2 extra evaluations of
-    # the md5 k-gram array per row (3x total; measured 7.4s vs 2.5s at
-    # sf0.01). The outer generate skips that rule; fps is never empty
-    # by construction (short docs degrade to one fingerprint), so only
-    # null-text rows survive as null fps — dropped by the cheap
-    # column-level filter below. Plan pin:
-    # tests/test_plan_audit.py::test_winnow_hashes_each_gram_once.
+    # explode_OUTER + null filter (not plain explode), kept from the
+    # JVM-expression era: fps is never empty by construction (short
+    # docs degrade to one fingerprint), so only null-text rows survive
+    # as null fps — dropped by the cheap column-level filter below.
+    # The kernel output is a materialized relation, so the old
+    # InferFiltersFromGenerate re-evaluation hazard is gone either
+    # way; plan pin: tests/test_plan_audit.py::
+    # test_winnow_kernel_runs_once.
     ex = (
         fps.select("doc_id", F.explode_outer("fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
@@ -5472,7 +5484,10 @@ def dedup_substring_winnow_indexed(spark: SparkSession, sf_dir: str) -> DataFram
              list_transform(
                list_transform(range(1, GREATEST(len(t) - 18, 2)),
                               i -> substr(t, i, 20)),
-               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+               g -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+               % 4611686018427387904::HUGEINT AS BIGINT)
              ) AS hs
       FROM norm
     ),
@@ -5586,7 +5601,10 @@ def dedup_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(
                list_transform(range(1, GREATEST(len(t) - 18, 2)),
                               i -> substr(t, i, 20)),
-               g -> CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT) AS BIGINT)
+               g -> CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+                 (a, b) -> (a * 1000003 + b) % 18446744073709551616::HUGEINT)
+               % 4611686018427387904::HUGEINT AS BIGINT)
              ) AS hs
       FROM wnorm
     ),
@@ -5747,4 +5765,115 @@ def gate_substring_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_truth",
         (F.col("_hits") >= 0.9 * F.col("n_truth")).alias("recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-content near-dup (round 10): perceptual dHash over REAL
+# decoded pixels — the pipeline endpoint the r5-r9 decoders enable
+# ---------------------------------------------------------------------------
+
+# The closed-form dHash the fixtures admit: PNG pixels are the doc's
+# utf-8 bytes cycled over w*h (build_png), so the 8x8 center-sampled
+# grid cell (r, c) is byte ((rr*w + cc) % L) of the text, and every
+# hash bit is a flat comparison the oracle states directly. Shared by
+# both image-phash oracles below.
+_PHASH_SQL = """
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 48 + 1 AS BIGINT) AS h,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id, w, h, L,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+                            i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+      FROM d
+    ),
+    ph AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 56), b ->
+          CASE WHEN
+            bs[CAST((((((2*(b//7)+1)*h)//16) * w + (((2*(b%7)+1)*w)//16)) % L)
+                 AS INTEGER) + 1]
+            >
+            bs[CAST((((((2*(b//7)+1)*h)//16) * w + (((2*(b%7)+3)*w)//16)) % L)
+                 AS INTEGER) + 1]
+          THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      FROM s
+    )
+"""
+
+
+@register(
+    "dedup_image_phash",
+    oracle=_PHASH_SQL + """
+    SELECT doc_id, phash FROM ph ORDER BY doc_id
+    """,
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes for the PNG blob corpus, hash-gated end
+    to end: the materialized blobs are DECODED (zlib IDAT + filter
+    reversal) and the 56-bit center-sampled dHash
+    (operators/multimodal.dhash56 — exact integer spec in its
+    docstring) is computed from the decoded pixels, while the DuckDB
+    oracle recomputes every hash bit straight from the document text
+    (build_png cycles the utf-8 bytes into the pixel stream). A
+    decoder or hasher that misreads any pixel the grid samples
+    hash-mismatches. Scale shape: one widened layout scan → one Arrow
+    kernel, no shuffle until the presentation sort; the near-dup
+    banding consumes these hashes downstream
+    (dedup_image_phash_pairs). Reference has no analogue — §2.12
+    extension scope (LLM-pipeline image dedup)."""
+    from ..operators.multimodal import image_dhash
+    from ..operators.silver import media_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir,
+        media_blob_layout(spark, sf_dir)
+        .filter((F.col("doc_id") % 2 == 0) & (F.col("text_len") > 0))
+        .select("doc_id", "payload"),
+        "media_png_ph",
+    )
+    return image_dhash(blobs).orderBy("doc_id")
+
+
+@register(
+    "dedup_image_phash_pairs",
+    oracle=_PHASH_SQL + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-content near-dup pairs: dHash the PNG corpus, band the
+    hashes 4 x 14 bits, bucket-join, verify Hamming <= 3
+    (operators/dedup.phash_near_dup_pairs — the banding is EXACT for
+    radius 3 by pigeonhole, which is why the brute-force oracle
+    hash-matches the banded distributed plan instead of merely
+    bounding its recall). The surviving pairs at this radius are the
+    corpus's genuinely near-identical images — dominated by the tiny-
+    dimension fixtures whose sampled grids coincide; planted
+    perturbed-twin recall is pinned separately in
+    tests/test_image_phash.py. Scale shape: scan-local hashing, ONE
+    shuffle on the band key, in-bucket pair emit, no self-join."""
+    from ..operators.dedup import phash_near_dup_pairs
+    from ..operators.multimodal import image_dhash
+    from ..operators.silver import media_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir,
+        media_blob_layout(spark, sf_dir)
+        .filter((F.col("doc_id") % 2 == 0) & (F.col("text_len") > 0))
+        .select("doc_id", "payload"),
+        "media_png_ph",
+    )
+    return phash_near_dup_pairs(image_dhash(blobs), max_hamming=3).orderBy(
+        "id_a", "id_b"
     )

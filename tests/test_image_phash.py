@@ -1,0 +1,130 @@
+"""Perceptual image-hash dedup (round 10): planted near-identical
+image recall, cross-format hash invariance, and the Hamming-ball
+banding guarantee."""
+
+from __future__ import annotations
+
+import random
+
+from logsdb_spark.operators.dedup import phash_near_dup_pairs
+from logsdb_spark.operators.multimodal import (
+    build_gif,
+    build_png,
+    decode_png_pixels,
+    dhash56,
+    image_dhash,
+)
+
+
+def _image(w: int, h: int, seed: int) -> bytes:
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(w * h))
+
+
+def _perturb(px: bytes, w: int, h: int, n_cells: int, seed: int) -> bytes:
+    """Flip the luminance of ``n_cells`` pixels that the dHash grid
+    actually samples — the worst case for the hash (a perturbation
+    off the sampled lattice flips zero bits)."""
+    rng = random.Random(seed)
+    out = bytearray(px)
+    rr = [((2 * r + 1) * h) // 16 for r in range(8)]
+    cc = [((2 * c + 1) * w) // 16 for c in range(8)]
+    spots = sorted({(r, c) for r in rr for c in cc})
+    for r, c in rng.sample(spots, min(n_cells, len(spots))):
+        out[r * w + c] = 255 - out[r * w + c]
+    return bytes(out)
+
+
+def test_planted_twin_recall(spark):
+    """Every planted perturbed twin (<= 2 sampled-cell flips, each
+    flipping at most 2 hash bits -> Hamming <= 4... bounded by radius
+    via n_cells=1, Hamming <= 2 <= 3) must surface as a pair; distinct
+    random images must not."""
+    w, h = 40, 32
+    rows = []
+    for i in range(30):
+        base = _image(w, h, seed=i)
+        rows.append((2 * i, build_png(w, h, base)))
+        # twin: one sampled cell flipped -> at most 2 dHash bits move
+        rows.append((2 * i + 1,
+                     build_png(w, h, _perturb(base, w, h, 1, seed=100 + i))))
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.id_a, r.id_b)
+             for r in phash_near_dup_pairs(image_dhash(blobs),
+                                           max_hamming=3).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    missed = planted - pairs
+    assert not missed, f"planted twins missed: {sorted(missed)[:5]}"
+    # distinct random 40x32 images: expected Hamming ~28; none within 3
+    strangers = {p for p in pairs if p not in planted}
+    assert not strangers, f"false pairs: {sorted(strangers)[:5]}"
+
+
+def test_cross_format_same_hash(spark):
+    """The SAME content in a PNG and a GIF container must produce the
+    SAME perceptual hash (both builders cycle content into identical
+    display-order pixel streams; the hash is over decoded pixels, not
+    container bytes)."""
+    w, h = 25, 13
+    content = _image(w, h, seed=7)
+    blobs = spark.createDataFrame(
+        [(0, build_png(w, h, content)), (1, build_gif(w, h, content)),
+         (2, build_gif(w, h, content, interlaced=True))],
+        "doc_id long, payload binary",
+    )
+    hashes = {r.doc_id: r.phash for r in image_dhash(blobs).collect()}
+    assert hashes[0] == hashes[1] == hashes[2]
+    assert hashes[0] is not None
+
+
+def test_banding_exact_at_radius_3(spark):
+    """Pigeonhole guarantee: with 4 bands, EVERY pair within Hamming 3
+    shares a band. Construct hashes at controlled distances straight
+    through tiny images and compare the banded pipeline against the
+    brute-force pair set."""
+    base = _image(16, 16, seed=42)
+    variants = [base]
+    for k in (1, 2, 3):  # k sampled cells flipped
+        variants.append(_perturb(base, 16, 16, k, seed=k))
+    blobs = spark.createDataFrame(
+        [(i, build_png(16, 16, v)) for i, v in enumerate(variants)],
+        "doc_id long, payload binary",
+    )
+    hashes = {r.doc_id: r.phash for r in image_dhash(blobs).collect()}
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in phash_near_dup_pairs(image_dhash(blobs),
+                                         max_hamming=3).collect()}
+    want = set()
+    ids = sorted(hashes)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(hashes[i] ^ hashes[j]).count("1")
+                if d <= 3:
+                    want.add((i, j, d))
+    assert got == want
+
+
+def test_dhash_undecodable_yields_null(spark):
+    blobs = spark.createDataFrame(
+        [(0, b"not an image"), (1, build_png(8, 8, _image(8, 8, 1)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.phash for r in image_dhash(blobs).collect()}
+    assert rows[0] is None and rows[1] is not None
+    # and the pair operator drops the null instead of failing
+    assert phash_near_dup_pairs(image_dhash(blobs)).count() == 0
+
+
+def test_dhash_rgb_luminance():
+    """3-channel pixels hash via integer mean luminance — an RGB gray
+    image equals its grayscale twin."""
+    w, h = 20, 12
+    gray = _image(w, h, seed=3)
+    rgb = bytes(v for g in gray for v in (g, g, g))
+    assert dhash56(rgb, w, h, 3) == dhash56(gray, w, h, 1)
+    png_rgb = build_png(w, h, rgb, n_channels=3)
+    dec = decode_png_pixels(png_rgb)
+    assert dhash56(dec["pixels"], w, h, dec["n_channels"]) == dhash56(
+        gray, w, h, 1
+    )

@@ -106,18 +106,13 @@ def test_windowed_scan_pushes_time_predicate(spark):
     assert "GreaterThanOrEqual(ts," in silver_scans[0], silver_scans[0]
 
 
-def test_winnow_hashes_each_gram_once(spark):
-    """dedup_substring_winnow must hash each k-gram EXACTLY once: the
-    md5 k-gram transform appears a single time in the optimized plan.
-    Two regressions are pinned down here, both measured (26 s for 500
-    docs vs 2.5 s fixed):
-    - CollapseProject re-inlining the staged hash projection into the
-      w=8 zip_with lattice (19 copies) — prevented by the HOF
-      let-binding in functions/text.winnow_fingerprints;
-    - InferFiltersFromGenerate + predicate pushdown substituting the
-      whole fingerprint expression into a size()/isnotnull Filter
-      below the explode (2 extra copies) — prevented by the
-      explode_outer + null-filter form in the query body."""
+def test_winnow_kernel_runs_once(spark):
+    """dedup_substring_winnow must fingerprint each document EXACTLY
+    once: the Arrow winnow kernel (functions/winnow_fast.py, a
+    MapInPandas node) appears a single time in the optimized plan and
+    no per-gram JVM digest (md5/conv lattice — the r5-r9 formulation
+    whose CollapseProject/InferFiltersFromGenerate re-inlining was
+    measured at up to 19x the hashing cost) remains anywhere in it."""
     plan = (
         REGISTRY["dedup_substring_winnow"]
         .spark_fn(spark, SF_DIR)
@@ -125,9 +120,10 @@ def test_winnow_hashes_each_gram_once(spark):
         .optimizedPlan()
         .toString()
     )
-    assert plan.count("md5") == 1, (
-        f"md5 k-gram transform duplicated {plan.count('md5')}x:\n{plan}"
+    assert plan.count("MapInPandas") == 1, (
+        f"winnow kernel duplicated {plan.count('MapInPandas')}x:\n{plan}"
     )
+    assert "md5" not in plan, f"stale JVM digest path in plan:\n{plan}"
 
 
 def test_anchor_memoized_per_session_and_dir(spark):

@@ -721,14 +721,14 @@ def test_dedup_index_layouts_match_inplan_and_evict_stale(spark, tmp_path):
             if d.startswith(f"{prefix}_{digest}_") and ".tmp." not in d
         )
 
-    before = (dirs("mhidx1"), dirs("wnidx1_20_8"))
+    before = (dirs("mhidx1"), dirs("wnidx2_20_8"))
     assert all(len(b) == 1 for b in before)
     st = os.stat(os.path.join(sfd, "documents.parquet"))
     os.utime(os.path.join(sfd, "documents.parquet"),
              ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     minhash_index_layout(spark, sfd).count()
     winnow_fp_layout(spark, sfd).count()
-    after = (dirs("mhidx1"), dirs("wnidx1_20_8"))
+    after = (dirs("mhidx1"), dirs("wnidx2_20_8"))
     assert all(len(a) == 1 for a in after) and after != before
 
 
