@@ -98,7 +98,8 @@ def _perm_consts(p: int) -> tuple[int, int]:
 
 
 def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM,
-                       keep_shingles: bool = False) -> DataFrame:
+                       keep_shingles: bool = False,
+                       engine: str = "jvm") -> DataFrame:
     """MinHash signature per doc with ZERO shuffle: hash each shingle
     once (projected column → computed once, reused by all perms), then
     one ``array_min(transform(...))`` per permutation — the whole
@@ -109,7 +110,20 @@ def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM,
     The permutation constants are DATA (a literal array of structs),
     not 32 unrolled expression subtrees: one nested transform keeps the
     Catalyst tree O(1) in n_perm — planning + Janino compile time was
-    the dominant cost of the unrolled form at bench scale."""
+    the dominant cost of the unrolled form at bench scale.
+
+    ``engine`` picks where the permute-and-min runs; values are
+    INTEGER-IDENTICAL either way (parity-pinned), the choice is pure
+    physics, measured both ways in round 10:
+    - "jvm" (default): interpreted HOF fold, right for corpus-wide
+      scans whose many splits saturate the cores (100x probe: 10.3 s
+      JVM vs 13.6 s arrow — Arrow-shipping the hash arrays costs more
+      than the fold saves; same trade dot_arrow documents).
+    - "arrow": the numpy kernel (functions/minhash_fast.py), right
+      for 1-4-partition inputs — streaming micro-batches and
+      incremental shards — where the interpreted fold runs serially
+      (measured: 38 s for a 5,000-row from-raw probe batch vs ~4 s
+      through the kernel, which is vectorized per core)."""
     hashed = shingled.select(
         "doc_id",
         "shingles",
@@ -117,6 +131,16 @@ def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM,
             "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(_M31))
         ).alias("h31"),
     )
+    if engine == "arrow":
+        from ..functions.minhash_fast import minhash_sigs_fast
+
+        consts = [_perm_consts(p) for p in range(n_perm)]
+        if not keep_shingles:
+            hashed = hashed.select("doc_id", "h31")
+        return minhash_sigs_fast(
+            hashed, [a for a, _ in consts], [b for _, b in consts],
+            keep_shingles,
+        )
     consts = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -367,7 +391,8 @@ def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
     # time) — the stored-index path avoids this for free because its
     # sig/shingles are plain parquet columns
     return _minhash_cross_verify(
-        minhash_signatures(c_sh), c_sh, minhash_signatures(n_sh), n_sh,
+        minhash_signatures(c_sh, engine="arrow"), c_sh,
+        minhash_signatures(n_sh, engine="arrow"), n_sh,
         threshold,
     )
 
@@ -436,7 +461,7 @@ def minhash_cross_pairs_prepared(c_idx: DataFrame, new_docs: DataFrame,
     tests/test_streaming.py); per batch the corpus side is a pure
     scan+probe — no shingling, hashing, or signature folds."""
     n_sh = shingle_sets(new_docs, text_col).persist()
-    n_sig = minhash_signatures(n_sh)
+    n_sig = minhash_signatures(n_sh, engine="arrow")
     return _minhash_cross_verify(c_idx, c_idx, n_sig, n_sh, threshold)
 
 
@@ -1177,3 +1202,100 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. streaming ensemble probe, steady state (round 10): corpus-side
+#     derivations hoisted out of the per-batch plan and persisted once
+# ---------------------------------------------------------------------------
+
+def prepare_ensemble_corpus_state(c_mh_idx: DataFrame,
+                                  c_fp_idx: DataFrame,
+                                  max_fp_corpus: int = 32,
+                                  persist: bool = True):
+    """One-time corpus-side state for the streaming ensemble probe:
+    everything in ensemble_near_dups_prepared's plan that does NOT
+    depend on the arriving batch — the banded MinHash keys, the
+    (corpus_id, shingles) verify side, and the hub-capped winnow
+    fingerprint rows (the distinct + occupancy groupBy, the two
+    corpus-wide shuffles the r9 probe re-ran every micro-batch).
+    Returns (c_banded, c_shingles, c_fp_capped), persisted so batch
+    N>1 reads executor memory instead of re-deriving; call
+    ``.unpersist()`` on each when the stream stops. Derivations are
+    identical expressions to the per-batch form, so
+    ensemble_near_dups_from_state is value-identical to
+    ensemble_near_dups_prepared (parity-pinned in
+    tests/test_streaming.py)."""
+    c_banded = _banded_keys(c_mh_idx, "corpus_id")
+    c_sh = c_mh_idx.select(F.col("doc_id").alias("corpus_id"),
+                           F.col("shingles").alias("sh_a"))
+    c_rows = c_fp_idx.select(
+        F.col("doc_id").alias("corpus_id"), "fp"
+    ).distinct()
+    ok = (
+        c_rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_fp_corpus)
+        .select("fp")
+    )
+    c_fp_capped = c_rows.join(ok, "fp")
+    state = (c_banded, c_sh, c_fp_capped)
+    if persist:
+        for df in state:
+            df.persist()
+    return state
+
+
+def ensemble_near_dups_from_state(state, new_docs: DataFrame,
+                                  text_col: str = "text",
+                                  threshold: float = 0.6,
+                                  k: int = 20, w: int = 8,
+                                  min_shared: int = 2) -> DataFrame:
+    """The per-micro-batch half of the ensemble probe against a
+    prepared corpus state: only the BATCH side computes (shingles,
+    signatures, winnow fingerprints — all scan-local on the arriving
+    rows), every corpus-side frame is a cached scan, and each join
+    broadcasts its small side so no cached frame reshuffles. Same
+    output as ensemble_near_dups_prepared(c_mh_idx, c_fp_idx, ...)
+    whose corpus inputs produced ``state``."""
+    c_banded, c_sh, c_fp_capped = state
+
+    n_sh = shingle_sets(new_docs, text_col)
+    n_sig = minhash_signatures(n_sh, engine="arrow")
+    cands = (
+        c_banded.join(F.broadcast(_banded_keys(n_sig, "new_id")),
+                      ["band_idx", "band_hash"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    nb = n_sh.select(F.col("doc_id").alias("new_id"),
+                     F.col("shingles").alias("sh_b"))
+    mh = (
+        c_sh.join(F.broadcast(cands), "corpus_id")
+        .join(F.broadcast(nb), "new_id")
+        .select(
+            "corpus_id",
+            "new_id",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("corpus_id", "new_id")
+    )
+
+    from ..functions.text import winnow_fingerprints
+
+    n_rows = (
+        winnow_fingerprints(new_docs, "doc_id", text_col, k=k, w=w)
+        .select(F.col("doc_id").alias("new_id"),
+                F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    wn = (
+        c_fp_capped.join(F.broadcast(n_rows), "fp")
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+        .select("corpus_id", "new_id")
+    )
+    return mh.unionByName(wn).distinct()

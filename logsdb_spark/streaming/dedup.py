@@ -161,7 +161,16 @@ def start_ensemble_stream(
     the probe in its production steady state: the corpus evidence
     sides become pure stored-state scans instead of per-batch
     normalize/tokenize/hash chains (round 9; value-identical,
-    parity-pinned)."""
+    parity-pinned). Round 10 hoists the batch-INVARIANT halves of
+    that plan out of the per-batch loop entirely: the banded corpus
+    keys, the shingle verify side, and the hub-capped fingerprint
+    rows are derived ONCE at stream start and persisted
+    (operators/dedup.prepare_ensemble_corpus_state), so a micro-batch
+    runs only batch-side scan-local compute + broadcast probes
+    against cached frames — the r9 probe re-ran two corpus-wide
+    shuffles (fp distinct + occupancy groupBy) every batch. The
+    cached state lives for the stream's lifetime; long-lived callers
+    can ``.unpersist()`` the three frames after stopping."""
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -169,9 +178,15 @@ def start_ensemble_stream(
 
     sink = os.path.join(out_dir, "ensemble_flags")
 
+    state = None
+    if indexes is not None:
+        from ..operators.dedup import prepare_ensemble_corpus_state
+
+        state = prepare_ensemble_corpus_state(indexes[0], indexes[1])
+
     def probe(batch: DataFrame, batch_id: int) -> None:
         _write_ensemble_batch(corpus, batch, batch_id, sink, threshold,
-                              indexes=indexes)
+                              state=state)
 
     return (
         stream.writeStream.foreachBatch(probe)
@@ -184,20 +199,20 @@ def start_ensemble_stream(
 def _write_ensemble_batch(corpus: DataFrame, batch: DataFrame,
                           batch_id: int, sink: str,
                           threshold: float,
-                          indexes: tuple[DataFrame, DataFrame] | None
-                          = None) -> None:
+                          state=None) -> None:
     """Idempotent per-batch write of the two-signal probe (same
-    contract as _write_probe_batch). With ``indexes`` the corpus
-    evidence reads the stored columnar state (see
+    contract as _write_probe_batch). With ``state`` (the persisted
+    corpus derivations from prepare_ensemble_corpus_state) the batch
+    plan is only batch-side compute + broadcast probes (see
     start_ensemble_stream)."""
     from ..operators.dedup import (
+        ensemble_near_dups_from_state,
         ensemble_near_dups_incremental,
-        ensemble_near_dups_prepared,
     )
 
-    if indexes is not None:
-        flags = ensemble_near_dups_prepared(
-            indexes[0], indexes[1], batch, threshold=threshold
+    if state is not None:
+        flags = ensemble_near_dups_from_state(
+            state, batch, threshold=threshold
         )
     else:
         flags = ensemble_near_dups_incremental(

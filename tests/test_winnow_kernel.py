@@ -65,3 +65,36 @@ def test_spark_operator_roundtrip(spark):
                                          k=20, w=8).collect()}
     for i, t in enumerate(texts):
         assert rows[i] == winnow_fps_py(t, 20, 8), repr(t)[:60]
+
+
+def test_minhash_kernel_matches_jvm(spark):
+    """minhash_signatures(engine="arrow") must be INTEGER-IDENTICAL
+    to the default JVM fold, including the null/empty-shingle
+    degenerations — which engine runs is pure physics (see the
+    operator docstring), never visible in values."""
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = shingle_sets(docs)
+    for ks in (False, True):
+        a = sorted((r.doc_id, tuple(r.sig))
+                   for r in minhash_signatures(
+                       sh, keep_shingles=ks, engine="arrow").collect())
+        b = sorted((r.doc_id, tuple(r.sig))
+                   for r in minhash_signatures(
+                       sh, keep_shingles=ks, engine="jvm").collect())
+        assert a == b and a
+
+    edge = spark.createDataFrame(
+        [(0, None), (1, []), (2, ["x"]), (3, ["a", "b", "a"])],
+        "doc_id long, shingles array<string>",
+    )
+    a = {r.doc_id: r.sig
+         for r in minhash_signatures(edge, engine="arrow").collect()}
+    b = {r.doc_id: r.sig
+         for r in minhash_signatures(edge, engine="jvm").collect()}
+    assert a == b
