@@ -134,6 +134,7 @@ HEADLINE = [
     # kernel; both benched so the banding cost stays visible)
     "dedup_image_phash",
     "dedup_image_phash_pairs",
+    "dedup_image_phash_keep",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -579,32 +580,41 @@ def render_record(total: float, timings: dict[str, float], sf: float,
 
     Degrade ladder (full detail is always in scripts/bench_extras.json):
       1. all queries, 2-decimal values, compact separators;
-      2. if still over budget, drop the FASTEST queries from the line
+      2. drop the "reps" key (the sidecar carries it);
+      3. drop the "extras" pointer (the sidecar path is pinned in this
+         module's docstring and README either way);
+      4. if still over budget, drop the FASTEST queries from the line
          one at a time (they stay in the sidecar), recording how many
          were elided under "omitted".
     """
-    def line_for(qs: dict[str, float], omitted: int) -> str:
+    def line_for(qs: dict[str, float], omitted: int, rung: int) -> str:
         rec = {
             "metric": "headline_queries_total",
             "value": round(total, 2),
             "unit": "sec",
             "sf": sf,
-            "reps": reps,
             "queries": {k: round(v, 2) for k, v in qs.items()},
-            "extras": "scripts/bench_extras.json",
         }
+        if rung < 1:
+            rec["reps"] = reps
+        if rung < 2:
+            rec["extras"] = "scripts/bench_extras.json"
         if omitted:
             rec["omitted"] = omitted
         return json.dumps(rec, separators=(",", ":"))
 
     shown = dict(timings)
     omitted = 0
-    line = line_for(shown, omitted)
+    rung = 0
+    line = line_for(shown, omitted, rung)
+    while len(line) >= LINE_BUDGET and rung < 2:
+        rung += 1
+        line = line_for(shown, omitted, rung)
     by_speed = sorted(timings, key=lambda k: (timings[k], k))
     while len(line) >= LINE_BUDGET and shown:
         shown.pop(by_speed[omitted])
         omitted += 1
-        line = line_for(shown, omitted)
+        line = line_for(shown, omitted, rung)
     assert len(line) < LINE_BUDGET, (
         f"bench record {len(line)}B exceeds {LINE_BUDGET}B even empty")
     return line

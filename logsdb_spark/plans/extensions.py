@@ -5877,3 +5877,80 @@ def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(image_dhash(blobs), max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "dedup_image_phash_keep",
+    oracle=_PHASH_SQL.replace("WITH d AS", "WITH RECURSIVE d AS", 1) + """
+    ,
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+      FROM reach GROUP BY u
+    )
+    SELECT p.doc_id,
+           COALESCE(c.cluster, p.doc_id) AS cluster,
+           (COALESCE(c.cluster, p.doc_id) = p.doc_id) AS keep
+    FROM ph p LEFT JOIN comp c ON c.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def dedup_image_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of the image dedup — the pipeline endpoint
+    a training-data curator runs: perceptual-hash pair evidence
+    (dedup_image_phash_pairs' banded Hamming ball) resolved into
+    connected components, every image labeled with its
+    component-minimum representative and a keep/drop boolean,
+    singletons keeping themselves — the exact shape of
+    dedup_substring_keep, sharing its iterative min-label-propagation
+    operator and recursive-CTE oracle pattern. Scale shape: scan-local
+    hashing, one band-key shuffle, components propagate labels over
+    EDGES only (near-identical-group-sized, not corpus-sized), final
+    left join against the dup-sized label table."""
+    from ..operators.dedup import (
+        connected_components,
+        phash_near_dup_pairs,
+    )
+    from ..operators.multimodal import image_dhash
+    from ..operators.silver import media_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir,
+        media_blob_layout(spark, sf_dir)
+        .filter((F.col("doc_id") % 2 == 0) & (F.col("text_len") > 0))
+        .select("doc_id", "payload"),
+        "media_png_ph",
+    )
+    # persisted: the hash relation feeds BOTH the pair evidence and
+    # the keep domain — without it the Arrow decode kernel runs twice
+    # (same pattern as minhash_near_dups' persisted signatures).
+    hashes = image_dhash(blobs).persist()
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    cluster = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        hashes.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            (cluster == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
