@@ -5920,7 +5920,16 @@ def dedup_image_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator and recursive-CTE oracle pattern. Scale shape: scan-local
     hashing, one band-key shuffle, components propagate labels over
     EDGES only (near-identical-group-sized, not corpus-sized), final
-    left join against the dup-sized label table."""
+    left join against the dup-sized label table.
+
+    Scale guard: identical-hash groups (byte-identical or
+    grid-coincident images) grow LINEARLY with the corpus, so the
+    Hamming ball runs over one REPRESENTATIVE per distinct hash (min
+    doc_id) instead of every member — component labels are identical
+    (members of a hash group connect through their representative,
+    whose id is the group minimum, so min-label propagation yields
+    the same cluster minima) while the banded pair volume drops from
+    O(group²) to O(distinct-hashes²-within-ball)."""
     from ..operators.dedup import (
         connected_components,
         phash_near_dup_pairs,
@@ -5935,22 +5944,35 @@ def dedup_image_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload"),
         "media_png_ph",
     )
-    # persisted: the hash relation feeds BOTH the pair evidence and
-    # the keep domain — without it the Arrow decode kernel runs twice
-    # (same pattern as minhash_near_dups' persisted signatures).
+    # persisted: the hash relation feeds the representative grouping,
+    # the pair evidence, and the keep domain — without it the Arrow
+    # decode kernel runs three times (same pattern as
+    # minhash_near_dups' persisted signatures).
     hashes = image_dhash(blobs).persist()
-    pairs = phash_near_dup_pairs(hashes, max_hamming=3).select(
+    reps = (
+        hashes.filter(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    pairs = phash_near_dup_pairs(reps, max_hamming=3).select(
         "id_a", "id_b"
     )
     comp = connected_components(pairs)
-    cluster = F.coalesce(F.col("cluster"), F.col("doc_id"))
-    return (
-        hashes.select("doc_id")
-        .join(comp, "doc_id", "left")
+    # doc -> its hash representative -> the representative's cluster;
+    # the representative IS the group minimum, so coalescing down the
+    # chain reproduces the full-graph component minima.
+    rep_cluster = F.coalesce(F.col("cluster"), F.col("rep_id"))
+    rep_of = reps.select("phash", F.col("doc_id").alias("rep_id"))
+    labeled = (
+        hashes.join(rep_of, "phash", "left")
+        .join(comp.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left")
         .select(
             "doc_id",
-            cluster.alias("cluster"),
-            (cluster == F.col("doc_id")).alias("keep"),
+            F.coalesce(rep_cluster, F.col("doc_id")).alias("cluster"),
         )
-        .orderBy("doc_id")
     )
+    return labeled.select(
+        "doc_id",
+        "cluster",
+        (F.col("cluster") == F.col("doc_id")).alias("keep"),
+    ).orderBy("doc_id")

@@ -106,9 +106,14 @@ PICKS = {
         "round 8: every scan below reads the materialized ivfidx layout "
         "(assignments + precomputed norms, rk=0 and column pruning pushed "
         "to the parquet scan) — the centroid-scoring chain never runs at "
-        "query time; cell equi-join pair generation, exact-cosine verify "
-        "on a volume-scaled width (round 9). No O(n^2) self-join. "
-        "From-raw form benched as dedup_embedding_ann_inplan."
+        "query time. Round 10: candidates come from a per-cell fp64 GEMM "
+        "prefilter (one applyInPandas over the cell grouping — vectors "
+        "move ONCE, grouped by cell) with a provable no-false-negative "
+        "guard; the exact ordered-fold verify re-scores only the "
+        "~answer-sized survivors, so values are identical to the r8-r9 "
+        "candidate-equi-join shape (100x warm ratio 3.08 vs 31.38). "
+        "No O(n^2) self-join. From-raw form benched as "
+        "dedup_embedding_ann_inplan."
     ),
     "o2_total_order_ranged": (
         "Distributed total order: range repartition + per-partition rank + "
@@ -140,13 +145,23 @@ PICKS = {
         "floor-division so sums are exact in any order."
     ),
     "dedup_substring_winnow": (
-        "Span-level dedup: winnowing fingerprints computed scan-locally — "
-        "the md5 k-gram array is HOF-let-bound so it appears EXACTLY once "
-        "in the plan (test_winnow_hashes_each_gram_once pins it) — then "
-        "ONE fingerprint-bucket shuffle, in-bucket pair emit (no "
-        "self-join) with a hub-fingerprint cap bounding fan-out; "
-        ">= 27-char shared runs are guaranteed to collide, >= 35-char "
-        "runs are recall-gated at 1.0 (gate_substring_winnow_recall)."
+        "Span-level dedup: winnowing fingerprints computed scan-locally "
+        "by the batched Arrow rolling-hash kernel (round 10 — one "
+        "MapInPandas node, appears EXACTLY once; "
+        "test_winnow_kernel_runs_once pins it, 100x warm ratio 5.97 vs "
+        "the md5 form's 50.85) — then ONE fingerprint-bucket shuffle, "
+        "in-bucket pair emit (no self-join) with a hub-fingerprint cap "
+        "bounding fan-out; >= 27-char shared runs are guaranteed to "
+        "collide, >= 35-char runs are recall-gated at 1.0 "
+        "(gate_substring_winnow_recall)."
+    ),
+    "dedup_image_phash_pairs": (
+        "Image-content near-dup (round 10): blobs decode + 56-bit dHash "
+        "in one Arrow kernel over the materialized PNG layout "
+        "(scan-local), 4x14-bit Hamming-ball banding — ONE band-key "
+        "shuffle, in-bucket pair emit, no self-join — then "
+        "bit_count(xor) verify; exact at radius 3 by pigeonhole, which "
+        "is why the brute-force oracle hash-matches the banded plan."
     ),
 }
 
