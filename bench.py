@@ -135,6 +135,9 @@ HEADLINE = [
     "dedup_image_phash",
     "dedup_image_phash_pairs",
     "dedup_image_phash_keep",
+    # round-10: 12-bit extended-sequential (SOF1) JPEG decode — the
+    # last sequential precision boundary, closed
+    "multimodal_jpeg12_stats",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by

@@ -1365,14 +1365,23 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                     vals = list(seg[j + 17: j + 17 + n])
                     huff[(cls, tid)] = _huffman_table(bits, vals)
                     j += 17 + n
-            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            elif marker in (0xC0, 0xC1, 0xC2):
+                # SOF0 baseline / SOF1 extended sequential / SOF2
+                # progressive. Baseline is 8-bit by definition (T.81
+                # B.2.2); extended sequential and progressive also
+                # admit 12-bit samples — round 10 closed that
+                # boundary (level shift 2^(P-1), clamp to 2^P-1,
+                # uint16 output; Huffman DC categories to 15 and the
+                # 16-bit DQT form parse identically).
                 if coefs is not None:
                     return None  # second frame header
                 progressive = marker == 0xC2
                 prec = seg[0]
                 h, w = struct.unpack(">HH", seg[1:5])
                 ncomp = seg[5]
-                if prec != 8 or ncomp not in (1, 3) or not w or not h:
+                allowed = (8,) if marker == 0xC0 else (8, 12)
+                if (prec not in allowed or ncomp not in (1, 3)
+                        or not w or not h):
                     return None
                 for c in range(ncomp):
                     cid, sampling, tq = seg[6 + 3 * c: 9 + 3 * c]
@@ -1397,9 +1406,9 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                     nby, nbx = mcuy * vi, mcux * hi
                     grids.append((nby, nbx))
                     coefs.append(np.zeros((nby * nbx, 64), dtype=np.int64))
-            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # 12-bit / hierarchical / arithmetic SOFs
+                return None  # hierarchical / arithmetic-coded SOFs
             elif marker == 0xDD:  # DRI: restart every N MCUs/data units
                 restart_interval = struct.unpack(">H", seg[:2])[0]
             elif marker == 0xDA:  # SOS — one of possibly many scans
@@ -1463,8 +1472,11 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                 qn[_ZIGZAG[k]] = q[k]
             nby, nbx = grids[ci]
             blocks = (coefs[ci].astype(np.float64) * qn).reshape(-1, 8, 8)
-            px = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + 128.0
-            px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+            shift = float(1 << (prec - 1))
+            vmax_px = (1 << prec) - 1
+            dtype = np.uint8 if prec == 8 else np.uint16
+            px = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + shift
+            px = np.clip(np.rint(px), 0, vmax_px).astype(dtype)
             planes.append(
                 px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
                 .reshape(nby * 8, nbx * 8)
@@ -1483,9 +1495,12 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
             pixels = full[0].tobytes()
         else:
             pixels = np.stack(full, axis=-1).tobytes()
+        # "precision" rides along (8 is the historical implicit value):
+        # 12-bit pixels are uint16 little-endian, 2 bytes per sample —
+        # consumers that assume byte samples must check this key.
         return {
             "width": int(w), "height": int(h), "n_channels": ncomp,
-            "pixels": pixels,
+            "pixels": pixels, "precision": int(prec),
         }
     except (struct.error, IndexError, ValueError):
         return None
@@ -1857,7 +1872,8 @@ def jpeg_color_stats(blobs: DataFrame) -> DataFrame:
                      "cr_sum")}
             for p in pdf["payload"]:
                 dec = decode_jpeg_pixels(bytes(p) if p is not None else b"")
-                if dec is None or dec.get("n_channels") != 3:
+                if (dec is None or dec.get("n_channels") != 3
+                        or dec.get("precision", 8) != 8):
                     for k in rows:
                         rows[k].append(None)
                     continue
@@ -1935,7 +1951,8 @@ def jpeg_rgb_stats(blobs: DataFrame) -> DataFrame:
                      "b_sum")}
             for p in pdf["payload"]:
                 dec = decode_jpeg_pixels(bytes(p) if p is not None else b"")
-                if dec is None or dec.get("n_channels") != 3:
+                if (dec is None or dec.get("n_channels") != 3
+                        or dec.get("precision", 8) != 8):
                     for k in rows:
                         rows[k].append(None)
                     continue
@@ -2027,7 +2044,7 @@ def jpeg_pixel_stats(blobs: DataFrame) -> DataFrame:
                     ("width", "height", "n_pixels", "px_sum", "mean_pixel_e4")}
             for p in pdf["payload"]:
                 dec = decode_jpeg_pixels(bytes(p) if p is not None else b"")
-                if dec is None:
+                if dec is None or dec.get("precision", 8) != 8:
                     for k in rows:
                         rows[k].append(None)
                     continue
@@ -2296,6 +2313,8 @@ def transcode_media(blobs: DataFrame, to: str = "png") -> DataFrame:
                            "n_channels": 1, "pixels": g["pixels"]}
                 else:
                     dec = decode_jpeg_pixels(b)
+                    if dec is not None and dec.get("precision", 8) != 8:
+                        dec = None  # PNG re-encode is 8-bit only here
             if dec is None or dec["n_channels"] not in (1, 3):
                 return None
             return build_png(dec["width"], dec["height"], dec["pixels"],
@@ -2433,6 +2452,8 @@ def image_dhash(blobs: DataFrame) -> DataFrame:
                     dec = decode_gif_pixels(b)
                 elif b[:2] == b"\xff\xd8":
                     dec = decode_jpeg_pixels(b)
+                    if dec is not None and dec.get("precision", 8) != 8:
+                        dec = None  # dhash56 reads byte samples
                 if dec is None:
                     out.append(None)
                     continue
@@ -2443,3 +2464,141 @@ def image_dhash(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": out})
 
     return blobs.mapInPandas(hashes, IMAGE_DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit JPEG (round 10): extended-sequential SOF1 frames — the last
+# sequential-decode boundary, closed. Fixture tables: 16 DC
+# categories (12-bit DC diffs reach category 15) as sixteen 5-bit
+# canonical codes; AC stays the 1-bit EOB (DC-exact blocks).
+# ---------------------------------------------------------------------------
+
+_JPEG12_DC_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_JPEG12_DC_VALS = list(range(16))
+
+
+def build_jpeg_12bit(width: int, height: int, content: bytes = b"",
+                     restart_interval: int = 0) -> bytes:
+    """A REAL 12-bit extended-sequential (SOF1) grayscale JPEG with
+    the same DC-exact block-constant contract as build_jpeg: block i
+    carries the 12-bit value ``v12 = b*16 + b//16`` of byte
+    b = content[i % len(content)] (b=255 → 4095, spanning the full
+    12-bit range so a truncating decoder can't pass). FDCT of a
+    constant block is the lone DC coefficient 8*(v - 2048) (level
+    shift 2^11 per T.81 A.3.1), round-tripped losslessly through the
+    flat quant table and float IDCT. The DQT is written in its 16-BIT
+    form (Pq=1) so the two-byte-entry parse path is exercised, and
+    the DC table carries 16 categories (diffs reach ±32760 →
+    category 15)."""
+    vals = content or b"\x00"
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    wtr = _BitWriter()
+    pred = 0
+    for i in range(bw * bh):
+        if restart_interval and i and i % restart_interval == 0:
+            wtr.restart(i // restart_interval - 1)
+            pred = 0
+        b = vals[i % len(vals)]
+        v12 = b * 16 + b // 16
+        dc = 8 * (v12 - 2048)
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        wtr.write(t, 5)  # DC category (canonical 5-bit table, 0..15)
+        if t:
+            wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        wtr.write(0, 1)  # EOB
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x10]) + b"".join(
+        struct.pack(">H", 1) for _ in range(64)))
+    sof = seg(0xC1, struct.pack(">BHHB", 12, height, width, 1)
+              + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JPEG12_DC_BITS)
+                 + bytes(_JPEG12_DC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
+            + entropy + b"\xff\xd9")
+
+
+def synthesize_jpegs_12bit(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """12-bit JPEG fixture corpus: width = doc_id%36+1, height =
+    doc_id%20+1, block values v12 = b*16 + b//16 from the doc's
+    bytes; odd doc_ids carry a 3-MCU restart interval (same mixed
+    pattern as the 8-bit corpus, so DC-predictor resets are gated in
+    the 12-bit range too)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_jpeg_12bit(
+                    int(doc_id) % 36 + 1,
+                    int(doc_id) % 20 + 1,
+                    ("" if text is None else str(text)).encode("utf-8"),
+                    restart_interval=3 if int(doc_id) % 2 else 0,
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", text_col).mapInPandas(synth, schema)
+
+
+JPEG12_PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_max", LongType()),
+        StructField("mean_pixel_e4", LongType()),
+    ]
+)
+
+
+def jpeg12_pixel_stats(blobs: DataFrame) -> DataFrame:
+    """Per-image statistics from REAL 12-bit entropy-decoded pixels:
+    uint16 little-endian samples (decode_jpeg_pixels precision=12),
+    exact integer sum, the sample MAX (proves values genuinely
+    exceed the 8-bit range — a truncating decoder caps at 255 and
+    hash-mismatches), and the integer-e4 mean. 8-bit or undecodable
+    payloads yield NULL stats."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("width", "height", "n_pixels",
+                                    "px_sum", "px_max", "mean_pixel_e4")}
+            for p in pdf["payload"]:
+                dec = decode_jpeg_pixels(bytes(p) if p is not None else b"")
+                if dec is None or dec.get("precision", 8) != 12:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                arr = np.frombuffer(dec["pixels"], dtype=np.uint16)
+                n = dec["width"] * dec["height"]
+                s = int(arr.sum(dtype=np.int64))
+                rows["width"].append(dec["width"])
+                rows["height"].append(dec["height"])
+                rows["n_pixels"].append(n)
+                rows["px_sum"].append(s)
+                rows["px_max"].append(int(arr.max()) if n else None)
+                rows["mean_pixel_e4"].append((10000 * s) // n if n else None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, JPEG12_PIXEL_STATS_SCHEMA)

@@ -687,3 +687,33 @@ def last_day_silver(spark: SparkSession, sf_dir: str,
             & (F.col("ts") >= ts_lit)
         ).drop("event_date")
     )
+
+
+def jpeg12_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 12-BIT extended-sequential JPEG fixture corpus as a
+    materialized (doc_id, payload) parquet (prefix jpg12_1): real
+    SOF1 frames with 16-bit DQTs and 16-category DC tables whose
+    decoded uint16 pixels a SQL oracle can recompute
+    (operators/multimodal.build_jpeg_12bit). Same empty-doc filter
+    contract as jpeg_blob_layout."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .multimodal import synthesize_jpegs_12bit
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_jpegs_12bit(docs)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "jpg12_1", make, schema).select(
+        "doc_id", "payload"
+    )

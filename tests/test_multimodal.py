@@ -1386,3 +1386,45 @@ def test_decode_png_adam7_interlaced():
     assert dec is not None
     got = np.frombuffer(dec["pixels"], dtype=np.uint8).reshape(h, w)
     assert (got == img).all()
+
+
+def test_jpeg12_roundtrip_and_guards(spark):
+    """12-bit SOF1 decode: block-constant values round-trip exactly
+    through the 16-bit DQT + 16-category DC table + 2^11 level shift,
+    restart intervals included; and every byte-sample consumer
+    (8-bit stats, dhash) treats 12-bit frames as unsupported instead
+    of misreading uint16 buffers."""
+    import numpy as np
+
+    from logsdb_spark.operators.multimodal import (
+        build_jpeg_12bit,
+        decode_jpeg_pixels,
+        image_dhash,
+        jpeg12_pixel_stats,
+        jpeg_pixel_stats,
+    )
+
+    content = bytes((7 * i + 3) % 256 for i in range(40))
+    for w, h, ri in ((17, 9, 0), (36, 20, 3), (1, 1, 0)):
+        dec = decode_jpeg_pixels(build_jpeg_12bit(w, h, content, ri))
+        assert dec is not None and dec["precision"] == 12
+        arr = np.frombuffer(dec["pixels"], dtype=np.uint16).reshape(h, w)
+        bw = (w + 7) // 8
+        for y in range(0, h, 3):
+            for x in range(0, w, 3):
+                b = content[((y // 8) * bw + (x // 8)) % len(content)]
+                assert arr[y, x] == b * 16 + b // 16
+
+    # full-range: byte 255 -> 4095 (a truncating decoder caps at 255)
+    top = decode_jpeg_pixels(build_jpeg_12bit(8, 8, bytes([255])))
+    assert np.frombuffer(top["pixels"], np.uint16).max() == 4095
+
+    blobs = spark.createDataFrame(
+        [(0, build_jpeg_12bit(16, 8, bytes([255]) + content))],
+        "doc_id long, payload binary",
+    )
+    r12 = jpeg12_pixel_stats(blobs).collect()[0]
+    assert r12.px_max == 4095 and r12.n_pixels == 128
+    # 8-bit consumers must refuse, not misread
+    assert jpeg_pixel_stats(blobs).collect()[0].px_sum is None
+    assert image_dhash(blobs).collect()[0].phash is None
