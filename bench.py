@@ -138,6 +138,9 @@ HEADLINE = [
     # round-10: 12-bit extended-sequential (SOF1) JPEG decode — the
     # last sequential precision boundary, closed
     "multimodal_jpeg12_stats",
+    # round-10: audio-content fingerprint dedup (the WAV twin of the
+    # image phash family; pairs subsumes the fingerprint kernel)
+    "dedup_audio_fp_pairs",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by

@@ -2602,3 +2602,55 @@ def jpeg12_pixel_stats(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
 
     return blobs.mapInPandas(stats, JPEG12_PIXEL_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio content fingerprint (round 10): the WAV analogue of the image
+# dHash — energy-envelope difference hash over REAL decoded PCM.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("afp", LongType())]
+)
+
+
+def audio_fp56(samples, n_windows: int = 57) -> int:
+    """56-bit energy-envelope difference hash over decoded PCM (the
+    audio twin of dhash56, same exact-integer contract): split the
+    interleaved sample stream into ``n_windows`` integer-boundary
+    windows (window b covers [b*n//57, (b+1)*n//57)), per-window
+    energy E_b = sum |s_i| (exact int), bit b = E_b > E_{b+1} for
+    b in 0..55, hash = sum of 2^b — strictly positive in a signed
+    BIGINT. Robust to small sample perturbations (a changed byte
+    moves one window's energy, flipping at most two adjacent bits)
+    and trivially SQL-recomputable; empty windows (streams shorter
+    than 57 samples) contribute energy 0 on both engines."""
+    import numpy as np
+
+    s = np.abs(np.asarray(samples, dtype=np.int64))
+    n = s.size
+    bounds = (np.arange(n_windows + 1) * n) // n_windows
+    cs = np.concatenate(([0], np.cumsum(s)))
+    e = cs[bounds[1:]] - cs[bounds[:-1]]
+    bits = (e[:-1] > e[1:]).astype(np.uint64)
+    return int((bits << np.arange(n_windows - 1, dtype=np.uint64)).sum())
+
+
+def audio_fingerprint(blobs: DataFrame) -> DataFrame:
+    """(doc_id, afp) content fingerprints for a WAV-blob relation:
+    RIFF/PCM decode (decode_wav_samples) feeding audio_fp56 inside
+    one Arrow mapInPandas kernel — scan-local; the dedup shuffle
+    happens downstream on the hash bands (the SAME
+    operators/dedup.phash_near_dup_pairs operator the image pipeline
+    uses — the banding is modality-agnostic). Undecodable payloads
+    yield NULL."""
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                dec = decode_wav_samples(bytes(p) if p is not None else b"")
+                out.append(None if dec is None
+                           else audio_fp56(dec["samples"]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "afp": out})
+
+    return blobs.mapInPandas(fps, AUDIO_FP_SCHEMA)

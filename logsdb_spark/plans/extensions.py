@@ -6041,3 +6041,120 @@ def multimodal_jpeg12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = _widened_layout(spark, sf_dir,
                             jpeg12_blob_layout(spark, sf_dir), "jpg12")
     return jpeg12_pixel_stats(blobs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio-content fingerprint dedup (round 10): the WAV twin of the
+# image phash family — same closed-form fixture contract (samples are
+# the doc's byte pairs, see the wav_sample_stats oracle), same
+# modality-agnostic Hamming-ball banding operator downstream.
+# ---------------------------------------------------------------------------
+
+_AUDIO_FP_SQL = """
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST((doc_id // 2) % 2 + 1 AS BIGINT) AS nch,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE doc_id % 2 = 1 AND length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id, nch, L, nch * 2 AS bpf,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+             ) AS bs
+      FROM d
+    ),
+    p AS (
+      SELECT doc_id, bs, (((L + bpf - 1) // bpf) * bpf) // 2 AS n FROM s
+    ),
+    sm AS (
+      SELECT doc_id, n,
+             list_transform(range(CAST(n AS INTEGER)),
+               k -> abs(COALESCE(bs[CAST(2*k+1 AS INTEGER)], 0)
+                        + 256 * COALESCE(bs[CAST(2*k+2 AS INTEGER)], 0))) AS samples
+      FROM p
+    ),
+    en AS (
+      SELECT doc_id,
+             list_transform(range(0, 57),
+               b -> COALESCE(list_sum(
+                 samples[CAST((b*n)//57 AS INTEGER) + 1
+                         : CAST(((b+1)*n)//57 AS INTEGER)]), 0)) AS e
+      FROM sm
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 56),
+               b -> CASE WHEN e[CAST(b AS INTEGER) + 1]
+                              > e[CAST(b AS INTEGER) + 2]
+                         THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS afp
+      FROM en
+    )
+"""
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=_AUDIO_FP_SQL + """
+    SELECT doc_id, afp FROM fp ORDER BY doc_id
+    """,
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content fingerprints for the WAV blob corpus, hash-gated
+    end to end: RIFF/PCM decode feeding the 57-window energy-envelope
+    difference hash (operators/multimodal.audio_fp56 — exact integer
+    spec in its docstring), while the oracle recomputes every hash bit
+    from the document text (build_wav wraps the byte pairs as int16
+    samples, zero-padded to whole frames). A decoder or hasher that
+    misreads chunk offsets, the sample width, the padding, or any
+    window boundary hash-mismatches. Scale shape: one widened layout
+    scan, one Arrow kernel, no shuffle until the presentation sort;
+    near-dup banding consumes these hashes downstream
+    (dedup_audio_fp_pairs). Reference has no analogue — §2.12
+    extension scope (LLM-pipeline audio dedup)."""
+    from ..operators.multimodal import audio_fingerprint
+    from ..operators.silver import media_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir,
+        media_blob_layout(spark, sf_dir)
+        .filter((F.col("doc_id") % 2 == 1) & (F.col("text_len") > 0))
+        .select("doc_id", "payload"),
+        "media_wav_afp",
+    )
+    return audio_fingerprint(blobs).orderBy("doc_id")
+
+
+@register(
+    "dedup_audio_fp_pairs",
+    oracle=_AUDIO_FP_SQL + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: fingerprint the WAV corpus, then the SAME
+    modality-agnostic Hamming-ball banding the image pipeline uses
+    (operators/dedup.phash_near_dup_pairs over the ``afp`` column —
+    4x14-bit bands, exact at radius 3 by pigeonhole, one band-key
+    shuffle, brute-force oracle hash-matches the banded plan).
+    Planted perturbed-twin recall is pinned in
+    tests/test_image_phash.py alongside the image twins."""
+    from ..operators.dedup import phash_near_dup_pairs
+    from ..operators.multimodal import audio_fingerprint
+    from ..operators.silver import media_blob_layout
+
+    blobs = _widened_layout(
+        spark, sf_dir,
+        media_blob_layout(spark, sf_dir)
+        .filter((F.col("doc_id") % 2 == 1) & (F.col("text_len") > 0))
+        .select("doc_id", "payload"),
+        "media_wav_afp",
+    )
+    return phash_near_dup_pairs(
+        audio_fingerprint(blobs), max_hamming=3, hash_col="afp"
+    ).orderBy("id_a", "id_b")

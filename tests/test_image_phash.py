@@ -128,3 +128,47 @@ def test_dhash_rgb_luminance():
     assert dhash56(dec["pixels"], w, h, dec["n_channels"]) == dhash56(
         gray, w, h, 1
     )
+
+
+def test_audio_planted_twin_recall(spark):
+    """Audio twins: perturbing ONE sample moves one window's energy,
+    flipping at most two adjacent fingerprint bits — every planted
+    twin surfaces within the radius-3 ball; unrelated streams don't."""
+    import random
+
+    from logsdb_spark.operators.dedup import phash_near_dup_pairs
+    from logsdb_spark.operators.multimodal import (
+        audio_fingerprint,
+        build_wav,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(25):
+        pcm = bytes(rng.randrange(256) for _ in range(400))
+        rows.append((2 * i, build_wav(1, 8000, 16, pcm)))
+        tw = bytearray(pcm)
+        tw[100] ^= 0x40  # one sample nudged
+        rows.append((2 * i + 1, build_wav(1, 8000, 16, bytes(tw))))
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.id_a, r.id_b)
+             for r in phash_near_dup_pairs(audio_fingerprint(blobs),
+                                           max_hamming=3,
+                                           hash_col="afp").collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(25)}
+    assert planted <= pairs, sorted(planted - pairs)[:5]
+    assert not (pairs - planted), sorted(pairs - planted)[:5]
+
+
+def test_audio_fp_undecodable_yields_null(spark):
+    from logsdb_spark.operators.multimodal import (
+        audio_fingerprint,
+        build_wav,
+    )
+
+    blobs = spark.createDataFrame(
+        [(0, b"not audio"), (1, build_wav(1, 8000, 16, b"x" * 100))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.afp for r in audio_fingerprint(blobs).collect()}
+    assert rows[0] is None and rows[1] is not None
