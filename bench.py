@@ -141,6 +141,10 @@ HEADLINE = [
     # round-10: audio-content fingerprint dedup (the WAV twin of the
     # image phash family; pairs subsumes the fingerprint kernel)
     "dedup_audio_fp_pairs",
+    # round-10: REAL multi-frame animation decode (order-sensitive
+    # checksum) and frame-sampled video content dedup
+    "multimodal_gif_frames_stats",
+    "dedup_video_frames",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by

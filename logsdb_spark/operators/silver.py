@@ -717,3 +717,33 @@ def jpeg12_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blob_layout(spark, sf_dir, "jpg12_1", make, schema).select(
         "doc_id", "payload"
     )
+
+
+def gif_anim_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANIMATED-GIF fixture corpus as a materialized (doc_id,
+    payload) parquet (prefix gifanim1): real multi-frame GIF89a
+    animations (NETSCAPE loop + per-frame GCE + LZW streams) whose
+    decoded frames a SQL oracle can recompute
+    (operators/multimodal.build_gif_animated). Same empty-doc filter
+    contract as the other media layouts."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from .multimodal import synthesize_animated_gifs
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents").filter(
+                F.length("text") > 0
+            ),
+            spark,
+        )
+        return synthesize_animated_gifs(docs)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "gifanim1", make, schema).select(
+        "doc_id", "payload"
+    )

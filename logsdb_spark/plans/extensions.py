@@ -6158,3 +6158,142 @@ def dedup_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(
         audio_fingerprint(blobs), max_hamming=3, hash_col="afp"
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Video modality (round 10): REAL multi-frame animation decode +
+# frame sampling + frame-hash content dedup. The fixture contract:
+# frame f pixel i = byte (f*w*h + i) % L of the doc's text
+# (synthesize_animated_gifs), so frame stats AND frame-sampled
+# perceptual hashes are closed-form.
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_gif_frames_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 32 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 16 + 1 AS BIGINT) AS h,
+             CAST(doc_id % 6 + 2 AS BIGINT) AS nf,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id, w, h, nf, L, w * h AS n,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+             ) AS bs
+      FROM d
+    ),
+    fs AS (
+      SELECT doc_id, w, h, nf, n,
+             list_transform(range(0, CAST(nf AS INTEGER)),
+               f -> COALESCE(list_sum(list_transform(
+                 range(0, CAST(n AS INTEGER)),
+                 i -> bs[CAST((f*n + i) % L AS INTEGER) + 1])), 0)) AS sums
+      FROM s
+    )
+    SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+           CAST(COALESCE(list_sum(sums), 0) AS BIGINT) AS px_sum,
+           CAST(COALESCE(list_sum(list_transform(range(0, CAST(nf AS INTEGER)),
+             f -> (f + 1) * sums[CAST(f AS INTEGER) + 1])), 0) AS BIGINT)
+             AS weighted_sum
+    FROM fs
+    ORDER BY doc_id
+    """,
+)
+def multimodal_gif_frames_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame animation decode, hash-gated end to end — the
+    video modality's decode path made real (round 10; previously only
+    the frame-OFFSET lattice was): every doc becomes a genuine
+    animated GIF89a (NETSCAPE loop extension, per-frame graphic
+    control + LZW streams), decode_gif_frames walks every image
+    descriptor and LZW-decompresses each frame in order, and the
+    query emits the frame count, the exact total index sum, and the
+    FRAME-ORDER-SENSITIVE checksum sum((f+1)*frame_sum) — a decoder
+    that drops, repeats, or reorders frames hash-mismatches even when
+    totals agree. Scale shape: materialized blob layout, one widened
+    scan, one Arrow decode kernel, no shuffle until the presentation
+    sort."""
+    from ..operators.multimodal import gif_frames_stats
+    from ..operators.silver import gif_anim_blob_layout
+
+    blobs = _widened_layout(spark, sf_dir,
+                            gif_anim_blob_layout(spark, sf_dir), "gifanim")
+    return gif_frames_stats(blobs).orderBy("doc_id")
+
+
+@register(
+    "dedup_video_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 32 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 16 + 1 AS BIGINT) AS h,
+             CAST(doc_id % 6 + 2 AS BIGINT) AS nf,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id, w, h, nf, L, w * h AS n,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+             ) AS bs
+      FROM d
+    ),
+    fh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               list_filter(range(0, CAST(nf AS INTEGER)), f -> f % 2 = 0),
+               f -> CAST(list_sum(list_transform(range(0, 56), b ->
+                 CASE WHEN
+                   bs[CAST((f*n + (((2*(b//7)+1)*h)//16) * w
+                            + (((2*(b%7)+1)*w)//16)) % L AS INTEGER) + 1]
+                   >
+                   bs[CAST((f*n + (((2*(b//7)+1)*h)//16) * w
+                            + (((2*(b%7)+3)*w)//16)) % L AS INTEGER) + 1]
+                 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT))) AS fp
+      FROM s
+    ),
+    ok AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fh GROUP BY fp)
+      WHERE c BETWEEN 2 AND 32
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ns
+      FROM fh a
+      JOIN fh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN ok ON ok.fp = a.fp
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(ns AS BIGINT) AS n_shared_fps
+    FROM pairs WHERE ns >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-content near-dup pairs: frame-SAMPLE every animation
+    (every 2nd frame — the decode-cost knob), perceptually hash each
+    sampled frame (dhash56), and pair videos sharing >= 2 DISTINCT
+    frame hashes — the winnowing span-dedup shape with frames in
+    place of k-gram fingerprints, sharing its bucket operator
+    (_winnow_pairs_from_index: hub cap 2..32 mirrored in the oracle —
+    a static frame so common it stops being a dedup signal is
+    dropped on BOTH engines — in-bucket pair emit, no self-join).
+    The oracle recomputes every sampled frame hash closed-form from
+    the cycled text. Scale shape: scan-local decode+hash, ONE
+    frame-hash bucket shuffle, pair counts bounded by the capped
+    buckets."""
+    from ..operators.multimodal import video_frame_hashes
+    from ..operators.silver import gif_anim_blob_layout
+
+    blobs = _widened_layout(spark, sf_dir,
+                            gif_anim_blob_layout(spark, sf_dir), "gifanim")
+    ex = (
+        video_frame_hashes(blobs, stride=2)
+        .select("doc_id", F.col("fhash").alias("fp"))
+        .distinct()
+    )
+    return _winnow_pairs_from_index(ex).orderBy("id_a", "id_b")

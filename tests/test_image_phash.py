@@ -172,3 +172,40 @@ def test_audio_fp_undecodable_yields_null(spark):
     )
     rows = {r.doc_id: r.afp for r in audio_fingerprint(blobs).collect()}
     assert rows[0] is None and rows[1] is not None
+
+
+def test_video_planted_shared_frames(spark):
+    """Two animations sharing >= 2 sampled frames must pair; disjoint
+    animations must not — and the frame hashes must be the SAME
+    values the single-image pipeline computes for those frames."""
+    import random
+
+    from logsdb_spark.operators.multimodal import (
+        build_gif_animated,
+        decode_gif_frames,
+        video_frame_hashes,
+    )
+    from logsdb_spark.plans.extensions import _winnow_pairs_from_index
+    from pyspark.sql import functions as F
+
+    rng = random.Random(21)
+    w, h = 12, 9
+    shared = [bytes(rng.randrange(256) for _ in range(w * h))
+              for _ in range(4)]
+    uniq = lambda: bytes(rng.randrange(256) for _ in range(w * h))
+    # docs 0 and 1 share sampled frames 0 and 2; doc 2 is disjoint
+    rows = [
+        (0, build_gif_animated(w, h, [shared[0], uniq(), shared[1],
+                                      uniq()])),
+        (1, build_gif_animated(w, h, [shared[0], uniq(), shared[1]])),
+        (2, build_gif_animated(w, h, [uniq(), uniq(), uniq(), uniq()])),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    ex = (video_frame_hashes(blobs, stride=2)
+          .select("doc_id", F.col("fhash").alias("fp")).distinct())
+    pairs = {(r.id_a, r.id_b, r.n_shared_fps)
+             for r in _winnow_pairs_from_index(ex).collect()}
+    assert pairs == {(0, 1, 2)}, pairs
+    # frame round-trip sanity
+    dec = decode_gif_frames(rows[0][1])
+    assert dec["n_frames"] == 4 and dec["frames"][2] == shared[1]
