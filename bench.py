@@ -142,9 +142,11 @@ HEADLINE = [
     # image phash family; pairs subsumes the fingerprint kernel)
     "dedup_audio_fp_pairs",
     # round-10: REAL multi-frame animation decode (order-sensitive
-    # checksum) and frame-sampled video content dedup
+    # checksum) and frame-sampled video content dedup, plus the
+    # multimodal curator endpoint (image ∪ audio ∪ video evidence -> CC)
     "multimodal_gif_frames_stats",
     "dedup_video_frames",
+    "dedup_media_ensemble_keep",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by

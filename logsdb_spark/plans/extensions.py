@@ -6297,3 +6297,181 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _winnow_pairs_from_index(ex).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_media_ensemble_keep",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+             list_transform(range(1, CAST(length(text) AS INTEGER) + 1),
+               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)
+             ) AS bs
+      FROM documents WHERE length(text) > 0
+    ),
+    iph AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 56), b ->
+          CASE WHEN
+            bs[CAST(((((2*(b//7)+1)*(doc_id%48+1))//16) * (doc_id%64+1)
+                 + (((2*(b%7)+1)*(doc_id%64+1))//16)) % L AS INTEGER) + 1]
+            >
+            bs[CAST(((((2*(b//7)+1)*(doc_id%48+1))//16) * (doc_id%64+1)
+                 + (((2*(b%7)+3)*(doc_id%64+1))//16)) % L AS INTEGER) + 1]
+          THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hv
+      FROM base WHERE doc_id % 2 = 0
+    ),
+    ipairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM iph a JOIN iph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hv, b.hv)) <= 3
+    ),
+    asm AS (
+      SELECT doc_id,
+             ((((L + ((doc_id//2)%2+1)*2 - 1) // (((doc_id//2)%2+1)*2))
+               * (((doc_id//2)%2+1)*2)) // 2) AS n, bs, L
+      FROM base WHERE doc_id % 2 = 1
+    ),
+    aen AS (
+      SELECT doc_id,
+             list_transform(range(0, 57), w -> COALESCE(list_sum(
+               list_transform(range(CAST((w*n)//57 AS INTEGER),
+                              CAST(((w+1)*n)//57 AS INTEGER)),
+                 k -> abs(COALESCE(bs[CAST(2*k+1 AS INTEGER)], 0)
+                          + 256 * COALESCE(bs[CAST(2*k+2 AS INTEGER)], 0))
+               )), 0)) AS e
+      FROM asm
+    ),
+    afp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 56), b ->
+               CASE WHEN e[CAST(b AS INTEGER) + 1] > e[CAST(b AS INTEGER) + 2]
+                    THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hv
+      FROM aen
+    ),
+    apairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hv, b.hv)) <= 3
+    ),
+    vfh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               list_filter(range(0, CAST(doc_id % 6 + 2 AS INTEGER)),
+                           f -> f % 2 = 0),
+               f -> CAST(list_sum(list_transform(range(0, 56), b ->
+                 CASE WHEN
+                   bs[CAST((f*(doc_id%32+1)*(doc_id%16+1)
+                        + (((2*(b//7)+1)*(doc_id%16+1))//16) * (doc_id%32+1)
+                        + (((2*(b%7)+1)*(doc_id%32+1))//16)) % L
+                      AS INTEGER) + 1]
+                   >
+                   bs[CAST((f*(doc_id%32+1)*(doc_id%16+1)
+                        + (((2*(b//7)+1)*(doc_id%16+1))//16) * (doc_id%32+1)
+                        + (((2*(b%7)+3)*(doc_id%32+1))//16)) % L
+                      AS INTEGER) + 1]
+                 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT))) AS fp
+      FROM base
+    ),
+    vok AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM vfh GROUP BY fp)
+      WHERE c BETWEEN 2 AND 32
+    ),
+    vpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM vfh a JOIN vfh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN vok ON vok.fp = a.fp
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+    ),
+    allp AS (
+      SELECT id_a, id_b FROM ipairs
+      UNION SELECT id_a, id_b FROM apairs
+      UNION SELECT id_a, id_b FROM vpairs
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM allp
+      UNION SELECT id_b, id_a FROM allp
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster,
+           (COALESCE(c.cluster, d.doc_id) = d.doc_id) AS keep
+    FROM base d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_media_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL curator endpoint (round 10 capstone): one
+    keep/drop decision per document over the UNION of every media
+    content-dedup signal — image perceptual-hash pairs (even docs'
+    PNGs, Hamming <= 3), audio fingerprint pairs (odd docs' WAVs,
+    Hamming <= 3), and shared-sampled-frame video pairs (all docs'
+    animations, >= 2 shared frame hashes, hub cap 2..32) — resolved
+    through one connected-components pass into component-minimum
+    cluster labels; singletons keep themselves. The text-signal
+    analogue is dedup_ensemble_keep; this is its media twin, and the
+    oracle recomputes all three evidence graphs closed-form from the
+    fixture text plus the recursive-CTE closure. Scale shape: three
+    scan-local Arrow hash kernels, three bounded bucket/band
+    shuffles, CC over dup-sized edges, one corpus-keyed final left
+    join."""
+    from ..operators.dedup import (
+        connected_components,
+        phash_near_dup_pairs,
+    )
+    from ..operators.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        video_frame_hashes,
+    )
+    from ..operators.silver import gif_anim_blob_layout, media_blob_layout
+
+    media = media_blob_layout(spark, sf_dir).filter(F.col("text_len") > 0)
+    png = _widened_layout(
+        spark, sf_dir,
+        media.filter(F.col("doc_id") % 2 == 0).select("doc_id", "payload"),
+        "media_png_ph",
+    )
+    wav = _widened_layout(
+        spark, sf_dir,
+        media.filter(F.col("doc_id") % 2 == 1).select("doc_id", "payload"),
+        "media_wav_afp",
+    )
+    anim = _widened_layout(spark, sf_dir,
+                           gif_anim_blob_layout(spark, sf_dir), "gifanim")
+    ipairs = phash_near_dup_pairs(image_dhash(png), max_hamming=3)
+    apairs = phash_near_dup_pairs(audio_fingerprint(wav), max_hamming=3,
+                                  hash_col="afp")
+    vex = (
+        video_frame_hashes(anim, stride=2)
+        .select("doc_id", F.col("fhash").alias("fp"))
+        .distinct()
+    )
+    vpairs = _winnow_pairs_from_index(vex)
+    pairs = (
+        ipairs.select("id_a", "id_b")
+        .unionByName(apairs.select("id_a", "id_b"))
+        .unionByName(vpairs.select("id_a", "id_b"))
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    cluster = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        media.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            (cluster == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
