@@ -17,14 +17,23 @@ Two decode tiers live here:
   ``decode_gif_pixels`` (true LZW + 4-pass de-interlace),
   ``decode_wav_samples`` (RIFF walk + PCM), and
   ``decode_jpeg_pixels`` (canonical-Huffman entropy decode + float
-  IDCT — grayscale, 4:4:4/4:2:2/4:2:0 color, baseline AND
-  progressive SOF2 since round 9) — all pure stdlib+numpy, each
-  oracle-gated on real decoded values. ``resize_media`` is a real
-  decode → integer box-downsample → re-encode since round 8 (PNG
-  gray/RGB, identity-palette GIF, WAV frame resample);
-  ``transcode_media`` re-encodes any decodable image losslessly as
-  PNG. The remaining documented boundaries: 16-bit/paletted PNG,
-  12-bit/hierarchical/arithmetic JPEG, compressed audio.
+  IDCT — grayscale, 4:4:4/4:2:2/4:2:0 color, baseline, progressive
+  SOF2 since round 9, and 12-BIT extended-sequential SOF1 since
+  round 10 — uint16 output, 16-bit DQTs), and ``decode_gif_frames``
+  (round 10: REAL multi-frame animation decode, every image
+  descriptor LZW-decompressed in stream order) — all pure
+  stdlib+numpy, each oracle-gated on real decoded values.
+  ``resize_media`` is a real decode → integer box-downsample →
+  re-encode since round 8 (PNG gray/RGB, identity-palette GIF, WAV
+  frame resample); ``transcode_media`` re-encodes any decodable
+  image losslessly as PNG. Round 10 added CONTENT hashing over the
+  decoded values: ``dhash56``/``image_dhash`` (format-sniffing
+  perceptual image hash), ``audio_fp56``/``audio_fingerprint``
+  (energy-envelope PCM hash), and ``video_frame_hashes``
+  (stride-sampled per-frame hashes) — the evidence feeding the
+  image/audio/video near-dup and the multimodal ensemble-keep
+  queries. The remaining documented boundaries: 16-bit/paletted
+  PNG, hierarchical/arithmetic-coded JPEG, compressed audio.
 
 Design for 100 TB of blobs: mapInPandas streams Arrow record batches
 through Python, so per-row overhead is amortized; blobs never pass
