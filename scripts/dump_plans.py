@@ -155,6 +155,20 @@ PICKS = {
         "collide, >= 35-char runs are recall-gated at 1.0 "
         "(gate_substring_winnow_recall)."
     ),
+    "dedup_media_ensemble_keep": (
+        "Multimodal curator endpoint: three scan-local Arrow hash "
+        "kernels (image dHash, audio energy-envelope fingerprint, "
+        "stride-2 frame hashes), three bounded band/bucket shuffles, "
+        "one union, one connected-components pass over dup-sized "
+        "edges, one corpus-keyed final left join — no evidence "
+        "pipeline ever self-joins or reshuffles the blob corpus."
+    ),
+    "multimodal_gif_frames_stats": (
+        "REAL multi-frame animation decode: materialized blob layout, "
+        "one widened scan, one Arrow kernel emitting the frame-order-"
+        "sensitive checksum; per-blob compute, no shuffle until the "
+        "presentation sort."
+    ),
     "dedup_image_phash_pairs": (
         "Image-content near-dup (round 10): blobs decode + 56-bit dHash "
         "in one Arrow kernel over the materialized PNG layout "
