@@ -473,6 +473,40 @@ def streaming_bench(spark, sf_dir: str) -> dict:
                 "sec": round(elapsed, 3),
                 "rows_per_sec": round(n_shard / elapsed),
             }
+
+        # Streaming IMAGE-content probe (round 10): the PNG corpus
+        # split 90/10, shard replayed 10x into one micro-batch — the
+        # same batching/parity setup as the text ensemble above.
+        from logsdb_spark.operators.silver import media_blob_layout
+        from logsdb_spark.streaming.dedup import start_image_neardup_stream
+
+        png = media_blob_layout(spark, sf_dir).filter(
+            (F.col("doc_id") % 2 == 0) & (F.col("text_len") > 0)
+        ).select("doc_id", "payload")
+        icorpus = png.filter(F.col("doc_id") % 10 != 0)
+        ishard = png.filter(F.col("doc_id") % 10 == 0)
+        isrc = os.path.join(work, "img_src")
+        ishard.coalesce(1).write.parquet(isrc)
+        part = next(f for f in os.listdir(isrc)
+                    if f.endswith(".parquet") and not f.startswith("."))
+        for rep in range(9):
+            shutil.copy(os.path.join(isrc, part),
+                        os.path.join(isrc, f"replay{rep}-{part}"))
+        n_ishard = spark.read.parquet(isrc).count()
+        iout = os.path.join(work, "img_out")
+        t0 = time.perf_counter()
+        run_until_drained(
+            start_image_neardup_stream(spark, icorpus, isrc, iout)
+        )
+        elapsed = time.perf_counter() - t0
+        iflags = spark.read.parquet(
+            os.path.join(iout, "image_flags")).count()
+        out["image_probe"] = {
+            "rows": n_ishard,
+            "flags": iflags,
+            "sec": round(elapsed, 3),
+            "rows_per_sec": round(n_ishard / elapsed),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -1299,3 +1299,100 @@ def ensemble_near_dups_from_state(state, new_docs: DataFrame,
         .select("corpus_id", "new_id")
     )
     return mh.unionByName(wn).distinct()
+
+
+def _phash_banded(hashes: DataFrame, id_alias: str,
+                  hash_col: str, n_bands: int) -> DataFrame:
+    """(id, hash, band, val) LSH rows for a perceptual-hash frame —
+    the banding phash_near_dup_pairs and the streaming image probe
+    share (56 bits in ``n_bands`` equal slices)."""
+    width = 56 // n_bands
+    return hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col("doc_id").alias(id_alias),
+        F.col(hash_col).alias(f"_h_{id_alias}"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+            )
+            for b in range(n_bands)
+        ])).alias("bk"),
+    ).select(id_alias, f"_h_{id_alias}", "bk.band", "bk.val")
+
+
+def prepare_phash_corpus_state(hashes: DataFrame,
+                               hash_col: str = "phash",
+                               n_bands: int = 4,
+                               persist: bool = True) -> DataFrame:
+    """One-time corpus-side state for the streaming image-dedup probe:
+    the banded (corpus_id, hash, band, val) rows, persisted so every
+    micro-batch is a broadcast probe against executor memory instead
+    of a re-banding of the whole corpus (the same hoisting contract as
+    prepare_ensemble_corpus_state). Call ``.unpersist()`` when the
+    stream stops."""
+    state = _phash_banded(hashes, "corpus_id", hash_col, n_bands)
+    if persist:
+        state.persist()
+    return state
+
+
+def phash_cross_pairs_from_state(state: DataFrame, new_hashes: DataFrame,
+                                 max_hamming: int = 3,
+                                 hash_col: str = "phash",
+                                 n_bands: int = 4) -> DataFrame:
+    """(corpus_id, new_id, hamming) image near-dup flags for an
+    arriving batch against the prepared corpus state: the batch side
+    bands and BROADCASTS (bounded by the micro-batch), the corpus
+    side is a cached scan, candidates dedupe per pair, and the
+    bit_count(xor) verify keeps Hamming <= ``max_hamming`` — the same
+    exact-at-radius-(n_bands-1) pigeonhole guarantee as
+    phash_near_dup_pairs, so flags equal the batch operator's cross
+    pairs (parity-pinned)."""
+    nb = _phash_banded(new_hashes, "new_id", hash_col, n_bands)
+    return (
+        state.join(F.broadcast(nb), ["band", "val"])
+        .select("corpus_id", "new_id", "_h_corpus_id", "_h_new_id")
+        .distinct()
+        .select(
+            "corpus_id", "new_id",
+            F.bit_count(
+                F.col("_h_corpus_id").bitwiseXOR(F.col("_h_new_id"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash_component_edges(hashes: DataFrame, max_hamming: int = 3,
+                          hash_col: str = "phash") -> DataFrame:
+    """COMPONENT-EQUIVALENT edge set for perceptual-hash near-dup
+    clustering, linear in identical-hash group size: collapse each
+    distinct hash to its minimum-id representative, run the Hamming
+    ball over REPRESENTATIVES only, and add one star edge per
+    non-representative member (member ↔ its rep — an exact-dup edge,
+    Hamming 0 by construction). Connected components over these edges
+    equal components over the full phash_near_dup_pairs graph: members
+    share their rep's hash, so any <= max_hamming relation a member
+    has, its rep has too, and the star keeps the member attached.
+    This is what the keep/ensemble queries consume at scale — the
+    full pair relation stays available as phash_near_dup_pairs, whose
+    output is BY DEFINITION quadratic in identical-hash group size
+    (every pair is a true near-dup; see dedup_image_phash_pairs'
+    docstring for the honest-answer-size discussion)."""
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col("doc_id"), F.col(hash_col).alias("_ph")
+    )
+    reps = h.groupBy("_ph").agg(F.min("doc_id").alias("rep_id"))
+    star = (
+        h.join(reps, "_ph")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id_a"),
+                F.col("doc_id").alias("id_b"))
+    )
+    ball = phash_near_dup_pairs(
+        reps.select(F.col("rep_id").alias("doc_id"),
+                    F.col("_ph").alias(hash_col)),
+        max_hamming=max_hamming, hash_col=hash_col,
+    ).select("id_a", "id_b")
+    return star.unionByName(ball)

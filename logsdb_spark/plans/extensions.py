@@ -5862,7 +5862,14 @@ def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension fixtures whose sampled grids coincide; planted
     perturbed-twin recall is pinned separately in
     tests/test_image_phash.py. Scale shape: scan-local hashing, ONE
-    shuffle on the band key, in-bucket pair emit, no self-join."""
+    shuffle on the band key, in-bucket pair emit, no self-join —
+    but note the ANSWER ITSELF is quadratic in identical-hash group
+    size (every pair in such a group is a true near-dup; a fixture
+    corpus replicated 100x grows a 7.8k-member trivial-image group
+    whose 30M pairs are the correct output). The pipeline endpoints
+    never pay that: the keep/ensemble queries consume the
+    component-equivalent linear edge set instead
+    (operators/dedup.phash_component_edges)."""
     from ..operators.dedup import phash_near_dup_pairs
     from ..operators.multimodal import image_dhash
     from ..operators.silver import media_blob_layout
@@ -6426,7 +6433,7 @@ def dedup_media_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     from ..operators.dedup import (
         connected_components,
-        phash_near_dup_pairs,
+        phash_component_edges,
     )
     from ..operators.multimodal import (
         audio_fingerprint,
@@ -6448,9 +6455,14 @@ def dedup_media_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anim = _widened_layout(spark, sf_dir,
                            gif_anim_blob_layout(spark, sf_dir), "gifanim")
-    ipairs = phash_near_dup_pairs(image_dhash(png), max_hamming=3)
-    apairs = phash_near_dup_pairs(audio_fingerprint(wav), max_hamming=3,
-                                  hash_col="afp")
+    # image/audio evidence enters as COMPONENT-EQUIVALENT edges
+    # (rep-collapsed ball + member stars, phash_component_edges):
+    # identical-hash groups — byte-identical or grid-coincident media
+    # — grow linearly with the corpus, and all-pairs edges inside
+    # them would be quadratic CC input for the same components.
+    iedges = phash_component_edges(image_dhash(png), max_hamming=3)
+    aedges = phash_component_edges(audio_fingerprint(wav), max_hamming=3,
+                                   hash_col="afp")
     vex = (
         video_frame_hashes(anim, stride=2)
         .select("doc_id", F.col("fhash").alias("fp"))
@@ -6458,8 +6470,7 @@ def dedup_media_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vpairs = _winnow_pairs_from_index(vex)
     pairs = (
-        ipairs.select("id_a", "id_b")
-        .unionByName(apairs.select("id_a", "id_b"))
+        iedges.unionByName(aedges)
         .unionByName(vpairs.select("id_a", "id_b"))
         .distinct()
     )

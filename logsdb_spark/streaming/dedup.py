@@ -221,3 +221,59 @@ def _write_ensemble_batch(corpus: DataFrame, batch: DataFrame,
     flags.write.mode("overwrite").parquet(
         os.path.join(sink, f"batch_id={batch_id}")
     )
+
+
+BLOBS_SCHEMA = "doc_id LONG, payload BINARY"
+
+
+def start_image_neardup_stream(
+    spark: SparkSession,
+    corpus_blobs: DataFrame,
+    source_dir: str,
+    out_dir: str,
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming IMAGE-content dedup flagging — the multimodal twin of
+    start_ensemble_stream: arriving image blobs are decoded +
+    perceptually hashed (format-sniffing dHash,
+    operators/multimodal.image_dhash), banded, and probed against the
+    static corpus's hashes for Hamming <= ``max_hamming`` matches;
+    (corpus_id, new_id, hamming) flags land idempotently per batch
+    (same exactly-once contract as _write_probe_batch). The corpus
+    side is hoisted ONCE at stream start: blobs are hashed and their
+    banded rows persisted (operators/dedup.prepare_phash_corpus_state)
+    — per micro-batch only the arriving blobs decode, and the probe
+    join broadcasts the batch side, so the corpus is never reshuffled
+    and state never grows with the stream. Flags equal the batch
+    operator's cross pairs (parity-pinned by
+    tests/test_image_phash.py)."""
+    from ..operators.dedup import (
+        phash_cross_pairs_from_state,
+        prepare_phash_corpus_state,
+    )
+    from ..operators.multimodal import image_dhash
+
+    state = prepare_phash_corpus_state(image_dhash(corpus_blobs))
+
+    reader = spark.readStream.schema(BLOBS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    sink = os.path.join(out_dir, "image_flags")
+
+    def probe(batch: DataFrame, batch_id: int) -> None:
+        flags = phash_cross_pairs_from_state(
+            state, image_dhash(batch), max_hamming=max_hamming
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt/image"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -209,3 +209,107 @@ def test_video_planted_shared_frames(spark):
     # frame round-trip sanity
     dec = decode_gif_frames(rows[0][1])
     assert dec["n_frames"] == 4 and dec["frames"][2] == shared[1]
+
+
+def test_streaming_image_probe_matches_batch(spark, tmp_path):
+    """The streaming image-dedup probe's flags must equal the batch
+    operator's CROSS pairs (corpus x shard) — the same parity
+    contract as the text ensemble stream — and a replayed batch must
+    be idempotent (same batch_id directory, same rows)."""
+    import random
+
+    from logsdb_spark.operators.dedup import phash_near_dup_pairs
+    from logsdb_spark.operators.multimodal import build_png, image_dhash
+    from logsdb_spark.streaming.dedup import start_image_neardup_stream
+    from logsdb_spark.streaming.ingest import run_until_drained
+
+    rng = random.Random(31)
+    w, h = 24, 16
+    blobs = []
+    for i in range(40):
+        base = bytes(rng.randrange(256) for _ in range(w * h))
+        blobs.append((2 * i, build_png(w, h, base)))
+        tw = bytearray(base)
+        rr = ((2 * 3 + 1) * h) // 16
+        cc = ((2 * 4 + 1) * w) // 16
+        tw[rr * w + cc] = 255 - tw[rr * w + cc]
+        blobs.append((2 * i + 1, build_png(w, h, bytes(tw))))
+    corpus = spark.createDataFrame(
+        [b for b in blobs if b[0] % 10 != 0], "doc_id long, payload binary"
+    )
+    shard = spark.createDataFrame(
+        [b for b in blobs if b[0] % 10 == 0], "doc_id long, payload binary"
+    )
+    src = str(tmp_path / "img_src")
+    shard.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "img_out")
+    run_until_drained(
+        start_image_neardup_stream(spark, corpus, src, out)
+    )
+    got = {(r.corpus_id, r.new_id, r.hamming)
+           for r in spark.read.parquet(out + "/image_flags").collect()}
+
+    allpairs = phash_near_dup_pairs(
+        image_dhash(corpus.unionByName(shard)), max_hamming=3
+    ).collect()
+    want = set()
+    for r in allpairs:
+        a_in = r.id_a % 10 != 0
+        b_in = r.id_b % 10 != 0
+        if a_in != b_in:  # exactly one side in the corpus
+            c, n = (r.id_a, r.id_b) if a_in else (r.id_b, r.id_a)
+            want.add((c, n, r.hamming))
+    assert got == want and want, (len(got), len(want))
+
+
+def test_component_edges_equal_full_graph(spark):
+    """phash_component_edges (rep-collapsed ball + member stars) must
+    produce the SAME connected components as the full pair graph,
+    including identical-hash groups and cross-group near-dups."""
+    import random
+
+    from logsdb_spark.operators.dedup import (
+        connected_components,
+        phash_component_edges,
+        phash_near_dup_pairs,
+    )
+    from logsdb_spark.operators.multimodal import build_png, image_dhash
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    w, h = 20, 12
+    base = bytes(rng.randrange(256) for _ in range(w * h))
+    tw = bytearray(base)
+    rr, cc = ((2 * 2 + 1) * h) // 16, ((2 * 5 + 1) * w) // 16
+    tw[rr * w + cc] = 255 - tw[rr * w + cc]
+    rows = [
+        # identical-hash group of 4 (same content)
+        (0, build_png(w, h, base)), (1, build_png(w, h, base)),
+        (2, build_png(w, h, base)), (3, build_png(w, h, base)),
+        # near-dup of the group (one sampled cell flipped)
+        (4, build_png(w, h, bytes(tw))),
+        # unrelated
+        (5, build_png(w, h, bytes(rng.randrange(256)
+                                  for _ in range(w * h)))),
+        # two trivial 1x1 images — degenerate hash-0 group
+        (6, build_png(1, 1, b"a")), (7, build_png(1, 1, b"z")),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = image_dhash(blobs)
+
+    def comps(edges):
+        labeled = (
+            hashes.select("doc_id")
+            .join(connected_components(edges), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster", "doc_id").alias("cluster"))
+        )
+        return sorted(map(tuple, labeled.collect()))
+
+    full = comps(phash_near_dup_pairs(hashes).select("id_a", "id_b"))
+    lin = comps(phash_component_edges(hashes))
+    assert full == lin
+    # and the expected structure: {0,1,2,3,4} one cluster, {6,7} one
+    got = dict(full)
+    assert got[0] == got[1] == got[2] == got[3] == got[4] == 0
+    assert got[6] == got[7] == 6 and got[5] == 5
