@@ -166,7 +166,8 @@ def bucketed_orderkey_tables(spark: SparkSession, sf_dir: str,
 
 
 def _blob_layout(spark: SparkSession, sf_dir: str, prefix: str,
-                 make_df, schema, src_table: str = "documents") -> DataFrame:
+                 make_df, schema, src_table: str = "documents",
+                 partition_by: str | None = None) -> DataFrame:
     """Shared builder for MATERIALIZED blob layouts: parquet written
     once per (dataset, source mtime) under the silver root — the same
     atomic tmp+rename / stale-mtime-eviction contract as
@@ -185,7 +186,10 @@ def _blob_layout(spark: SparkSession, sf_dir: str, prefix: str,
     if not os.path.isdir(target):
         _ensure_silver_root()
         tmp = f"{target}.tmp.{os.getpid()}"
-        make_df().write.mode("overwrite").parquet(tmp)
+        writer = make_df().write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tmp)
         try:
             os.rename(tmp, target)
         except OSError:
@@ -747,3 +751,64 @@ def gif_anim_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blob_layout(spark, sf_dir, "gifanim1", make, schema).select(
         "doc_id", "payload"
     )
+
+
+def media_evidence_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDIA content-evidence INDEX as a materialized (doc_id,
+    hv, kind) parquet, PARTITIONED BY modality kind (prefix mevidx1):
+    every modality's perceptual fingerprint decoded + hashed ONCE per
+    documents mtime — ``phash`` = even docs' PNG dhash56, ``afp`` =
+    odd docs' WAV audio_fp56, ``vframe`` = DISTINCT stride-2 sampled
+    animation-frame dhash56 (one row per distinct frame hash per
+    doc). This is the state a production media corpus stores columnar
+    next to the blobs (a perceptual-hash index maintained at ingest);
+    the keep/ensemble endpoints read one kind-partition each
+    (directory pruning) instead of re-decoding LZW/Huffman streams
+    per query — the media twin of minhash_index_layout /
+    winnow_fp_layout. Hashes are deterministic functions of the
+    fixture text, so index-fed pipelines share the in-plan forms'
+    oracles (parity pinned by test_media_evidence_index_parity)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .multimodal import audio_fingerprint, image_dhash, video_frame_hashes
+    from .scale import widen_for_compute
+
+    def make():
+        mtime = _source_mtime(os.path.join(sf_dir, "documents.parquet"))
+        media = widen_for_compute(
+            media_blob_layout(spark, sf_dir).filter(F.col("text_len") > 0),
+            spark, cache_key=(sf_dir, "_mevidx_media", mtime),
+        )
+        anim = widen_for_compute(
+            gif_anim_blob_layout(spark, sf_dir),
+            spark, cache_key=(sf_dir, "_mevidx_anim", mtime),
+        )
+        ih = (
+            image_dhash(media.filter(F.col("doc_id") % 2 == 0)
+                        .select("doc_id", "payload"))
+            .filter(F.col("phash").isNotNull())
+            .select("doc_id", F.col("phash").alias("hv"),
+                    F.lit("phash").alias("kind"))
+        )
+        ah = (
+            audio_fingerprint(media.filter(F.col("doc_id") % 2 == 1)
+                              .select("doc_id", "payload"))
+            .filter(F.col("afp").isNotNull())
+            .select("doc_id", F.col("afp").alias("hv"),
+                    F.lit("afp").alias("kind"))
+        )
+        vh = (
+            video_frame_hashes(anim, stride=2)
+            .select("doc_id", F.col("fhash").alias("hv"))
+            .distinct()
+            .select("doc_id", "hv", F.lit("vframe").alias("kind"))
+        )
+        return ih.unionByName(ah).unionByName(vh)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("hv", LongType()),
+        StructField("kind", StringType()),
+    ])
+    return _blob_layout(spark, sf_dir, "mevidx1", make, schema,
+                        partition_by="kind")

@@ -5924,10 +5924,15 @@ def dedup_image_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     component-minimum representative and a keep/drop boolean,
     singletons keeping themselves — the exact shape of
     dedup_substring_keep, sharing its iterative min-label-propagation
-    operator and recursive-CTE oracle pattern. Scale shape: scan-local
-    hashing, one band-key shuffle, components propagate labels over
-    EDGES only (near-identical-group-sized, not corpus-sized), final
-    left join against the dup-sized label table.
+    operator and recursive-CTE oracle pattern. INDEX-FED (round 10,
+    like every keep endpoint): the hashes come from the kind='phash'
+    partition of the materialized perceptual-fingerprint index
+    (operators/silver.media_evidence_layout) — the per-run cost is a
+    directory-pruned narrow scan + one band-key shuffle + CC over
+    EDGES only (near-identical-group-sized, not corpus-sized) + the
+    final left join against the dup-sized label table; the PNG decode
+    runs once per documents mtime at index build (the from-raw decode
+    stays benched as dedup_image_phash).
 
     Scale guard: identical-hash groups (byte-identical or
     grid-coincident images) grow LINEARLY with the corpus, so the
@@ -5941,21 +5946,13 @@ def dedup_image_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         phash_near_dup_pairs,
     )
-    from ..operators.multimodal import image_dhash
-    from ..operators.silver import media_blob_layout
+    from ..operators.silver import media_evidence_layout
 
-    blobs = _widened_layout(
-        spark, sf_dir,
-        media_blob_layout(spark, sf_dir)
-        .filter((F.col("doc_id") % 2 == 0) & (F.col("text_len") > 0))
-        .select("doc_id", "payload"),
-        "media_png_ph",
+    hashes = _widened_layout(
+        spark, sf_dir, media_evidence_layout(spark, sf_dir), "mevidx"
+    ).filter(F.col("kind") == "phash").select(
+        "doc_id", F.col("hv").alias("phash")
     )
-    # persisted: the hash relation feeds the representative grouping,
-    # the pair evidence, and the keep domain — without it the Arrow
-    # decode kernel runs three times (same pattern as
-    # minhash_near_dups' persisted signatures).
-    hashes = image_dhash(blobs).persist()
     reps = (
         hashes.filter(F.col("phash").isNotNull())
         .groupBy("phash")
@@ -6425,12 +6422,81 @@ def dedup_media_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     animations, >= 2 shared frame hashes, hub cap 2..32) — resolved
     through one connected-components pass into component-minimum
     cluster labels; singletons keep themselves. The text-signal
-    analogue is dedup_ensemble_keep; this is its media twin, and the
-    oracle recomputes all three evidence graphs closed-form from the
-    fixture text plus the recursive-CTE closure. Scale shape: three
-    scan-local Arrow hash kernels, three bounded bucket/band
-    shuffles, CC over dup-sized edges, one corpus-keyed final left
-    join."""
+    analogue is dedup_ensemble_keep, and like it this endpoint is
+    INDEX-FED: all three evidence signals come from the materialized
+    perceptual-fingerprint index (operators/silver.
+    media_evidence_layout, partitioned by modality kind), so the
+    per-run cost is three kind-pruned narrow scans + the bounded
+    band/bucket shuffles + CC — never the LZW/Huffman decode chains,
+    which run once per documents mtime at index build (the from-raw
+    pipeline stays registered + probed as
+    dedup_media_ensemble_keep_inplan). The oracle recomputes all
+    three evidence graphs closed-form from the fixture text plus the
+    recursive-CTE closure. Scale shape: kind-partition directory
+    pruning per branch, CC over dup-sized edges, one corpus-keyed
+    final left join."""
+    from ..operators.dedup import (
+        connected_components,
+        phash_component_edges,
+    )
+    from ..operators.silver import media_blob_layout, media_evidence_layout
+
+    idx = _widened_layout(
+        spark, sf_dir, media_evidence_layout(spark, sf_dir), "mevidx"
+    )
+    # image/audio evidence enters as COMPONENT-EQUIVALENT edges
+    # (rep-collapsed ball + member stars, phash_component_edges):
+    # identical-hash groups — byte-identical or grid-coincident media
+    # — grow linearly with the corpus, and all-pairs edges inside
+    # them would be quadratic CC input for the same components.
+    iedges = phash_component_edges(
+        idx.filter(F.col("kind") == "phash")
+        .select("doc_id", F.col("hv").alias("phash")),
+        max_hamming=3,
+    )
+    aedges = phash_component_edges(
+        idx.filter(F.col("kind") == "afp")
+        .select("doc_id", F.col("hv").alias("afp")),
+        max_hamming=3, hash_col="afp",
+    )
+    vpairs = _winnow_pairs_from_index(
+        idx.filter(F.col("kind") == "vframe")
+        .select("doc_id", F.col("hv").alias("fp"))
+    )
+    pairs = (
+        iedges.unionByName(aedges)
+        .unionByName(vpairs.select("id_a", "id_b"))
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    cluster = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        media_blob_layout(spark, sf_dir)
+        .filter(F.col("text_len") > 0)
+        .select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            (cluster == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_media_ensemble_keep_inplan",
+    oracle=REGISTRY["dedup_media_ensemble_keep"].oracle,
+)
+def dedup_media_ensemble_keep_inplan(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """dedup_media_ensemble_keep built FROM RAW BLOBS — the decode
+    benchmark form (all three Arrow decode+hash kernels run in-plan)
+    kept registered for continuity, the same role
+    dedup_embedding_ann_inplan plays for the embedding path. Shares
+    the index-fed default's oracle: the index rows are deterministic
+    functions of the blobs, so the two forms are value-identical
+    (parity also pinned by test_media_evidence_index_parity)."""
     from ..operators.dedup import (
         connected_components,
         phash_component_edges,
@@ -6455,11 +6521,6 @@ def dedup_media_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anim = _widened_layout(spark, sf_dir,
                            gif_anim_blob_layout(spark, sf_dir), "gifanim")
-    # image/audio evidence enters as COMPONENT-EQUIVALENT edges
-    # (rep-collapsed ball + member stars, phash_component_edges):
-    # identical-hash groups — byte-identical or grid-coincident media
-    # — grow linearly with the corpus, and all-pairs edges inside
-    # them would be quadratic CC input for the same components.
     iedges = phash_component_edges(image_dhash(png), max_hamming=3)
     aedges = phash_component_edges(audio_fingerprint(wav), max_hamming=3,
                                    hash_col="afp")
@@ -6467,6 +6528,10 @@ def dedup_media_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_hashes(anim, stride=2)
         .select("doc_id", F.col("fhash").alias("fp"))
         .distinct()
+        # persisted: guards the multi-frame LZW decode (the dominant
+        # constant the r10 media probe measured at 100x) against
+        # re-evaluation across plan branches.
+        .persist()
     )
     vpairs = _winnow_pairs_from_index(vex)
     pairs = (

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""100x MEDIA dedup scale probe — the multimodal twin of
+scale_probe.py's corpus section.
+
+Replicates the sf0.1 documents corpus N-fold (scale_probe's planted
+replication: copy 0 original, copies 1..N-1 synthetic with 1% planted
+near-dups — the media fixtures are deterministic functions of the
+text, so replicated text IS a replicated media corpus) and measures
+the media dedup surface at both scales in one warmed session:
+
+- the three PAIR benches (dedup_image_phash / dedup_audio_fingerprint
+  / dedup_video_frames) stay IN-PLAN — they are the decode
+  benchmarks, and their cost is the Arrow decode+hash kernels;
+- the two KEEP endpoints (dedup_image_phash_keep /
+  dedup_media_ensemble_keep) are INDEX-FED since round 10: they read
+  the materialized perceptual-fingerprint index
+  (operators/silver.media_evidence_layout), so their per-run cost is
+  kind-pruned scans + banding + CC. The index build is
+  pre-materialized UNTIMED, like every other layout the probes treat
+  as ingest-maintained state (scale_probe.py main() does the same for
+  silver/bucketed/minhash/winnow/IVF layouts);
+- dedup_media_ensemble_keep_inplan is the from-raw baseline (all
+  three decode kernels in-plan) — the number that shows what the
+  index buys. ``--skip-inplan`` drops it (it is the one probe whose
+  100x cost is minutes, not seconds).
+
+Timing protocol: base_s = sf0.1 exec; scaled_s = first Nx exec (pays
+the Janino/JIT compile cliff); scaled_warm_s = immediate re-exec;
+ratio_warm = scaled_warm_s / base_s. Writes one JSON to stdout.
+
+Usage: python scripts/media_probe.py [--copies N] [--skip-inplan]
+                                     [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# scale_probe reads --copies from argv at import; media_probe shares
+# the flag, and the documents-only replication is exactly its
+# --skip-queries build (facts kept as originals, corpus replicated).
+if "--skip-queries" not in sys.argv:
+    sys.argv.append("--skip-queries")
+
+import scale_probe  # noqa: E402
+from logsdb_spark.registry import all_queries  # noqa: E402
+from logsdb_spark.session import get_spark  # noqa: E402
+
+PAIR_OPS = [
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "dedup_video_frames",
+]
+KEEP_OPS = [
+    "dedup_image_phash_keep",
+    "dedup_media_ensemble_keep",
+]
+INPLAN_OPS = ["dedup_media_ensemble_keep_inplan"]
+
+
+def main() -> int:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    spark = get_spark("media-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv and os.path.isdir(scale_probe.DST):
+        import shutil
+
+        shutil.rmtree(scale_probe.DST)
+    if not os.path.exists(scale_probe._SENTINEL):
+        scale_probe.build(spark)
+
+    from logsdb_spark.operators.silver import (
+        gif_anim_blob_layout,
+        media_blob_layout,
+        media_evidence_layout,
+    )
+
+    # Pre-materialize every layout UNTIMED for both datasets: the blob
+    # layouts are the stored input (a decode benchmark that synthesizes
+    # its corpus in-plan measures the encoder), and the evidence index
+    # is ingest-maintained state (the same contract scale_probe applies
+    # to the minhash/winnow/IVF indexes).
+    for d in (scale_probe.SRC, scale_probe.DST):
+        media_blob_layout(spark, d).limit(1).count()
+        gif_anim_blob_layout(spark, d).limit(1).count()
+        media_evidence_layout(spark, d).limit(1).count()
+
+    queries = all_queries()
+    ops = PAIR_OPS + KEEP_OPS
+    if "--skip-inplan" not in sys.argv:
+        ops = ops + INPLAN_OPS
+
+    results = {}
+    for name in ops:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, scale_probe.SRC).count()
+        base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, scale_probe.DST).count()
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, scale_probe.DST).count()
+        warm = time.perf_counter() - t0
+        results[name] = {
+            "base_s": round(base, 3),
+            "scaled_s": round(cold, 3),
+            "scaled_warm_s": round(warm, 3),
+            "ratio_warm": round(warm / base, 2),
+        }
+        print(f"{name}: base {base:.2f}s cold {cold:.2f}s "
+              f"warm {warm:.2f}s ratio_warm {warm / base:.2f}",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "copies": scale_probe.COPIES,
+        "note": (
+            "media ops at Nx docs; blob + evidence-index layouts "
+            "pre-materialized untimed (ingest-maintained state). Keep "
+            "endpoints are index-fed (media_evidence_layout); "
+            "_inplan is the from-raw decode baseline. "
+            "dedup_image_phash_pairs deliberately NOT probed: its "
+            "ANSWER is quadratic in identical-hash group size; "
+            "pipeline endpoints consume the linear component-"
+            "equivalent edges instead."
+        ),
+        "ops": results,
+    }, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

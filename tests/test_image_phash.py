@@ -313,3 +313,58 @@ def test_component_edges_equal_full_graph(spark):
     got = dict(full)
     assert got[0] == got[1] == got[2] == got[3] == got[4] == 0
     assert got[6] == got[7] == 6 and got[5] == 5
+
+
+def test_media_evidence_index_parity(spark):
+    """The materialized perceptual-fingerprint index
+    (operators/silver.media_evidence_layout) is row-for-row the
+    kernels' output: each kind-partition equals the corresponding
+    in-plan decode+hash relation, and the index-fed ensemble keep
+    equals the from-raw form — the contract that lets the keep
+    endpoints share the in-plan oracles."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.operators.multimodal import (
+        audio_fingerprint,
+        video_frame_hashes,
+    )
+    from logsdb_spark.operators.silver import (
+        gif_anim_blob_layout,
+        media_blob_layout,
+        media_evidence_layout,
+    )
+    from logsdb_spark.plans.extensions import (
+        dedup_media_ensemble_keep,
+        dedup_media_ensemble_keep_inplan,
+    )
+    from conftest import SF_DIR
+
+    idx = media_evidence_layout(spark, SF_DIR)
+    media = media_blob_layout(spark, SF_DIR).filter(F.col("text_len") > 0)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ih = image_dhash(
+        media.filter(F.col("doc_id") % 2 == 0).select("doc_id", "payload")
+    ).filter(F.col("phash").isNotNull())
+    assert rows(idx.filter(F.col("kind") == "phash")
+                .select("doc_id", "hv")) == rows(ih)
+
+    ah = audio_fingerprint(
+        media.filter(F.col("doc_id") % 2 == 1).select("doc_id", "payload")
+    ).filter(F.col("afp").isNotNull())
+    assert rows(idx.filter(F.col("kind") == "afp")
+                .select("doc_id", "hv")) == rows(ah)
+
+    vh = (
+        video_frame_hashes(gif_anim_blob_layout(spark, SF_DIR), stride=2)
+        .select("doc_id", F.col("fhash").alias("hv"))
+        .distinct()
+    )
+    assert rows(idx.filter(F.col("kind") == "vframe")
+                .select("doc_id", "hv")) == rows(vh)
+
+    fed = dedup_media_ensemble_keep(spark, SF_DIR)
+    raw = dedup_media_ensemble_keep_inplan(spark, SF_DIR)
+    assert rows(fed) == rows(raw)
