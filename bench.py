@@ -147,6 +147,10 @@ HEADLINE = [
     "multimodal_gif_frames_stats",
     "dedup_video_frames",
     "dedup_media_ensemble_keep",
+    # round-10: the corpus curator — all five dedup signals (text
+    # minhash/winnow + image/audio/video), one CC keep decision,
+    # fully index-fed
+    "dedup_corpus_keep",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -336,6 +340,18 @@ def warm_up(spark, sf_dir: str) -> None:
 
     touch_blobs(jpeg_progressive_blob_layout(spark, sf_dir))
     touch_blobs(png_interlaced_blob_layout(spark, sf_dir))
+    # round-10 fixtures: the 12-bit JPEG corpus and the animated-GIF
+    # corpus (multimodal_gif_frames_stats / dedup_video_frames)
+    from logsdb_spark.operators.silver import (
+        gif_anim_blob_layout, jpeg12_blob_layout, media_evidence_layout,
+    )
+
+    touch_blobs(jpeg12_blob_layout(spark, sf_dir))
+    touch_blobs(gif_anim_blob_layout(spark, sf_dir))
+    # round-10 media fingerprint index: the image/media keep
+    # endpoints read it (kind-pruned) — ingest-maintained state,
+    # same contract as the minhash/winnow indexes below
+    media_evidence_layout(spark, sf_dir).limit(1).count()
     # dedup index layouts (round 7): the keep queries read the stored
     # MinHash signature + winnow fingerprint indexes — production
     # maintains them at ingest, so their build is layout time

@@ -6551,3 +6551,126 @@ def dedup_media_ensemble_keep_inplan(spark: SparkSession,
         )
         .orderBy("doc_id")
     )
+
+
+# The corpus-keep oracle COMPOSES the two ensemble oracles verbatim:
+# the text evidence CTEs (mnorm..wpairs: exact-jaccard >= 0.6 word
+# bigrams + winnow span fingerprints) from dedup_ensemble_keep, and
+# the media evidence CTEs (base..vpairs: image dhash ball, audio
+# fingerprint ball, shared sampled frames) from
+# dedup_media_ensemble_keep — then one union + recursive closure over
+# all FIVE signals. Slicing the registered strings (instead of
+# copying 4.5 kB of SQL) keeps the three oracles in lockstep: an
+# evidence-pipeline change propagates here by construction, and the
+# driver's DuckDB run gates the composed result end to end. CTE
+# namespaces are disjoint (text m*/w*, media base/i*/a*/v*).
+_CORPUS_KEEP_SQL = (
+    REGISTRY["dedup_ensemble_keep"].oracle.split("allpairs AS (")[0]
+    .rstrip().rstrip(",")
+    + ",\n    "
+    + REGISTRY["dedup_media_ensemble_keep"].oracle
+    .split("WITH RECURSIVE", 1)[1].split("allp AS (")[0]
+    .strip().rstrip(",")
+    + """,
+    allsig AS (
+      SELECT id_a, id_b FROM mpairs
+      UNION SELECT id_a, id_b FROM wpairs
+      UNION SELECT id_a, id_b FROM ipairs
+      UNION SELECT id_a, id_b FROM apairs
+      UNION SELECT id_a, id_b FROM vpairs
+    ),
+    sedges AS (
+      SELECT id_a AS u, id_b AS v FROM allsig
+      UNION SELECT id_b, id_a FROM allsig
+    ),
+    sreach(u, v) AS (
+      SELECT u, v FROM sedges
+      UNION SELECT r.u, e.v FROM sreach r JOIN sedges e ON r.v = e.u
+    ),
+    scomp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM sreach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster,
+           (COALESCE(c.cluster, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN scomp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+)
+
+
+@register("dedup_corpus_keep", oracle=_CORPUS_KEEP_SQL)
+def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE corpus curator — one keep/drop decision per training
+    document across EVERY dedup signal the engine computes, text and
+    media: verified-jaccard MinHash near-dups, winnowing span
+    evidence, image perceptual-hash balls, audio fingerprint balls,
+    and shared-sampled-frame video pairs, all resolved through ONE
+    connected-components pass (transitive across signals AND
+    modalities: a doc whose text near-dups A and whose image matches
+    B merges all three into one group with one survivor — the
+    decision per-signal passes run in sequence get order-dependently
+    wrong). Fully INDEX-FED: the text signals read the MinHash/winnow
+    indexes, the media signals the perceptual-fingerprint index —
+    per-run cost is five narrow index scans + bounded band/bucket
+    shuffles + CC over dup-sized edges + one corpus-keyed left join;
+    no tokenize/decode chain runs in-plan. Scale shape: the superset
+    union of dedup_ensemble_keep and dedup_media_ensemble_keep, whose
+    per-signal postures the 100x probes pin individually."""
+    from ..operators.dedup import (
+        connected_components,
+        minhash_near_dups_prepared,
+        phash_component_edges,
+    )
+    from ..operators.silver import (
+        media_evidence_layout,
+        minhash_index_layout,
+        winnow_fp_layout,
+    )
+
+    mhidx = _widened_layout(
+        spark, sf_dir, minhash_index_layout(spark, sf_dir), "mhidx"
+    )
+    mh = minhash_near_dups_prepared(mhidx, threshold=0.6).select(
+        "id_a", "id_b"
+    )
+    sp = _winnow_pairs_from_index(
+        winnow_fp_layout(spark, sf_dir)
+    ).select("id_a", "id_b")
+    midx = _widened_layout(
+        spark, sf_dir, media_evidence_layout(spark, sf_dir), "mevidx"
+    )
+    iedges = phash_component_edges(
+        midx.filter(F.col("kind") == "phash")
+        .select("doc_id", F.col("hv").alias("phash")),
+        max_hamming=3,
+    )
+    aedges = phash_component_edges(
+        midx.filter(F.col("kind") == "afp")
+        .select("doc_id", F.col("hv").alias("afp")),
+        max_hamming=3, hash_col="afp",
+    )
+    vpairs = _winnow_pairs_from_index(
+        midx.filter(F.col("kind") == "vframe")
+        .select("doc_id", F.col("hv").alias("fp"))
+    ).select("id_a", "id_b")
+    edges = (
+        mh.unionByName(sp)
+        .unionByName(iedges)
+        .unionByName(aedges)
+        .unionByName(vpairs)
+        .distinct()
+    )
+    comp = connected_components(edges)
+    cluster = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            (cluster == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
