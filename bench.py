@@ -151,6 +151,9 @@ HEADLINE = [
     # minhash/winnow + image/audio/video), one CC keep decision,
     # fully index-fed
     "dedup_corpus_keep",
+    # round-10: product-quantization ANN (ADC over the materialized
+    # 4-bit code layout + exact rerank)
+    "ann_pq_adc",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -172,6 +175,9 @@ TRACKED_EXTRAS = [
     # keep queries read these indexes)
     "dedup_minhash_lsh_indexed",
     "dedup_substring_winnow_indexed",
+    # round-10: all-in-plan PQ derivation (ann_pq_adc is the HEADLINE
+    # entry reading the materialized codebook/code layouts)
+    "ann_pq_adc_lazy",
 ]
 
 
@@ -373,6 +379,14 @@ def warm_up(spark, sf_dir: str) -> None:
 
     ivf_assign_layout(spark, sf_dir).limit(1).count()
     ivf_quantized_layout(spark, sf_dir).limit(1).count()
+    # round-10 PQ layouts: the fitted subspace codebooks and the
+    # 4-bit code corpus (ann_pq_adc's ADC scan side)
+    from logsdb_spark.operators.silver import (
+        pq_code_layout, pq_codebook_layout,
+    )
+
+    pq_codebook_layout(spark, sf_dir).limit(1).count()
+    pq_code_layout(spark, sf_dir).limit(1).count()
 
 
 def streaming_bench(spark, sf_dir: str) -> dict:

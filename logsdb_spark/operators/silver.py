@@ -812,3 +812,71 @@ def media_evidence_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     return _blob_layout(spark, sf_dir, "mevidx1", make, schema,
                         partition_by="kind")
+
+
+def pq_codebook_layout(spark: SparkSession, sf_dir: str, m: int = 8,
+                       sub: int = 8, ks: int = 16) -> DataFrame:
+    """The FITTED product-quantization codebooks as a materialized
+    (j, cid, cv) parquet (prefix ``pqcb1_<m>_<ks>``) — the same
+    model-layout contract as kmeans_centroid_layout: fitted once per
+    embeddings mtime, values EXACTLY the lazy
+    operators/similarity.pq_codebooks output (rounded means
+    round-trip parquet bit-exactly), so consuming queries keep oracle
+    hash parity with the SQL-unrolled fit."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from .scale import widen_for_compute
+    from .similarity import pq_codebooks
+
+    def make():
+        emb = widen_for_compute(
+            load_table(spark, sf_dir, "embeddings"), spark,
+            cache_key=(sf_dir, "embeddings",
+                       _source_mtime(os.path.join(sf_dir, "embeddings.parquet"))),
+        )
+        return pq_codebooks(emb, m=m, sub=sub, ks=ks)
+
+    schema = StructType([
+        StructField("j", IntegerType()),
+        StructField("cid", LongType()),
+        StructField("cv", ArrayType(DoubleType())),
+    ])
+    return _blob_layout(spark, sf_dir, f"pqcb1_{m}_{ks}", make, schema,
+                        src_table="embeddings")
+
+
+def pq_code_layout(spark: SparkSession, sf_dir: str, m: int = 8,
+                   sub: int = 8, ks: int = 16) -> DataFrame:
+    """The PQ-ENCODED corpus as a materialized (vec_id, codes, nrm)
+    parquet (prefix ``pqcode1_<m>_<ks>``) — m small ints + one double
+    per vector, the ~32x-narrower relation a deployed PQ store scans
+    for ADC; built from pq_codebook_layout so the codes and the
+    stored codebooks always come from the same fit. Codes are
+    deterministic functions of the corpus, so ADC queries reading
+    this layout share the in-plan form's oracle."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from .scale import widen_for_compute
+    from .similarity import pq_codes
+
+    def make():
+        emb = widen_for_compute(
+            load_table(spark, sf_dir, "embeddings"), spark,
+            cache_key=(sf_dir, "embeddings",
+                       _source_mtime(os.path.join(sf_dir, "embeddings.parquet"))),
+        )
+        return pq_codes(emb, pq_codebook_layout(spark, sf_dir, m=m,
+                                                sub=sub, ks=ks),
+                        m=m, sub=sub)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+        StructField("nrm", DoubleType()),
+    ])
+    return _blob_layout(spark, sf_dir, f"pqcode1_{m}_{ks}", make, schema,
+                        src_table="embeddings")

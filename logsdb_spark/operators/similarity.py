@@ -848,3 +848,250 @@ def ivf_ann_topk_quantized(emb: DataFrame, probes: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 10): PQ codebooks + ADC top-k — the
+# billion-scale ANN compression standard (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search"): the vector is split into
+# m subspaces, each quantized against its own small codebook, and the
+# approximate score is a sum of per-subspace table lookups — the scan
+# reads m small ints per vector instead of dim floats.
+# ---------------------------------------------------------------------------
+
+
+def _argmin_code(sv_col: F.Column) -> F.Column:
+    """Nearest-codeword id from the broadcast ``_cbs`` row (an
+    array_sort'ed array of (cid, cv) structs): array_min over
+    (l2, cid) structs — lexicographic struct ordering gives lowest
+    squared-L2, ties broken toward the LOWEST cid — the same rule the
+    oracle's ROW_NUMBER(ORDER BY l2 ASC, cid ASC) uses."""
+    scored = F.transform(
+        F.col("_cbs"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(sv_col, c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("l2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(scored)["cid"]
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, sub: int = 8,
+                 ks: int = 16, round_dp: int = 6) -> DataFrame:
+    """Deterministic PQ codebook fit → (j, cid, cv): for each of the
+    ``m`` subspaces (dims [j·sub, (j+1)·sub)), ``ks`` codewords from
+    ONE Lloyd round of squared-L2 k-means over the even-vec_id sample
+    — the same deterministic-and-SQL-expressible recipe as
+    kmeans_centroids (init = first ``ks`` corpus subvectors by
+    vec_id; means rounded to ``round_dp`` so cross-engine double
+    summation order cannot break parity; codewords whose cell loses
+    every sample member drop out identically on both engines). Fully
+    lazy — no action at build time; operators/silver.pq_codebook_layout
+    materializes the fitted table once per embeddings mtime."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    frames = []
+    for j in range(m):
+        s = base.select(
+            "vec_id", F.slice("e", j * sub + 1, sub).alias("sv")
+        )
+        init = s.filter(F.col("vec_id") < ks).select(
+            F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+        )
+        cb_row = init.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("_cbs")
+        )
+        assigned = (
+            s.filter(F.col("vec_id") % 2 == 0)
+            .join(F.broadcast(cb_row))
+            .select("sv", _argmin_code(F.col("sv")).alias("cell"))
+        )
+        means = (
+            assigned.select("cell", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), round_dp).alias("mv"))
+        )
+        frames.append(
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda t: t["mv"],
+                ).alias("cv")
+            )
+            .select(F.lit(j).alias("j"), F.col("cell").alias("cid"), "cv")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def pq_codes(emb: DataFrame, codebooks: DataFrame, m: int = 8,
+             sub: int = 8) -> DataFrame:
+    """PQ-encode the corpus → (vec_id, codes, nrm): per vector the
+    array of ``m`` nearest-codeword ids (squared-L2 per subspace,
+    ties toward the lowest cid) plus the true L2 norm the ADC score
+    normalizes by. This narrow relation IS what a deployed PQ store
+    scans — m small ints + one double per vector; the full-precision
+    embedding is touched only for rerank survivors (pq_adc_topk
+    joins it back by vec_id)."""
+    cb_row = (
+        codebooks.groupBy("j")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cbj"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cbj"))),
+                lambda t: t["cbj"],
+            ).alias("_allcb")
+        )
+    )
+    base = _with_norm(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ),
+        "e",
+        "nrm",
+    )
+
+    def code_j(jj: int) -> F.Column:
+        sv = F.slice(F.col("e"), jj * sub + 1, sub)
+        scored = F.transform(
+            F.element_at(F.col("_allcb"), jj + 1),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(sv, c["cv"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("l2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(scored)["cid"]
+
+    return (
+        base.join(F.broadcast(cb_row))
+        .select(
+            "vec_id",
+            F.array(*[code_j(j).cast("int") for j in range(m)]).alias("codes"),
+            "nrm",
+        )
+    )
+
+
+def pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
+                m: int = 8, sub: int = 8, ks: int = 16,
+                rerank: int = 64,
+                codes_prepared: DataFrame | None = None,
+                codebooks_prepared: DataFrame | None = None) -> DataFrame:
+    """PQ top-k with ASYMMETRIC DISTANCE COMPUTATION + exact rerank:
+    the candidate scan reads only the (vec_id, codes, nrm) relation —
+    m 4-bit codes + a double per vector (32 information bits vs 2048
+    raw float bits) — scores every vector as the FIXED-ORDER sum of per-
+    subspace probe·codeword dots (the query side stays full
+    precision: ADC, not SDC), cuts the per-probe top-``rerank`` pool
+    on the rounded approximate cosine, and re-scores only the pool
+    against the full-precision embeddings (a broadcast pool-sized
+    join — the scan never rereads raw vectors).
+
+    Scale shape: codes scan is linear and embarrassingly parallel
+    (probes broadcast), no shuffle before the pool cut; at deployment
+    the ADC stage slots in as the in-cell candidate scorer of the IVF
+    paths (ivf_ann_topk_quantized's int8 scoring swapped for table
+    lookups). The approximate score is deterministic: per-subspace
+    dots summed in a FIXED left-to-right order (never a grouped SUM,
+    whose accumulation order differs between engines), rounded to 4
+    decimals before ranking with vec_id tiebreak — the oracle
+    replays the identical expression tree."""
+    cbs = codebooks_prepared
+    if cbs is None:
+        cbs = pq_codebooks(emb, m=m, sub=sub, ks=ks)
+    codes = codes_prepared
+    if codes is None:
+        codes = pq_codes(emb, cbs, m=m, sub=sub)
+
+    cb_row = (
+        cbs.groupBy("j")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cbj"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cbj"))),
+                lambda t: t["cbj"],
+            ).alias("_allcb")
+        )
+    )
+    pq = _with_norm(
+        probes.select(
+            "probe_id",
+            F.transform("probe_vec", lambda x: x.cast("double")).alias("pe"),
+        ),
+        "pe",
+        "_pn",
+    ).join(F.broadcast(cb_row))
+
+    def adc_j(jj: int) -> F.Column:
+        psub = F.slice(F.col("pe"), jj * sub + 1, sub)
+        code = F.element_at(F.col("codes"), jj + 1)
+        cw = F.element_at(
+            F.filter(
+                F.element_at(F.col("_allcb"), jj + 1),
+                lambda c: c["cid"] == code,
+            ),
+            1,
+        )["cv"]
+        return F.aggregate(
+            F.zip_with(psub, cw, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    approx = adc_j(0)
+    for j in range(1, m):
+        approx = approx + adc_j(j)
+
+    cand = codes.join(F.broadcast(pq)).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "pe", "_pn",
+        F.round(approx / (F.col("_pn") * F.col("nrm")), 4).alias("approx_cos"),
+    )
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    pool = (
+        cand.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= rerank)
+        .select("probe_id", "neighbor_id", "pe", "_pn")
+    )
+    full = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("fe"),
+        ),
+        "fe",
+        "_fn",
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pool.join(full, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("fe"), F.col("pe")) / (F.col("_fn") * F.col("_pn")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -239,6 +239,9 @@ CORPUS_QUERIES = [
     # contract is pinned by output-equality with the unquantized
     # path, test_ivf_quantized_matches_exact_topk)
     "ann_ivf_quantized",
+    # round-10: PQ/ADC over the materialized code layout (timing
+    # ratio only — recall pinned by gate_ann_pq_recall + pytest)
+    "ann_pq_adc",
 ]
 
 
@@ -364,6 +367,17 @@ def main() -> None:
     ivf_assign_layout(spark, DST).limit(1).count()
     ivf_quantized_layout(spark, SRC).limit(1).count()
     ivf_quantized_layout(spark, DST).limit(1).count()
+    # and the round-10 PQ layouts (ann_pq_adc reads the fitted
+    # codebooks + 4-bit code corpus)
+    from logsdb_spark.operators.silver import (
+        pq_code_layout,
+        pq_codebook_layout,
+    )
+
+    pq_codebook_layout(spark, SRC).limit(1).count()
+    pq_codebook_layout(spark, DST).limit(1).count()
+    pq_code_layout(spark, SRC).limit(1).count()
+    pq_code_layout(spark, DST).limit(1).count()
 
     results = {}
     queries = all_queries()

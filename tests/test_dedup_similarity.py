@@ -633,3 +633,45 @@ def test_ivf_verify_kernels_agree(spark):
             ivf_cell_near_dups(emb, threshold=0.3, verify="arrow").collect())
     )
     assert hof == arrow and hof
+
+
+def test_pq_adc_recall_floor(spark):
+    """PQ/ADC (m=8 8-dim subspaces, ks=16, rerank=64) recall@10 vs
+    exact measures 0.9 at sf0.01 on this near-isotropic corpus — the
+    documented worst case for coarse product quantizers. Floor at 0.7
+    as a regression check (mirrored by the oracle-gated
+    gate_ann_pq_recall)."""
+    from logsdb_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, SF_DIR_MED, "embeddings")
+    probes = _probes(emb)
+    ex = {(r.probe_id, r.neighbor_id)
+          for r in brute_force_topk(emb, probes, k=10).collect()}
+    ap = {(r.probe_id, r.neighbor_id)
+          for r in pq_adc_topk(emb, probes, k=10).collect()}
+    assert len(ap & ex) / len(ex) >= 0.7
+
+
+def test_pq_layouts_match_lazy_derivation(spark):
+    """The materialized PQ layouts are exactly the lazy fits' output:
+    codebooks row-for-row, codes row-for-row — the contract that lets
+    ann_pq_adc share ann_pq_adc_lazy's oracle."""
+    from logsdb_spark.operators.silver import (
+        pq_code_layout,
+        pq_codebook_layout,
+    )
+    from logsdb_spark.operators.similarity import pq_codebooks, pq_codes
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def rows(df):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        )
+
+    lazy_cb = pq_codebooks(emb)
+    assert rows(pq_codebook_layout(spark, SF_DIR)) == rows(lazy_cb)
+    assert rows(pq_code_layout(spark, SF_DIR)) == rows(
+        pq_codes(emb, lazy_cb)
+    )
