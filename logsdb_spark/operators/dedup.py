@@ -1256,11 +1256,23 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
     above n_bands-1 would make recall probabilistic; callers wanting
     a wider ball should raise the band count to max_hamming+1.
 
-    Buckets are NOT capped: a bucket's size is bounded by the true
-    near-identical group size (plus 14-bit background collisions,
-    ~n/16384 per band), and unlike the winnow hub caps there is no
-    "boilerplate" regime to discard — identical tiny images ARE the
-    duplicate structure. Returns (id_a, id_b, hamming), id_a < id_b.
+    Buckets are NOT capped — unlike the winnow hub caps there is no
+    "boilerplate" regime to discard (identical tiny images ARE the
+    duplicate structure), and the oracle is the brute-force self-join
+    so dropping a bucket would break parity. But bucket SIZE is not
+    bounded by n/16384 background collisions either: perceptual
+    hashes are low-entropy on structured corpora (tiny/flat images
+    concentrate near zero), so one band value can collect tens of
+    thousands of DISTINCT hashes. Two-regime pair emit (round 10 —
+    the 100x media probe OOM'd the in-row form on exactly such a
+    bucket): buckets <= ``in_row_bucket`` members emit pairs as an
+    in-row nested transform (one shuffle, no join — the common case);
+    larger buckets re-explode their members and self-join on the
+    bucket key, which STREAMS the quadratic candidate space through
+    the Hamming verify instead of materializing C(n,2) structs in a
+    single row. The verify runs BEFORE the distinct in both regimes,
+    so far pairs die in the emit stage and never shuffle. Returns
+    (id_a, id_b, hamming), id_a < id_b.
 
     Null hashes (undecodable payloads) are dropped before banding."""
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
@@ -1285,25 +1297,52 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
             F.collect_set(F.struct("_id", "_ph"))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (a, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), "
-                "b -> struct(a._id AS id_a, b._id AS id_b, "
-                "a._ph AS ph_a, b._ph AS ph_b))))"
+    in_row_bucket = 256
+
+    def verified(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn(
+                "hamming",
+                F.bit_count(
+                    F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+                ).cast("long"),
             )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b", "p.ph_a", "p.ph_b").distinct()
-    return (
-        pairs.select(
-            "id_a", "id_b",
-            F.bit_count(
-                F.col("ph_a").bitwiseXOR(F.col("ph_b"))
-            ).cast("long").alias("hamming"),
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
         )
-        .filter(F.col("hamming") <= max_hamming)
+
+    small = verified(
+        buckets.filter(F.size("ms") <= in_row_bucket)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), "
+                    "b -> struct(a._id AS id_a, b._id AS id_b, "
+                    "a._ph AS ph_a, b._ph AS ph_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
     )
+    bigm = (
+        buckets.filter(F.size("ms") > in_row_bucket)
+        .select("bk", F.explode("ms").alias("m"))
+    )
+    big = verified(
+        bigm.select(
+            "bk", F.col("m._id").alias("id_a"), F.col("m._ph").alias("ph_a")
+        )
+        .join(
+            bigm.select(
+                "bk", F.col("m._id").alias("id_b"),
+                F.col("m._ph").alias("ph_b"),
+            ),
+            "bk",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return small.unionByName(big).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -368,3 +368,37 @@ def test_media_evidence_index_parity(spark):
     fed = dedup_media_ensemble_keep(spark, SF_DIR)
     raw = dedup_media_ensemble_keep_inplan(spark, SF_DIR)
     assert rows(fed) == rows(raw)
+
+
+def test_giant_bucket_streams_and_matches_bruteforce(spark):
+    """A band bucket larger than the in-row emit bound (256) routes
+    through the streamed bucket-key self-join and produces exactly
+    the brute-force pair set — the regime the 100x media probe OOM'd
+    before the two-regime emit. 300 hashes share band 0 (low 14 bits
+    zero) so ALL of them land in one 300-member bucket; expected
+    pairs computed brute-force in python."""
+    from pyspark.sql import functions as F
+
+    # low 14 bits zero -> band 0 value 0 for all; vary bits above so
+    # hashes are distinct, with planted near-pairs at hamming <= 3
+    hashes = []
+    for i in range(300):
+        base = (i // 2) << 20
+        hv = base | ((i % 2) << 14)  # adjacent ids differ in one bit
+        hashes.append((i, hv))
+    df = spark.createDataFrame(hashes, "doc_id long, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    exp = set()
+    for i in range(300):
+        for j in range(i + 1, 300):
+            h = bin(hashes[i][1] ^ hashes[j][1]).count("1")
+            if h <= 3:
+                exp.add((i, j, h))
+    # every id pairs with its one-bit twin, plus whatever nearby
+    # bases fall inside the radius-3 ball — the python brute force is
+    # the ground truth, the 150 twin pairs a subset sanity check
+    assert got == exp
+    assert {(2 * t, 2 * t + 1, 1) for t in range(150)} <= got
