@@ -156,12 +156,34 @@ PICKS = {
         "(gate_substring_winnow_recall)."
     ),
     "dedup_media_ensemble_keep": (
-        "Multimodal curator endpoint: three scan-local Arrow hash "
-        "kernels (image dHash, audio energy-envelope fingerprint, "
-        "stride-2 frame hashes), three bounded band/bucket shuffles, "
-        "one union, one connected-components pass over dup-sized "
-        "edges, one corpus-keyed final left join — no evidence "
-        "pipeline ever self-joins or reshuffles the blob corpus."
+        "Multimodal curator endpoint, INDEX-FED since late r10: three "
+        "kind-pruned scans of the materialized perceptual-fingerprint "
+        "index (PartitionFilters on the kind directory column — no "
+        "decode kernel in-plan; the from-raw baseline stays registered "
+        "as _inplan), three bounded band/bucket shuffles, one union, "
+        "one connected-components pass over dup-sized edges, one "
+        "corpus-keyed final left join."
+    ),
+    "dedup_corpus_keep": (
+        "THE corpus curator (late r10): all FIVE dedup signals — "
+        "verified-jaccard MinHash + winnow spans from the text "
+        "indexes, image/audio Hamming balls + shared video frames "
+        "from the media fingerprint index — unioned into ONE "
+        "connected-components pass, so dup groups merge transitively "
+        "across signals AND modalities. Fully index-fed: five narrow "
+        "index scans, bounded shuffles, CC over dup-sized edges, one "
+        "corpus-keyed left join; no tokenize/decode chain in-plan."
+    ),
+    "ann_pq_adc": (
+        "Product-quantization ANN with asymmetric distance "
+        "computation (late r10): the candidate scan reads ONLY the "
+        "materialized (vec_id, codes, nrm) layout — m=8 4-bit codes "
+        "per vector, 32 information bits vs 2048 raw — probes "
+        "broadcast, fixed-order per-subspace lookup-sum score, "
+        "per-probe 64-pool cut, exact rerank joins full-precision "
+        "vectors for pool rows only. Linear scan, no shuffle before "
+        "the pool cut; at 100 TB ADC slots in as the in-cell scorer "
+        "of the IVF paths."
     ),
     "multimodal_gif_frames_stats": (
         "REAL multi-frame animation decode: materialized blob layout, "
