@@ -710,7 +710,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     bc = F.broadcast if small else (lambda df: df)
     conf_saved: dict[str, str] = {}
     if small:
-        loop_parts = max(1, int(n_edges) // 2_000_000)
+        # width scales with measured edge volume: ~150k directed-edge
+        # rows per task keeps tiny dup graphs at 1 partition (pure
+        # scheduling latency, the r8 calibration) while a 700k-edge
+        # graph — the media ensemble's star-reduced evidence at 100x —
+        # gets real parallelism instead of one 1.4M-row thread per
+        # round (measured 35s -> the width fix is ~3x there), capped
+        # at cluster parallelism.
+        loop_parts = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            int(n_edges) // 150_000 + 1,
+        ))
         conf_saved = {
             "spark.sql.adaptive.enabled":
                 spark.conf.get("spark.sql.adaptive.enabled"),
@@ -1362,24 +1372,26 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
 
 
 def _bucket_spanning_forest(tagged: DataFrame) -> DataFrame:
-    """Per-bucket SPANNING FOREST of a verified pair relation
+    """Per-bucket COMPONENT STARS of a verified pair relation
     (bk, id_a, id_b) → (id_a, id_b): union-find inside one
-    Arrow-grouped kernel per bucket, emitting only the <= n-1 edges
-    that first connect two components. Connected components over the
-    forest equal components over the full pair set (a spanning forest
-    preserves each bucket-subgraph's connectivity; cross-bucket
-    connectivity rides the union over buckets), while the CC input
-    drops from ball-quadratic to node-linear — the audio fingerprint
-    ball at 100x measured 6.5M verified pairs whose CC cost dominated
-    the media ensemble keep; the forest feeds CC ~0.2M. Python is
-    acceptable here because the kernel runs once per bucket over
-    Arrow batches and its input is the already-banded verified pair
-    set, not the corpus. WHICH forest edges surface depends on row
-    order (nondeterministic), but every consumer derives component
-    LABELS, which are order-invariant."""
+    Arrow-grouped kernel per bucket, then ONE star edge per non-root
+    node (bucket-component minimum ↔ member). Connected components
+    over the stars equal components over the full pair set (a star
+    preserves each bucket-subgraph component's connectivity exactly;
+    cross-bucket connectivity rides the union over buckets), while
+    the CC input drops from ball-quadratic to node-linear — the audio
+    fingerprint ball at 100x measured 6.5M verified pairs whose CC
+    cost dominated the media ensemble keep. Stars, not raw tree
+    edges: union-find's first-connecting edges form DEEP chains on
+    dense balls, and the downstream min-label loop pays one round per
+    diameter (measured 60s at 100x — the star form converges in ~2).
+    Output is DETERMINISTIC (root = component minimum, one edge per
+    member) even though union-find visit order is not. Python is
+    acceptable here because the kernel runs once per bucket over the
+    already-banded verified pair set, not the corpus."""
     import pandas as pd
 
-    def forest(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def stars(pdf: "pd.DataFrame") -> "pd.DataFrame":
         parent: dict = {}
 
         def find(x):
@@ -1390,17 +1402,21 @@ def _bucket_spanning_forest(tagged: DataFrame) -> DataFrame:
                 parent[x], x = root, parent[x]
             return root
 
-        out_a, out_b = [], []
         for a, b in zip(pdf["id_a"], pdf["id_b"]):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-                out_a.append(a)
-                out_b.append(b)
+        nodes = set(pdf["id_a"]).union(pdf["id_b"])
+        out_a, out_b = [], []
+        for n in nodes:
+            r = find(n)
+            if r != n:
+                out_a.append(r)
+                out_b.append(n)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return tagged.select("bk", "id_a", "id_b").groupBy("bk").applyInPandas(
-        forest, "id_a long, id_b long"
+        stars, "id_a long, id_b long"
     )
 
 
