@@ -1297,9 +1297,11 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
                            hash_col: str = "phash") -> DataFrame:
     """The banded Hamming-ball pipeline shared by phash_near_dup_pairs
     (which distincts away the bucket tag) and phash_component_edges
-    (whose per-bucket spanning-forest reduction needs it): returns
-    (bk, id_a, id_b, hamming) — one row per verified pair PER
-    surfacing bucket, id_a < id_b."""
+    (whose per-bucket star reduction needs it): returns (bk, id_a,
+    id_b, hamming, big) — one row per verified pair PER surfacing
+    bucket, id_a < id_b; ``big`` marks pairs from buckets above the
+    in-row emit bound (the only ones whose pair volume warrants the
+    Arrow union-find pass downstream)."""
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_ph")
     )
@@ -1333,7 +1335,7 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
                 ).cast("long"),
             )
             .filter(F.col("hamming") <= max_hamming)
-            .select("bk", "id_a", "id_b", "hamming")
+            .select("bk", "id_a", "id_b", "hamming", "big")
         )
 
     small = verified(
@@ -1349,7 +1351,8 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
                 )
             ).alias("p"),
         )
-        .select("bk", "p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
+        .select("bk", "p.id_a", "p.id_b", "p.ph_a", "p.ph_b",
+                F.lit(False).alias("big"))
     )
     bigm = (
         buckets.filter(F.size("ms") > in_row_bucket)
@@ -1367,6 +1370,7 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
             "bk",
         )
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("big", F.lit(True))
     )
     return small.unionByName(big)
 
@@ -1597,12 +1601,14 @@ def phash_component_edges(hashes: DataFrame, max_hamming: int = 3,
     (every pair is a true near-dup; see dedup_image_phash_pairs'
     docstring for the honest-answer-size discussion).
 
-    The representatives' Hamming ball itself enters as a per-bucket
-    SPANNING FOREST (_bucket_spanning_forest) rather than the full
-    verified pair set: dense hash spaces make the ball quadratic too
-    (the audio envelope ball measured 6.5M verified pairs at 100x —
-    CC over them dominated the ensemble keep), and any spanning
-    forest yields identical components at node-linear CC input."""
+    The representatives' Hamming ball enters with its BIG-regime
+    buckets reduced to per-bucket component stars
+    (_bucket_spanning_forest): dense hash spaces make the ball
+    quadratic (the audio envelope ball measured 6.5M verified pairs
+    at 100x — CC over them dominated the ensemble keep), and a
+    bucket-component star yields identical components at node-linear
+    CC input. Small buckets' pairs enter as-is — already
+    near-linear, not worth the Arrow round trip."""
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col("doc_id"), F.col(hash_col).alias("_ph")
     )
@@ -1613,11 +1619,16 @@ def phash_component_edges(hashes: DataFrame, max_hamming: int = 3,
         .select(F.col("rep_id").alias("id_a"),
                 F.col("doc_id").alias("id_b"))
     )
-    ball = _bucket_spanning_forest(
-        _banded_verified_pairs(
-            reps.select(F.col("rep_id").alias("doc_id"),
-                        F.col("_ph").alias(hash_col)),
-            max_hamming=max_hamming, hash_col=hash_col,
-        )
+    tagged = _banded_verified_pairs(
+        reps.select(F.col("rep_id").alias("doc_id"),
+                    F.col("_ph").alias(hash_col)),
+        max_hamming=max_hamming, hash_col=hash_col,
     )
-    return star.unionByName(ball)
+    # Small buckets' verified pairs enter AS-IS (their volume is
+    # already near-linear and the Arrow round trip would cost more
+    # than it saves); only big-regime buckets — the ball-quadratic
+    # ones — go through the star reduction. On a corpus with no
+    # monster buckets the kernel sees an empty frame.
+    ball_small = tagged.filter(~F.col("big")).select("id_a", "id_b")
+    ball_big = _bucket_spanning_forest(tagged.filter(F.col("big")))
+    return star.unionByName(ball_small).unionByName(ball_big)
