@@ -1294,14 +1294,20 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
 
 def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
                            id_col: str = "doc_id",
-                           hash_col: str = "phash") -> DataFrame:
+                           hash_col: str = "phash",
+                           regime: str = "all") -> DataFrame:
     """The banded Hamming-ball pipeline shared by phash_near_dup_pairs
     (which distincts away the bucket tag) and phash_component_edges
     (whose per-bucket star reduction needs it): returns (bk, id_a,
-    id_b, hamming, big) — one row per verified pair PER surfacing
-    bucket, id_a < id_b; ``big`` marks pairs from buckets above the
-    in-row emit bound (the only ones whose pair volume warrants the
-    Arrow union-find pass downstream)."""
+    id_b, hamming) — one row per verified pair PER surfacing bucket,
+    id_a < id_b. ``regime`` selects which bucket population to emit:
+    "small" = in-row emit over buckets <= the in-row bound, "big" =
+    streamed self-join over the rest, "all" = the union. Callers that
+    need both populations SEPARATELY ask for each regime rather than
+    filtering a tag column on the union — a filter on the unioned
+    frame re-evaluates the whole pipeline (both branches' verifies)
+    per reference, which doubled the media ensemble keep when the
+    component-edge path did exactly that."""
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_ph")
     )
@@ -1335,7 +1341,7 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
                 ).cast("long"),
             )
             .filter(F.col("hamming") <= max_hamming)
-            .select("bk", "id_a", "id_b", "hamming", "big")
+            .select("bk", "id_a", "id_b", "hamming")
         )
 
     small = verified(
@@ -1351,9 +1357,8 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
                 )
             ).alias("p"),
         )
-        .select("bk", "p.id_a", "p.id_b", "p.ph_a", "p.ph_b",
-                F.lit(False).alias("big"))
-    )
+        .select("bk", "p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
+    ) if regime in ("all", "small") else None
     bigm = (
         buckets.filter(F.size("ms") > in_row_bucket)
         .select("bk", F.explode("ms").alias("m"))
@@ -1370,8 +1375,11 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
             "bk",
         )
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("big", F.lit(True))
-    )
+    ) if regime in ("all", "big") else None
+    if regime == "small":
+        return small
+    if regime == "big":
+        return big
     return small.unionByName(big)
 
 
@@ -1619,16 +1627,21 @@ def phash_component_edges(hashes: DataFrame, max_hamming: int = 3,
         .select(F.col("rep_id").alias("id_a"),
                 F.col("doc_id").alias("id_b"))
     )
-    tagged = _banded_verified_pairs(
-        reps.select(F.col("rep_id").alias("doc_id"),
-                    F.col("_ph").alias(hash_col)),
-        max_hamming=max_hamming, hash_col=hash_col,
-    )
+    rep_hashes = reps.select(F.col("rep_id").alias("doc_id"),
+                             F.col("_ph").alias(hash_col))
     # Small buckets' verified pairs enter AS-IS (their volume is
     # already near-linear and the Arrow round trip would cost more
     # than it saves); only big-regime buckets — the ball-quadratic
     # ones — go through the star reduction. On a corpus with no
-    # monster buckets the kernel sees an empty frame.
-    ball_small = tagged.filter(~F.col("big")).select("id_a", "id_b")
-    ball_big = _bucket_spanning_forest(tagged.filter(F.col("big")))
+    # monster buckets the kernel sees an empty frame. Each regime is
+    # built as its OWN branch (never a filter over the union — that
+    # re-evaluates both verifies per reference).
+    ball_small = _banded_verified_pairs(
+        rep_hashes, max_hamming=max_hamming, hash_col=hash_col,
+        regime="small",
+    ).select("id_a", "id_b")
+    ball_big = _bucket_spanning_forest(_banded_verified_pairs(
+        rep_hashes, max_hamming=max_hamming, hash_col=hash_col,
+        regime="big",
+    ))
     return star.unionByName(ball_small).unionByName(ball_big)
