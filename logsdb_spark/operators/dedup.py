@@ -1292,22 +1292,16 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
     )
 
 
-def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
-                           id_col: str = "doc_id",
-                           hash_col: str = "phash",
-                           regime: str = "all") -> DataFrame:
-    """The banded Hamming-ball pipeline shared by phash_near_dup_pairs
-    (which distincts away the bucket tag) and phash_component_edges
-    (whose per-bucket star reduction needs it): returns (bk, id_a,
-    id_b, hamming) — one row per verified pair PER surfacing bucket,
-    id_a < id_b. ``regime`` selects which bucket population to emit:
-    "small" = in-row emit over buckets <= the in-row bound, "big" =
-    streamed self-join over the rest, "all" = the union. Callers that
-    need both populations SEPARATELY ask for each regime rather than
-    filtering a tag column on the union — a filter on the unioned
-    frame re-evaluates the whole pipeline (both branches' verifies)
-    per reference, which doubled the media ensemble keep when the
-    component-edge path did exactly that."""
+def _hamming_buckets(hashes: DataFrame, max_hamming: int,
+                     id_col: str = "doc_id",
+                     hash_col: str = "phash") -> DataFrame:
+    """The shared LSH bucketing both Hamming-ball consumers start
+    from: band the 56-bit hash into max(4, r+1) slices, bucket on
+    (band, slice value), keep buckets with >= 2 members → (bk, ms)
+    where ms is the sorted (_id, _ph) member set. ONE shuffle on the
+    band key; the pigeonhole guarantee (a pair within distance r
+    differs in at most r of the r+1 bands, so at least one band
+    matches) makes downstream recall EXACT at the default radius."""
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_ph")
     )
@@ -1324,12 +1318,33 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
             for b in range(n_bands)
         ])).alias("bk"),
     )
-    buckets = (
+    return (
         banded.groupBy("bk")
         .agg(F.array_sort(
             F.collect_set(F.struct("_id", "_ph"))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
+
+
+def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
+                           id_col: str = "doc_id",
+                           hash_col: str = "phash") -> DataFrame:
+    """The banded Hamming-ball PAIR pipeline behind
+    phash_near_dup_pairs (which distincts away the bucket tag):
+    returns (bk, id_a, id_b, hamming) — one row per verified pair PER
+    surfacing bucket, id_a < id_b. Two-regime pair emit (the 100x
+    media probe OOM'd the in-row form on a monster bucket): buckets
+    <= the in-row bound emit pairs as an in-row nested transform (no
+    join — the common case); larger buckets re-explode their members
+    and self-join on the bucket key, which STREAMS the quadratic
+    candidate space through the Hamming verify instead of
+    materializing C(n,2) structs in a single row. The verify runs
+    BEFORE the distinct in both regimes, so far pairs die in the emit
+    stage and never shuffle. (The component-edge path no longer rides
+    this relation — _bucket_component_stars fuses verify + CC in one
+    Arrow kernel per bucket — so only the pair QUERY, whose output
+    contract is the actual pair set, pays the quadratic emit.)"""
+    buckets = _hamming_buckets(hashes, max_hamming, id_col, hash_col)
     in_row_bucket = 256
 
     def verified(cand: DataFrame) -> DataFrame:
@@ -1358,7 +1373,7 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
             ).alias("p"),
         )
         .select("bk", "p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
-    ) if regime in ("all", "small") else None
+    )
     bigm = (
         buckets.filter(F.size("ms") > in_row_bucket)
         .select("bk", F.explode("ms").alias("m"))
@@ -1375,59 +1390,134 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
             "bk",
         )
         .filter(F.col("id_a") < F.col("id_b"))
-    ) if regime in ("all", "big") else None
-    if regime == "small":
-        return small
-    if regime == "big":
-        return big
+    )
     return small.unionByName(big)
 
 
-def _bucket_spanning_forest(tagged: DataFrame) -> DataFrame:
-    """Per-bucket COMPONENT STARS of a verified pair relation
-    (bk, id_a, id_b) → (id_a, id_b): union-find inside one
-    Arrow-grouped kernel per bucket, then ONE star edge per non-root
-    node (bucket-component minimum ↔ member). Connected components
-    over the stars equal components over the full pair set (a star
-    preserves each bucket-subgraph component's connectivity exactly;
-    cross-bucket connectivity rides the union over buckets), while
-    the CC input drops from ball-quadratic to node-linear — the audio
-    fingerprint ball at 100x measured 6.5M verified pairs whose CC
-    cost dominated the media ensemble keep. Stars, not raw tree
-    edges: union-find's first-connecting edges form DEEP chains on
-    dense balls, and the downstream min-label loop pays one round per
-    diameter (measured 60s at 100x — the star form converges in ~2).
-    Output is DETERMINISTIC (root = component minimum, one edge per
-    member) even though union-find visit order is not. Python is
-    acceptable here because the kernel runs once per bucket over the
-    already-banded verified pair set, not the corpus."""
+def _popcount_u64(x: "object") -> "object":
+    """Vectorized SWAR popcount over a uint64 ndarray (numpy 1.x has
+    no np.bitwise_count): five passes over the matrix, no 8x uint8
+    expansion — the classic bit-parallel reduction."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    one, two, four, s56 = (np.uint64(1), np.uint64(2), np.uint64(4),
+                           np.uint64(56))
+    x = x - ((x >> one) & m1)
+    x = (x & m2) + ((x >> two) & m2)
+    x = (x + (x >> four)) & m4
+    return (x * h01) >> s56
+
+
+def _bucket_component_stars(members: DataFrame, max_hamming: int,
+                            edge_cap: int = 50_000_000) -> DataFrame:
+    """Per-bucket Hamming-ball verify + connected components FUSED in
+    one Arrow kernel → COMPONENT STARS (id_a=root, id_b=member), root
+    = component-minimum id. Input: (bk, _id, _ph) member rows of the
+    >= 2-member LSH buckets (_hamming_buckets exploded). Replaces the
+    round-10 two-stage shape (streamed SQL self-join verify → 6.5M
+    verified-pair rows shuffled into a per-bucket union-find kernel):
+    the pairwise distances are computed as chunked numpy XOR +
+    SWAR-popcount matrix sweeps — the whole candidate space stays in
+    one cache-resident vectorized pass per chunk instead of B^2
+    codegen rows through an Exchange — and the verified pairs feed a
+    vectorized min-label CC WITHOUT leaving the kernel, so the pair
+    set is never serialized at all. Connected components over the
+    emitted stars equal components over the full verified pair set (a
+    star preserves each bucket-subgraph component's connectivity
+    exactly; cross-bucket connectivity rides the union over buckets
+    — same argument as the r10 spanning-forest form, components
+    count-checked identical at 100x).
+
+    In-kernel CC: verified pairs accumulate as int32 INDEX arrays;
+    labels (initialized to member ids, ascending-sorted) iterate
+    new = min(label, min over neighbor labels, label[label]) — the
+    neighbor min via one argsort/unique done ONCE then a
+    C-contiguous minimum.reduceat per round, plus a searchsorted
+    pointer jump — until fixpoint. Monotone-decreasing over a finite
+    lattice, so termination is guaranteed; root = component minimum
+    makes the output DETERMINISTIC regardless of chunk order.
+
+    Memory bound (the r10 advice's single-task-heap concern, now
+    explicit): the distance sweep is chunked to a ~64 MiB XOR matrix,
+    and the verified-pair index arrays are the only quadratic-growth
+    state (8 bytes/pair; 6.5M pairs measured at 100x = 52 MB). If a
+    bucket ever exceeds ``edge_cap`` pairs (~400 MB), the kernel
+    DROPS the materialized edges and switches to a recompute regime:
+    per CC round it re-sweeps the distance chunks and folds each
+    row's masked neighbor-label minimum directly — no edge state at
+    all, trading ~diameter extra sweeps for a flat memory ceiling."""
+    import numpy as np
     import pandas as pd
 
     def stars(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        parent: dict = {}
+        ids = pdf["_id"].to_numpy(np.int64)
+        n = ids.size
+        empty = pd.DataFrame({"id_a": np.empty(0, np.int64),
+                              "id_b": np.empty(0, np.int64)})
+        if n < 2:
+            return empty
+        order = np.argsort(ids)
+        ids = ids[order]
+        ph = pdf["_ph"].to_numpy(np.int64)[order].view(np.uint64)
+        labels = ids.copy()
+        chunk = max(1, (8 << 20) // n)
+        ei_parts, ej_parts, total = [], [], 0
+        materialized = True
+        for s in range(0, n, chunk):
+            d = _popcount_u64(ph[s:s + chunk, None] ^ ph[None, :])
+            ii, jj = np.nonzero(d <= max_hamming)
+            ii = (ii + s).astype(np.int32)
+            jj = jj.astype(np.int32)
+            keep = ii < jj
+            ei_parts.append(ii[keep])
+            ej_parts.append(jj[keep])
+            total += int(keep.sum())
+            if total > edge_cap:
+                materialized = False
+                ei_parts = ej_parts = None
+                break
+        if materialized:
+            ei = np.concatenate(ei_parts) if ei_parts else (
+                np.empty(0, np.int32))
+            ej = np.concatenate(ej_parts) if ej_parts else (
+                np.empty(0, np.int32))
+            if ei.size == 0:
+                return empty
+            dst = np.concatenate([ej, ei])
+            src = np.concatenate([ei, ej])
+            o2 = np.argsort(dst, kind="stable")
+            dsts = dst[o2]
+            srcs = src[o2]
+            uniq, starts = np.unique(dsts, return_index=True)
+            while True:
+                mins = np.minimum.reduceat(labels[srcs], starts)
+                new = labels.copy()
+                new[uniq] = np.minimum(new[uniq], mins)
+                new = np.minimum(new, new[np.searchsorted(ids, new)])
+                if np.array_equal(new, labels):
+                    break
+                labels = new
+        else:
+            while True:
+                new = labels.copy()
+                for s in range(0, n, chunk):
+                    d = _popcount_u64(ph[s:s + chunk, None] ^ ph[None, :])
+                    lab = np.where(d <= max_hamming, labels[None, :],
+                                   np.iinfo(np.int64).max)
+                    np.minimum(new[s:s + chunk], lab.min(axis=1),
+                               out=new[s:s + chunk])
+                new = np.minimum(new, new[np.searchsorted(ids, new)])
+                if np.array_equal(new, labels):
+                    break
+                labels = new
+        mask = labels != ids
+        return pd.DataFrame({"id_a": labels[mask], "id_b": ids[mask]})
 
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for a, b in zip(pdf["id_a"], pdf["id_b"]):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        nodes = set(pdf["id_a"]).union(pdf["id_b"])
-        out_a, out_b = [], []
-        for n in nodes:
-            r = find(n)
-            if r != n:
-                out_a.append(r)
-                out_b.append(n)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    return tagged.select("bk", "id_a", "id_b").groupBy("bk").applyInPandas(
+    return members.groupBy("bk").applyInPandas(
         stars, "id_a long, id_b long"
     )
 
@@ -1609,14 +1699,19 @@ def phash_component_edges(hashes: DataFrame, max_hamming: int = 3,
     (every pair is a true near-dup; see dedup_image_phash_pairs'
     docstring for the honest-answer-size discussion).
 
-    The representatives' Hamming ball enters with its BIG-regime
-    buckets reduced to per-bucket component stars
-    (_bucket_spanning_forest): dense hash spaces make the ball
-    quadratic (the audio envelope ball measured 6.5M verified pairs
-    at 100x — CC over them dominated the ensemble keep), and a
-    bucket-component star yields identical components at node-linear
-    CC input. Small buckets' pairs enter as-is — already
-    near-linear, not worth the Arrow round trip."""
+    The representatives' Hamming ball enters as per-bucket COMPONENT
+    STARS from the fused verify+CC kernel (_bucket_component_stars,
+    round 11): dense hash spaces make the ball quadratic (the audio
+    envelope ball measured 6.5M verified pairs at 100x — the r10
+    streamed-SQL verify over those buckets was ~15 s of the 44 s
+    media keep), and the fused kernel keeps the whole quadratic
+    candidate space inside chunked numpy popcount sweeps, emitting
+    only node-linear stars. ALL dup buckets ride the one kernel —
+    the r10 small/big regime split (in-row SQL emit vs streamed
+    self-join) is gone from this path, so the banding shuffle is
+    built ONCE instead of once per regime (the r10 advice's
+    double-bucket-build), and there is no union of two branch
+    pipelines for Spark to re-evaluate."""
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col("doc_id"), F.col(hash_col).alias("_ph")
     )
@@ -1629,19 +1724,11 @@ def phash_component_edges(hashes: DataFrame, max_hamming: int = 3,
     )
     rep_hashes = reps.select(F.col("rep_id").alias("doc_id"),
                              F.col("_ph").alias(hash_col))
-    # Small buckets' verified pairs enter AS-IS (their volume is
-    # already near-linear and the Arrow round trip would cost more
-    # than it saves); only big-regime buckets — the ball-quadratic
-    # ones — go through the star reduction. On a corpus with no
-    # monster buckets the kernel sees an empty frame. Each regime is
-    # built as its OWN branch (never a filter over the union — that
-    # re-evaluates both verifies per reference).
-    ball_small = _banded_verified_pairs(
-        rep_hashes, max_hamming=max_hamming, hash_col=hash_col,
-        regime="small",
-    ).select("id_a", "id_b")
-    ball_big = _bucket_spanning_forest(_banded_verified_pairs(
-        rep_hashes, max_hamming=max_hamming, hash_col=hash_col,
-        regime="big",
-    ))
-    return star.unionByName(ball_small).unionByName(ball_big)
+    members = (
+        _hamming_buckets(rep_hashes, max_hamming, hash_col=hash_col)
+        .select("bk", F.explode("ms").alias("m"))
+        .select("bk", F.col("m._id").alias("_id"),
+                F.col("m._ph").alias("_ph"))
+    )
+    ball = _bucket_component_stars(members, max_hamming)
+    return star.unionByName(ball)

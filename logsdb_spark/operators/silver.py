@@ -220,11 +220,16 @@ def parquet_row_count(df: DataFrame) -> int | None:
     try:
         import pyarrow.parquet as pq
         total = 0
-        for f in os.listdir(target):
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(
-                    os.path.join(target, f)).metadata.num_rows
-        return total
+        # os.walk, not listdir: partitioned layouts (partition_by=
+        # 'kind' → kind=*/part-*.parquet) keep their files one level
+        # down, and a top-level-only scan would report 0 — which is
+        # falsy-distinct from the documented None fallback.
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)).metadata.num_rows
+        return total or None
     except Exception:
         return None
 

@@ -6564,6 +6564,20 @@ def dedup_media_ensemble_keep_inplan(spark: SparkSession,
 # evidence-pipeline change propagates here by construction, and the
 # driver's DuckDB run gates the composed result end to end. CTE
 # namespaces are disjoint (text m*/w*, media base/i*/a*/v*).
+# Fail FAST if either source oracle drifts away from the literal CTE
+# markers the composition slices on: str.split on a missing marker
+# silently returns the whole string, and the resulting malformed SQL
+# would only surface when the DuckDB oracle runs at driver-gate time.
+assert "allpairs AS (" in REGISTRY["dedup_ensemble_keep"].oracle, (
+    "dedup_ensemble_keep oracle lost the 'allpairs AS (' marker "
+    "_CORPUS_KEEP_SQL slices on"
+)
+assert "WITH RECURSIVE" in REGISTRY["dedup_media_ensemble_keep"].oracle and (
+    "allp AS (" in REGISTRY["dedup_media_ensemble_keep"].oracle
+), (
+    "dedup_media_ensemble_keep oracle lost the 'WITH RECURSIVE'/'allp AS (' "
+    "markers _CORPUS_KEEP_SQL slices on"
+)
 _CORPUS_KEEP_SQL = (
     REGISTRY["dedup_ensemble_keep"].oracle.split("allpairs AS (")[0]
     .rstrip().rstrip(",")

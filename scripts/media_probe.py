@@ -117,8 +117,72 @@ def main() -> int:
               f"warm {warm:.2f}s ratio_warm {warm / base:.2f}",
               file=sys.stderr)
 
+    # --- stride-vs-recall curve (round 11): the frame-sampling knob
+    # the video dedup exposes (LOGSDB_VIDEO_STRIDE). Per stride s:
+    # the pair pipeline timed at Nx, plus planted-twin recall against
+    # a participants-only exact ground truth (twin pairs sharing >= 2
+    # s-strided frame hashes, no hub cap) — the honest cost dial:
+    # decode cost falls ~s-fold, recall collapses once ceil(nf/s)
+    # drops below the 2-shared-frame contract (fixture nf <= 7, so
+    # stride 8 samples one frame per video and recall is 0 BY
+    # CONSTRUCTION, not by bug).
+    import pyspark.sql.functions as F
+
+    from logsdb_spark.operators.multimodal import video_frame_hashes
+    from logsdb_spark.plans.extensions import _winnow_pairs_from_index
+    from scale_probe import _participants
+
+    strides = {}
+    if "--skip-stride" not in sys.argv:
+        anim = gif_anim_blob_layout(spark, scale_probe.DST)
+        parts = _participants(spark, "documents", "doc_id")
+        part_anim = anim.join(parts.select("doc_id"), "doc_id")
+        for s in (2, 4, 8):
+            t0 = time.perf_counter()
+            ex = (
+                video_frame_hashes(anim, stride=s)
+                .select("doc_id", F.col("fhash").alias("fp"))
+                .distinct()
+            )
+            found_df = _winnow_pairs_from_index(ex).persist()
+            found_df.count()
+            t = time.perf_counter() - t0
+            # exact participants-only truth at the same stride
+            tex = (
+                video_frame_hashes(part_anim, stride=s)
+                .select("doc_id", F.col("fhash").alias("fp"))
+                .distinct()
+            )
+            truth = (
+                tex.alias("a")
+                .join(tex.alias("b"),
+                      (F.col("a.fp") == F.col("b.fp"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .groupBy(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b"))
+                .agg(F.count(F.lit(1)).alias("ns"))
+                .filter(F.col("ns") >= 2)
+                .select("id_a", "id_b")
+            )
+            n_truth = truth.count()
+            n_found = truth.join(found_df.select("id_a", "id_b"),
+                                 ["id_a", "id_b"], "left_semi").count()
+            strides[f"stride_{s}"] = {
+                "scaled_s": round(t, 3),
+                "n_pairs": found_df.count(),
+                "truth_pairs": n_truth,
+                "truth_found": n_found,
+                "recall_vs_exact": (round(n_found / n_truth, 4)
+                                    if n_truth else None),
+            }
+            found_df.unpersist()
+            print(f"video stride {s}: {t:.2f}s "
+                  f"recall {strides[f'stride_{s}']['recall_vs_exact']}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "copies": scale_probe.COPIES,
+        "video_stride": strides,
         "note": (
             "media ops at Nx docs; blob + evidence-index layouts "
             "pre-materialized untimed (ingest-maintained state). Keep "
