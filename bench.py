@@ -154,6 +154,10 @@ HEADLINE = [
     # round-10: product-quantization ANN (ADC over the materialized
     # 4-bit code layout + exact rerank)
     "ann_pq_adc",
+    # round-11: the composed IVFADC deployment shape (cell prune ->
+    # ADC over the probed cells' codes in the composed layout ->
+    # exact rerank)
+    "ann_ivf_pq",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -178,6 +182,13 @@ TRACKED_EXTRAS = [
     # round-10: all-in-plan PQ derivation (ann_pq_adc is the HEADLINE
     # entry reading the materialized codebook/code layouts)
     "ann_pq_adc_lazy",
+    # round-11: all-in-plan IVF+PQ derivation (ann_ivf_pq is the
+    # HEADLINE entry reading the composed ivf_pq_layout)
+    "ann_ivf_pq_lazy",
+    # round-11: from-index corpus keep (the HEADLINE keep endpoints
+    # read the materialized edge layout; this form keeps the five
+    # in-plan evidence pipelines + CC benched as one query)
+    "dedup_corpus_keep_fromindex",
 ]
 
 
@@ -387,6 +398,15 @@ def warm_up(spark, sf_dir: str) -> None:
 
     pq_codebook_layout(spark, sf_dir).limit(1).count()
     pq_code_layout(spark, sf_dir).limit(1).count()
+    # round-11: the composed IVF+PQ store (ann_ivf_pq's scan side)
+    from logsdb_spark.operators.silver import ivf_pq_layout
+
+    ivf_pq_layout(spark, sf_dir).limit(1).count()
+    # round-11: the materialized dedup edge layout (every keep
+    # endpoint's evidence side)
+    from logsdb_spark.operators.silver import dedup_edge_layout
+
+    dedup_edge_layout(spark, sf_dir).limit(1).count()
 
 
 def streaming_bench(spark, sf_dir: str) -> dict:
@@ -412,9 +432,20 @@ def streaming_bench(spark, sf_dir: str) -> dict:
       batches time trigger/commit overhead, not the probe — the same
       batching knob the ingest sweep turns with maxFilesPerTrigger —
       and the replay keeps the flag set invariant (duplicate probe
-      rows dedupe in the candidate distinct), so the r9 parity
-      contract (flags == the batch ensemble edges) still pins
-      correctness.
+      rows dedupe in the candidate distinct — and since r11 are
+      dropped BEFORE the per-row kernels, the way an at-least-once
+      consumer should), so the r9 parity contract (flags == the
+      batch ensemble edges) still pins correctness.
+
+      Steady-state floor (r11 decomposition): with the corpus state
+      pre-materialized untimed and arrivals distinct'd, the indexed
+      drain is ~2.3 s = stream start/commit (~0.5 s) + a probe plan
+      of ~8 stages whose per-stage LAUNCH cost (~0.2 s at local
+      scale) — not row volume — is the budget; per-stage input is
+      hundreds of rows. Throughput therefore scales with batch size
+      (the stage costs are flat until the corpus-scan terms bind),
+      so the recorded rows/s is a per-micro-batch LATENCY number at
+      bench scale, not a saturation number.
 
     Timed sections cover stream start → drained; source generation
     and corpus load are untimed (generation is not the engine)."""
@@ -486,8 +517,21 @@ def streaming_bench(spark, sf_dir: str) -> dict:
             winnow_fp_layout(spark, sf_dir).filter(
                 F.col("doc_id") % 10 != 0),
         )
+        # Production steady state (round 11): the hoisted corpus state
+        # is built + MATERIALIZED untimed, like every layout — a
+        # deployed probe stream builds it once per corpus/index change
+        # and keeps it resident across stream (re)starts, so the timed
+        # drain measures exactly one micro-batch of probe work. The
+        # from-raw `ensemble_probe` keeps timing the cold-start shape.
+        from logsdb_spark.operators.dedup import (
+            prepare_ensemble_corpus_state,
+        )
+
+        est = prepare_ensemble_corpus_state(idx[0], idx[1])
+        for frame in est:
+            frame.count()
         for key, kwargs in (("ensemble_probe", {}),
-                            ("ensemble_probe_indexed", {"indexes": idx})):
+                            ("ensemble_probe_indexed", {"state": est})):
             eout = os.path.join(work, f"ens_out_{key}")
             t0 = time.perf_counter()
             run_until_drained(
@@ -523,10 +567,25 @@ def streaming_bench(spark, sf_dir: str) -> dict:
             shutil.copy(os.path.join(isrc, part),
                         os.path.join(isrc, f"replay{rep}-{part}"))
         n_ishard = spark.read.parquet(isrc).count()
+        # Steady state for the image probe too (round 11): the banded
+        # corpus state comes from the materialized media fingerprint
+        # index — no corpus DECODE at stream start — and is persisted
+        # untimed before the drain.
+        from logsdb_spark.operators.dedup import (
+            prepare_phash_corpus_state,
+        )
+        from logsdb_spark.operators.silver import media_evidence_layout
+
+        ihashes = media_evidence_layout(spark, sf_dir).filter(
+            (F.col("kind") == "phash") & (F.col("doc_id") % 10 != 0)
+        ).select("doc_id", F.col("hv").alias("phash"))
+        ist = prepare_phash_corpus_state(ihashes)
+        ist.count()
         iout = os.path.join(work, "img_out")
         t0 = time.perf_counter()
         run_until_drained(
-            start_image_neardup_stream(spark, icorpus, isrc, iout)
+            start_image_neardup_stream(spark, icorpus, isrc, iout,
+                                       state=ist)
         )
         elapsed = time.perf_counter() - t0
         iflags = spark.read.parquet(

@@ -688,6 +688,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     )
     n_edges = obs_e.get["m"]
 
+    # Phase 2a — TINY regime (round 11): below ``kernel_edges``
+    # directed edges the whole component computation runs inside ONE
+    # Arrow kernel on one task — the same vectorized min-label loop
+    # _bucket_component_stars uses (argsort/unique once, C-contiguous
+    # minimum.reduceat per round, double searchsorted pointer jump),
+    # over the already-checkpointed edge list. This is what actually
+    # removes the ~2 s/query fixed floor the keep endpoints paid at
+    # bench scale: the iterative regime costs one localCheckpoint JOB
+    # per round (pure scheduling + re-planning latency on dup-sized
+    # graphs — 8 rounds on the sf0.1 winnow evidence), the kernel
+    # costs one single-partition exchange of the dup-sized edge list
+    # plus microsecond in-memory rounds. High-diameter graphs are
+    # FREE here (the r10 Hamming-lattice case that needed the
+    # star-contraction fallback converges in-kernel at ~ms/round), so
+    # the 12-round cap and fallback only govern the big regime. At
+    # 20M edges the task's working set is ~500 MB — far below the
+    # executor heap — and beyond it the distributed loop takes over;
+    # output is identical (component-minimum labels) in all regimes.
+    if n_edges <= 20_000_000:
+        return _kernel_components(edges)
+
     # Phase 2 — the iteration regime is chosen from the MEASURED edge
     # volume (the decision AQE would make per-stage, paid once):
     # near-dup graphs are dup-group-sized, usually orders of magnitude
@@ -798,6 +819,54 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         for k, v in conf_saved.items():
             spark.conf.set(k, v)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def _kernel_components(edges: DataFrame) -> DataFrame:
+    """Connected components of a SYMMETRIZED directed edge list in one
+    Arrow kernel → (doc_id, cluster), cluster = component minimum —
+    the tiny-regime body of connected_components (see its phase-2a
+    comment for the cost argument). Vectorized min-label over int
+    index edges: neighbor minima via one stable argsort + np.unique
+    done ONCE and a contiguous minimum.reduceat per round, then two
+    pointer jumps (labels always hold node ids present in the sorted
+    id array, so searchsorted is an exact index lookup). Monotone
+    non-increasing on a finite lattice ⇒ guaranteed convergence; the
+    round cap is a corrupt-input backstop, far above any real graph
+    (min-label with double jumping closes diameter-d graphs in
+    O(log d) + label-flow rounds)."""
+    import numpy as np
+    import pandas as pd
+
+    def cc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        u = pdf["u"].to_numpy(np.int64)
+        v = pdf["v"].to_numpy(np.int64)
+        if u.size == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "cluster": np.empty(0, np.int64)})
+        # symmetric edges ⇒ every node appears as a source
+        ids, ei = np.unique(u, return_inverse=True)
+        ej = np.searchsorted(ids, v)
+        labels = ids.copy()
+        o2 = np.argsort(ei, kind="stable")
+        dsts = ei[o2]
+        srcs = ej[o2]
+        uniq, starts = np.unique(dsts, return_index=True)
+        for _ in range(100_000):
+            mins = np.minimum.reduceat(labels[srcs], starts)
+            new = labels.copy()
+            new[uniq] = np.minimum(new[uniq], mins)
+            new = np.minimum(new, new[np.searchsorted(ids, new)])
+            new = np.minimum(new, new[np.searchsorted(ids, new)])
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        return pd.DataFrame({"doc_id": ids, "cluster": labels})
+
+    return (
+        edges.select(F.lit(0).alias("_g"), "u", "v")
+        .groupBy("_g")
+        .applyInPandas(cc, "doc_id long, cluster long")
+    )
 
 
 def _star_components(edges: DataFrame, bc,

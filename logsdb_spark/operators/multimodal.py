@@ -2646,18 +2646,22 @@ def audio_fp56(samples, n_windows: int = 57) -> int:
 
 
 def audio_fingerprint(blobs: DataFrame) -> DataFrame:
-    """(doc_id, afp) content fingerprints for a WAV-blob relation:
-    RIFF/PCM decode (decode_wav_samples) feeding audio_fp56 inside
+    """(doc_id, afp) content fingerprints for an audio-blob relation:
+    container-dispatching PCM decode (decode_audio_samples — WAV or
+    FLAC since round 11, magic-byte routed) feeding audio_fp56 inside
     one Arrow mapInPandas kernel — scan-local; the dedup shuffle
     happens downstream on the hash bands (the SAME
     operators/dedup.phash_near_dup_pairs operator the image pipeline
-    uses — the banding is modality-agnostic). Undecodable payloads
+    uses — the banding is modality-agnostic). Same PCM in either
+    container ⇒ same fingerprint, so WAV↔FLAC copies surface as
+    Hamming-0 near-dups with zero extra logic (the image tier's
+    cross-format property, now true for audio). Undecodable payloads
     yield NULL."""
     def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
-                dec = decode_wav_samples(bytes(p) if p is not None else b"")
+                dec = decode_audio_samples(bytes(p) if p is not None else b"")
                 out.append(None if dec is None
                            else audio_fp56(dec["samples"]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "afp": out})
@@ -2870,3 +2874,98 @@ def synthesize_animated_gifs(docs: DataFrame,
         ]
     )
     return docs.select("doc_id", text_col).mapInPandas(synth, schema)
+
+
+def decode_audio_samples(payload: bytes) -> dict | None:
+    """Container-dispatching audio decode (round 11): RIFF/WAVE →
+    decode_wav_samples, fLaC → decode_flac_samples (operators/flac),
+    anything else None — the audio twin of the image tier's
+    magic-byte dispatch, and what makes the audio fingerprint
+    CONTAINER-INVARIANT: both decoders return the same
+    samples-int32-interleaved dict, so the same PCM hashes
+    identically whichever container it arrived in (pinned by
+    tests/test_flac.py)."""
+    b = bytes(payload)
+    if b[:4] == b"fLaC":
+        from .flac import decode_flac_samples
+
+        return decode_flac_samples(b)
+    return decode_wav_samples(b)
+
+
+def flac_sample_stats(blobs: DataFrame) -> DataFrame:
+    """wav_sample_stats' FLAC twin: the same exact-integer stats
+    (count, sum, sum-of-squares, integer-e4 mean) over REAL
+    FLAC-decoded PCM — Rice/fixed-predictor entropy decode per blob
+    inside one Arrow mapInPandas kernel. Because build_flac wraps the
+    identical PCM bytes build_wav does (same zero-padding), the query
+    over the FLAC corpus shares the WAV query's oracle verbatim — a
+    decoder that misreads a subframe, a Rice partition, or the
+    channel interleave hash-mismatches."""
+    import numpy as np
+
+    from .flac import decode_flac_samples
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("n_channels", "sample_rate_hz", "n_samples",
+                     "sample_sum", "sample_sumsq", "mean_sample_e4")}
+            for p in pdf["payload"]:
+                dec = decode_flac_samples(bytes(p) if p is not None else b"")
+                if dec is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                s = dec["samples"].astype(np.int64)
+                n = int(s.size)
+                tot = int(s.sum())
+                rows["n_channels"].append(dec["n_channels"])
+                rows["sample_rate_hz"].append(dec["sample_rate_hz"])
+                rows["n_samples"].append(n)
+                rows["sample_sum"].append(tot)
+                rows["sample_sumsq"].append(int((s * s).sum()))
+                rows["mean_sample_e4"].append((10000 * tot) // n if n else None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return blobs.mapInPandas(stats, WAV_SAMPLE_STATS_SCHEMA)
+
+
+def synthesize_flac_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """FLAC fixture corpus for the odd-doc_id audio population: the
+    SAME channel/rate derivation and PCM bytes as synthesize_media's
+    WAV branch (channels = (doc_id>>1)%2+1, rate = 8000 + doc_id%4*
+    4000, 16-bit, utf-8 text as little-endian PCM) wrapped by
+    build_flac instead of build_wav — so every (WAV doc, FLAC doc)
+    pair with the same doc_id is a true cross-container twin and the
+    WAV stats oracle gates the FLAC decode verbatim."""
+    from .flac import build_flac
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            lens = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                s = "" if text is None else str(text)
+                data = s.encode("utf-8")
+                lens.append(len(s))
+                payloads.append(
+                    build_flac(
+                        int(doc_id >> 1) % 2 + 1,
+                        8000 + int(doc_id) % 4 * 4000,
+                        16,
+                        data,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads,
+                                "text_len": lens})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth,
+        StructType([
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("text_len", LongType()),
+        ]),
+    )

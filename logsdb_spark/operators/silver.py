@@ -885,3 +885,153 @@ def pq_code_layout(spark: SparkSession, sf_dir: str, m: int = 8,
     ])
     return _blob_layout(spark, sf_dir, f"pqcode1_{m}_{ks}", make, schema,
                         src_table="embeddings")
+
+
+def ivf_pq_layout(spark: SparkSession, sf_dir: str, m: int = 8,
+                  sub: int = 8, ks: int = 16,
+                  n_centroids: int = 16) -> DataFrame:
+    """The COMPOSED IVF+PQ store as a materialized (vec_id, cell,
+    codes, nrm) parquet (prefix ``ivfpq1_<m>_<ks>_<n_centroids>``) —
+    PQ codes stored WITH their inverted-list cell, exactly what a
+    deployed billion-scale ANN keeps columnar (codes-next-to-lists;
+    Jégou et al.'s IVFADC memory layout). Built by joining the two
+    already-materialized sources — pq_code_layout (codes + norms) and
+    ivf_quantized_layout (the argmax-cosine cell assignment) — so all
+    three PQ/IVF layouts always derive from the same fit and corpus
+    mtime; both inputs are deterministic, so ann_ivf_pq reading this
+    layout shares the in-plan form's oracle (ann_ivf_pq_lazy proves
+    the equality)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    def make():
+        codes = pq_code_layout(spark, sf_dir, m=m, sub=sub, ks=ks)
+        cells = ivf_quantized_layout(
+            spark, sf_dir, n_centroids=n_centroids
+        ).select("vec_id", "cell")
+        return codes.join(cells, "vec_id").select(
+            "vec_id", "cell", "codes", "nrm"
+        )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+        StructField("nrm", DoubleType()),
+    ])
+    return _blob_layout(spark, sf_dir, f"ivfpq1_{m}_{ks}_{n_centroids}",
+                        make, schema, src_table="embeddings")
+
+
+def dedup_edge_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL FIVE dedup pair-evidence relations materialized as one
+    (signal, id_a, id_b) parquet, partitioned by signal (prefix
+    ``dedg1``) — the state a production curator maintains at ingest
+    on top of the fingerprint indexes: near-dup EDGES are
+    deterministic functions of the minhash/winnow/media indexes (and
+    hence of the documents mtime this layout is keyed on), so keeping
+    them columnar turns every keep endpoint into edge-scan → CC →
+    corpus join with zero per-run evidence recompute (the r10 verdict
+    item: "cache the per-signal star-edge relations ... so all three
+    keep queries reuse one CC input"). Signals:
+
+    - ``mh``  — verified-jaccard >= 0.6 MinHash near-dup pairs
+    - ``wn``  — winnowing shared-span pairs (>= 2 shared capped fps)
+    - ``iph`` — image perceptual-hash COMPONENT edges (rep stars +
+      fused-kernel ball stars — component-equivalent, node-linear)
+    - ``afp`` — audio fingerprint component edges (same operator)
+    - ``vfr`` — shared-sampled-frame video pairs
+
+    Directory pruning per signal (PartitionFilters), and every
+    consumer shares the in-plan form's oracle because each edge
+    relation is value-identical to its in-plan derivation — the same
+    determinism contract as every other layout here. The evidence
+    pipelines themselves stay benched under their query names
+    (dedup_minhash_lsh_indexed, dedup_substring_winnow, the media
+    pair benches) and the from-index keep route stays registered as
+    dedup_corpus_keep_fromindex."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    def make():
+        # Deferred import: plans.extensions imports this module at
+        # call time inside query bodies, so importing it lazily here
+        # (both modules are fully loaded by the time make() runs)
+        # breaks no cycle.
+        from ..plans.extensions import _winnow_pairs_from_index
+        from .dedup import minhash_near_dups_prepared, phash_component_edges
+
+        mh = minhash_near_dups_prepared(
+            minhash_index_layout(spark, sf_dir), threshold=0.6
+        ).select("id_a", "id_b")
+        wn = _winnow_pairs_from_index(
+            winnow_fp_layout(spark, sf_dir)
+        ).select("id_a", "id_b")
+        midx = media_evidence_layout(spark, sf_dir)
+        iph = phash_component_edges(
+            midx.filter(F.col("kind") == "phash")
+            .select("doc_id", F.col("hv").alias("phash")),
+            max_hamming=3,
+        )
+        afp = phash_component_edges(
+            midx.filter(F.col("kind") == "afp")
+            .select("doc_id", F.col("hv").alias("afp")),
+            max_hamming=3, hash_col="afp",
+        )
+        vfr = _winnow_pairs_from_index(
+            midx.filter(F.col("kind") == "vframe")
+            .select("doc_id", F.col("hv").alias("fp"))
+        ).select("id_a", "id_b")
+        tagged = [
+            (mh, "mh"), (wn, "wn"), (iph, "iph"), (afp, "afp"),
+            (vfr, "vfr"),
+        ]
+        out = None
+        for df, sig in tagged:
+            t = df.select(F.lit(sig).alias("signal"), "id_a", "id_b")
+            out = t if out is None else out.unionByName(t)
+        return out
+
+    schema = StructType([
+        StructField("signal", StringType()),
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, "dedg1", make, schema,
+                        partition_by="signal")
+
+
+def flac_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAC fixture corpus as a materialized (doc_id, payload,
+    text_len) parquet (_blob_layout contract, prefix ``flac1``): the
+    odd-doc_id audio population with the SAME channel/rate/PCM
+    derivation as the WAV branch of media_blob_layout, FLAC-encoded —
+    each row a true cross-container twin of its WAV sibling (see
+    operators/multimodal.synthesize_flac_media). The Rice/fixed-
+    predictor ENCODE runs once per documents mtime here; queries
+    bench the decode."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from ..catalog import load_table
+    from .multimodal import synthesize_flac_media
+    from .scale import widen_for_compute
+
+    def make():
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents"), spark,
+            cache_key=(sf_dir, "documents",
+                       _source_mtime(os.path.join(sf_dir, "documents.parquet"))),
+        ).filter(F.col("doc_id") % 2 == 1)
+        return synthesize_flac_media(docs)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("text_len", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, "flac1", make, schema)

@@ -121,11 +121,21 @@ def _write_probe_batch(corpus: DataFrame, batch: DataFrame, batch_id: int,
     rewrites the SAME directory with the SAME deterministic rows —
     observable output is exactly-once. Module-level (not a closure)
     so the replay contract is directly testable: calling this twice
-    with one batch_id must equal calling it once."""
+    with one batch_id must equal calling it once.
+
+    The batch is exact-DISTINCT'd before the probe (round 11): an
+    at-least-once upstream re-delivers identical rows inside a batch
+    (source replays, retried producers), and since the flag relation
+    is a DISTINCT pair set, identical input rows cannot change the
+    output — dropping them BEFORE the per-row kernels (shingle/hash)
+    instead of letting their duplicates die in the candidate
+    distinct is the difference between probing arrivals and probing
+    unique documents."""
     from ..operators.dedup import minhash_near_dups_incremental
 
     (
-        minhash_near_dups_incremental(corpus, batch, threshold=threshold)
+        minhash_near_dups_incremental(corpus, batch.dropDuplicates(),
+                                      threshold=threshold)
         .write.mode("overwrite")
         .parquet(os.path.join(sink, f"batch_id={batch_id}"))
     )
@@ -139,6 +149,7 @@ def start_ensemble_stream(
     threshold: float = 0.6,
     max_files_per_trigger: int | None = None,
     indexes: tuple[DataFrame, DataFrame] | None = None,
+    state=None,
 ) -> StreamingQuery:
     """Streaming MULTI-SIGNAL dedup flagging — the in-flight form of
     dedup_ensemble_keep's edge generation: each arriving micro-batch
@@ -170,7 +181,17 @@ def start_ensemble_stream(
     against cached frames — the r9 probe re-ran two corpus-wide
     shuffles (fp distinct + occupancy groupBy) every batch. The
     cached state lives for the stream's lifetime; long-lived callers
-    can ``.unpersist()`` the three frames after stopping."""
+    can ``.unpersist()`` the three frames after stopping.
+
+    ``state`` (round 11) — an ALREADY-PREPARED corpus state tuple
+    from prepare_ensemble_corpus_state: a deployment that keeps the
+    probe stream up across shard arrivals builds the state once when
+    the corpus (or its indexes) change, not per stream start, so
+    passing it here means stream start does zero corpus-side work
+    and every micro-batch — including the first — runs at steady
+    state. Takes precedence over ``indexes`` (which builds the state
+    at start and eagerly materializes it, so batch 1 is not the one
+    paying the two corpus shuffles)."""
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -178,11 +199,12 @@ def start_ensemble_stream(
 
     sink = os.path.join(out_dir, "ensemble_flags")
 
-    state = None
-    if indexes is not None:
+    if state is None and indexes is not None:
         from ..operators.dedup import prepare_ensemble_corpus_state
 
         state = prepare_ensemble_corpus_state(indexes[0], indexes[1])
+        for frame in state:
+            frame.count()
 
     def probe(batch: DataFrame, batch_id: int) -> None:
         _write_ensemble_batch(corpus, batch, batch_id, sink, threshold,
@@ -210,6 +232,10 @@ def _write_ensemble_batch(corpus: DataFrame, batch: DataFrame,
         ensemble_near_dups_incremental,
     )
 
+    # exact-duplicate arrivals cannot change the distinct flag set —
+    # drop them before the signature/fingerprint kernels (see
+    # _write_probe_batch's contract note).
+    batch = batch.dropDuplicates()
     if state is not None:
         flags = ensemble_near_dups_from_state(
             state, batch, threshold=threshold
@@ -233,6 +259,7 @@ def start_image_neardup_stream(
     out_dir: str,
     max_hamming: int = 3,
     max_files_per_trigger: int | None = None,
+    state: DataFrame | None = None,
 ) -> StreamingQuery:
     """Streaming IMAGE-content dedup flagging — the multimodal twin of
     start_ensemble_stream: arriving image blobs are decoded +
@@ -247,14 +274,25 @@ def start_image_neardup_stream(
     join broadcasts the batch side, so the corpus is never reshuffled
     and state never grows with the stream. Flags equal the batch
     operator's cross pairs (parity-pinned by
-    tests/test_image_phash.py)."""
+    tests/test_image_phash.py).
+
+    ``state`` (round 11) — an already-prepared banded corpus frame
+    from prepare_phash_corpus_state (e.g. over the materialized
+    media fingerprint index's phash partition, so the corpus is
+    never re-DECODED either): stream start then does zero
+    corpus-side work and batch 1 runs at steady state. When omitted,
+    the state is built from ``corpus_blobs`` at start and eagerly
+    materialized, so the first micro-batch is not the one paying
+    the corpus decode + banding."""
     from ..operators.dedup import (
         phash_cross_pairs_from_state,
         prepare_phash_corpus_state,
     )
     from ..operators.multimodal import image_dhash
 
-    state = prepare_phash_corpus_state(image_dhash(corpus_blobs))
+    if state is None:
+        state = prepare_phash_corpus_state(image_dhash(corpus_blobs))
+        state.count()
 
     reader = spark.readStream.schema(BLOBS_SCHEMA)
     if max_files_per_trigger is not None:
@@ -264,8 +302,12 @@ def start_image_neardup_stream(
     sink = os.path.join(out_dir, "image_flags")
 
     def probe(batch: DataFrame, batch_id: int) -> None:
+        # exact-duplicate arrivals cannot change the distinct flag
+        # set — drop them before the DECODE kernel (the expensive
+        # per-row stage here; see _write_probe_batch's note).
         flags = phash_cross_pairs_from_state(
-            state, image_dhash(batch), max_hamming=max_hamming
+            state, image_dhash(batch.dropDuplicates()),
+            max_hamming=max_hamming
         )
         flags.write.mode("overwrite").parquet(
             os.path.join(sink, f"batch_id={batch_id}")

@@ -12,10 +12,10 @@ the media dedup surface at both scales in one warmed session:
   / dedup_video_frames) stay IN-PLAN — they are the decode
   benchmarks, and their cost is the Arrow decode+hash kernels;
 - the two KEEP endpoints (dedup_image_phash_keep /
-  dedup_media_ensemble_keep) are INDEX-FED since round 10: they read
-  the materialized perceptual-fingerprint index
-  (operators/silver.media_evidence_layout), so their per-run cost is
-  kind-pruned scans + banding + CC. The index build is
+  dedup_media_ensemble_keep) are EDGE-FED since round 11: they read
+  the materialized signal-partitioned edge layout
+  (operators/silver.dedup_edge_layout), so their per-run cost is an
+  edge scan + CC + corpus join. The index + edge-layout builds are
   pre-materialized UNTIMED, like every other layout the probes treat
   as ingest-maintained state (scale_probe.py main() does the same for
   silver/bucketed/minhash/winnow/IVF layouts);
@@ -85,10 +85,13 @@ def main() -> int:
     # its corpus in-plan measures the encoder), and the evidence index
     # is ingest-maintained state (the same contract scale_probe applies
     # to the minhash/winnow/IVF indexes).
+    from logsdb_spark.operators.silver import dedup_edge_layout
+
     for d in (scale_probe.SRC, scale_probe.DST):
         media_blob_layout(spark, d).limit(1).count()
         gif_anim_blob_layout(spark, d).limit(1).count()
         media_evidence_layout(spark, d).limit(1).count()
+        dedup_edge_layout(spark, d).limit(1).count()
 
     queries = all_queries()
     ops = PAIR_OPS + KEEP_OPS

@@ -242,6 +242,11 @@ CORPUS_QUERIES = [
     # round-10: PQ/ADC over the materialized code layout (timing
     # ratio only — recall pinned by gate_ann_pq_recall + pytest)
     "ann_pq_adc",
+    # round-11: composed IVFADC (timing ratio only — recall pinned by
+    # gate_ann_ivf_pq_recall + pytest; the r10 ask's target is a
+    # warm ratio <= 2 vs ADC-only 3.14, the cell prune cutting the
+    # code scan to nprobe/n_centroids)
+    "ann_ivf_pq",
 ]
 
 
@@ -378,6 +383,16 @@ def main() -> None:
     pq_codebook_layout(spark, DST).limit(1).count()
     pq_code_layout(spark, SRC).limit(1).count()
     pq_code_layout(spark, DST).limit(1).count()
+    # and the round-11 composed IVF+PQ store (ann_ivf_pq's scan side)
+    from logsdb_spark.operators.silver import ivf_pq_layout
+
+    ivf_pq_layout(spark, SRC).limit(1).count()
+    ivf_pq_layout(spark, DST).limit(1).count()
+    # and the round-11 dedup edge layout (the keep endpoints' evidence)
+    from logsdb_spark.operators.silver import dedup_edge_layout
+
+    dedup_edge_layout(spark, SRC).limit(1).count()
+    dedup_edge_layout(spark, DST).limit(1).count()
 
     results = {}
     queries = all_queries()

@@ -238,3 +238,32 @@ def test_utf8_code_roundtrip():
         br = _BitReader(enc)
         from logsdb_spark.operators.flac import _read_utf8_code
         assert _read_utf8_code(br) == v, v
+
+
+def test_audio_dedup_finds_wav_flac_twins(spark):
+    """The dedup consequence of container invariance: a corpus mixing
+    WAV docs and FLAC copies of the same PCM must surface every
+    (wav, flac) twin as a Hamming-0 near-dup pair through the
+    standard audio pipeline (container-dispatching audio_fingerprint
+    → banded Hamming ball), with zero container-specific logic."""
+    import pyspark.sql.functions as F
+
+    from logsdb_spark.operators.dedup import phash_near_dup_pairs
+    from logsdb_spark.operators.multimodal import audio_fingerprint
+
+    texts = [
+        ("audio twin number %d with enough bytes to matter " % i) * 6
+        for i in range(8)
+    ]
+    rows = []
+    for i, t in enumerate(texts):
+        pcm = t.encode()
+        rows.append((i, bytearray(build_wav(1, 8000, 16, pcm))))
+        rows.append((100 + i, bytearray(build_flac(1, 8000, 16, pcm))))
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = audio_fingerprint(blobs)
+    pairs = {(r.id_a, r.id_b, r.hamming)
+             for r in phash_near_dup_pairs(
+                 fps, max_hamming=3, hash_col="afp").collect()}
+    for i in range(len(texts)):
+        assert (i, 100 + i, 0) in pairs, f"twin {i} not found: {pairs}"
