@@ -165,14 +165,26 @@ PICKS = {
         "corpus-keyed final left join."
     ),
     "dedup_corpus_keep": (
-        "THE corpus curator (late r10): all FIVE dedup signals — "
-        "verified-jaccard MinHash + winnow spans from the text "
-        "indexes, image/audio Hamming balls + shared video frames "
-        "from the media fingerprint index — unioned into ONE "
+        "THE corpus curator: all FIVE dedup signals in ONE "
         "connected-components pass, so dup groups merge transitively "
-        "across signals AND modalities. Fully index-fed: five narrow "
-        "index scans, bounded shuffles, CC over dup-sized edges, one "
-        "corpus-keyed left join; no tokenize/decode chain in-plan."
+        "across signals AND modalities. EDGE-FED since r11: the "
+        "evidence is the materialized signal-partitioned edge layout "
+        "(dedup_edge_layout, near-dup edges maintained at ingest) — "
+        "one narrow edge scan, CC over dup-sized edges (tiny-regime "
+        "Arrow kernel below 20M edges), one corpus-keyed left join; "
+        "no tokenize/decode/band/verify chain in-plan (that route "
+        "stays benched as dedup_corpus_keep_fromindex)."
+    ),
+    "ann_ivf_pq": (
+        "Composed IVFADC (round 11): coarse argmax-cosine cell prune "
+        "to nprobe=4 of 16 broadcast centroids, ADC table-lookup "
+        "scoring over ONLY the probed cells' rows of the composed "
+        "(vec_id, cell, codes, nrm) layout — codes stored WITH their "
+        "inverted list — then per-probe 64-pool cut on the rounded "
+        "approximate cosine and exact rerank. Candidate scan reads "
+        "nprobe/n_centroids of a ~32x-compressed relation; probes, "
+        "centroids, and codebooks broadcast; no shuffle before the "
+        "WindowGroupLimit pool cut."
     ),
     "ann_pq_adc": (
         "Product-quantization ANN with asymmetric distance "

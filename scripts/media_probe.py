@@ -97,6 +97,8 @@ def main() -> int:
     ops = PAIR_OPS + KEEP_OPS
     if "--skip-inplan" not in sys.argv:
         ops = ops + INPLAN_OPS
+    if "--skip-ops" in sys.argv:
+        ops = []
 
     results = {}
     for name in ops:
@@ -170,6 +172,37 @@ def main() -> int:
             n_truth = truth.count()
             n_found = truth.join(found_df.select("id_a", "id_b"),
                                  ["id_a", "id_b"], "left_semi").count()
+            # CONTRACT truth: the operator promises pairs sharing
+            # >= 2 frames whose hash buckets hold 2..32 docs in the
+            # FULL corpus (the boilerplate hub cap). At 100x a frame
+            # genuinely shared by ~100 replicated copies exceeds the
+            # corpus-size-INVARIANT cap and is treated as boilerplate
+            # — end recall vs the uncapped truth collapses BY
+            # CONTRACT, not by bug; contract recall (vs cap-filtered
+            # truth) is the operator-fidelity number. Both are
+            # recorded: the honest reading is that at replication
+            # scale the CAP, not the stride, is the binding dial.
+            occ = (
+                ex.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter((F.col("n") >= 2) & (F.col("n") <= 32))
+                .select("fp")
+            )
+            tex_ok = tex.join(occ, "fp")
+            ctruth = (
+                tex_ok.alias("a")
+                .join(tex_ok.alias("b"),
+                      (F.col("a.fp") == F.col("b.fp"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .groupBy(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b"))
+                .agg(F.count(F.lit(1)).alias("ns"))
+                .filter(F.col("ns") >= 2)
+                .select("id_a", "id_b")
+            )
+            n_ctruth = ctruth.count()
+            n_cfound = ctruth.join(found_df.select("id_a", "id_b"),
+                                   ["id_a", "id_b"], "left_semi").count()
             strides[f"stride_{s}"] = {
                 "scaled_s": round(t, 3),
                 "n_pairs": found_df.count(),
@@ -177,20 +210,25 @@ def main() -> int:
                 "truth_found": n_found,
                 "recall_vs_exact": (round(n_found / n_truth, 4)
                                     if n_truth else None),
+                "contract_truth_pairs": n_ctruth,
+                "contract_found": n_cfound,
+                "recall_vs_contract": (round(n_cfound / n_ctruth, 4)
+                                       if n_ctruth else None),
             }
             found_df.unpersist()
             print(f"video stride {s}: {t:.2f}s "
-                  f"recall {strides[f'stride_{s}']['recall_vs_exact']}",
+                  f"recall {strides[f'stride_{s}']['recall_vs_exact']} "
+                  f"contract {strides[f'stride_{s}']['recall_vs_contract']}",
                   file=sys.stderr)
 
     print(json.dumps({
         "copies": scale_probe.COPIES,
         "video_stride": strides,
         "note": (
-            "media ops at Nx docs; blob + evidence-index layouts "
-            "pre-materialized untimed (ingest-maintained state). Keep "
-            "endpoints are index-fed (media_evidence_layout); "
-            "_inplan is the from-raw decode baseline. "
+            "media ops at Nx docs; blob + evidence-index + edge "
+            "layouts pre-materialized untimed (ingest-maintained "
+            "state). Keep endpoints are EDGE-FED (dedup_edge_layout) "
+            "since r11; _inplan is the from-raw decode baseline. "
             "dedup_image_phash_pairs deliberately NOT probed: its "
             "ANSWER is quadratic in identical-hash group size; "
             "pipeline endpoints consume the linear component-"
