@@ -158,6 +158,10 @@ HEADLINE = [
     # ADC over the probed cells' codes in the composed layout ->
     # exact rerank)
     "ann_ivf_pq",
+    # round-11: incremental edge maintenance — the winnow pair delta
+    # (touched-bucket emissions + stored-count merge) proven equal to
+    # the full rebuild by sharing its oracle
+    "dedup_edge_maintenance_winnow",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -403,10 +407,14 @@ def warm_up(spark, sf_dir: str) -> None:
 
     ivf_pq_layout(spark, sf_dir).limit(1).count()
     # round-11: the materialized dedup edge layout (every keep
-    # endpoint's evidence side)
-    from logsdb_spark.operators.silver import dedup_edge_layout
+    # endpoint's evidence side) + the stored winnow pair counts the
+    # edge-maintenance query updates
+    from logsdb_spark.operators.silver import (
+        dedup_edge_layout, winnow_edge_count_layout,
+    )
 
     dedup_edge_layout(spark, sf_dir).limit(1).count()
+    winnow_edge_count_layout(spark, sf_dir).limit(1).count()
 
 
 def streaming_bench(spark, sf_dir: str) -> dict:

@@ -1801,3 +1801,110 @@ def phash_component_edges(hashes: DataFrame, max_hamming: int = 3,
     )
     ball = _bucket_component_stars(members, max_hamming)
     return star.unionByName(ball)
+
+
+# ---------------------------------------------------------------------------
+# 12. incremental EDGE maintenance (round 11): the delta form of the
+#     winnow pair evidence — what keeps dedup_edge_layout honest as
+#     "maintained at ingest" rather than rebuilt per corpus change.
+# ---------------------------------------------------------------------------
+
+def winnow_edge_counts(ex: DataFrame) -> DataFrame:
+    """Per-pair shared-fingerprint COUNTS from an exploded (doc_id,
+    fp) winnow index — the UNFILTERED form of the span-pair relation:
+    hub-capped bucket groupBy (2..32 docs per fingerprint, the same
+    boilerplate guard every winnow consumer applies), in-bucket pair
+    emit, grouped to (id_a, id_b, n). The >= 2-shared-fps decision is
+    NOT applied here because the count is the delta-able quantity —
+    incremental maintenance adds and subtracts per-bucket emissions,
+    and a pair can cross the threshold in either direction when a
+    shard lands (see winnow_edges_apply_delta)."""
+    buckets = (
+        ex.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 32))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS id_a, b AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def winnow_edges_apply_delta(stored_counts: DataFrame,
+                             old_ex: DataFrame,
+                             new_ex: DataFrame) -> DataFrame:
+    """EXACT incremental maintenance of the winnow pair-evidence
+    relation under a new shard — the ingest-time operation behind the
+    materialized edge layout's "near-dup edges maintained at ingest"
+    contract (operators/silver.dedup_edge_layout). Given the STORED
+    per-pair counts for the existing corpus (winnow_edge_counts
+    output — the state a production store keeps columnar), the
+    existing exploded index ``old_ex`` (doc_id, fp), and the arriving
+    shard's exploded fingerprints ``new_ex``, returns the updated
+    (id_a, id_b, n) relation for corpus ∪ shard.
+
+    Why a delta needs counts, not the filtered pair set: the hub cap
+    makes edges NON-MONOTONE — a fingerprint bucket at 32 docs that
+    gains a 33rd crosses the boilerplate cap and every pair it was
+    contributing RETRACTS, while buckets rising from 1 to 2 docs
+    start contributing. Bucket emissions are bucket-LOCAL though, so
+    the exact update is
+
+        n' = n  -  emissions from TOUCHED buckets under old contents
+               +  emissions from touched buckets under new contents
+
+    where touched = the shard's distinct fingerprints. Untouched
+    buckets have identical contents and cap status, so their
+    emissions cancel out of the subtraction by never entering it.
+    Per-shard cost: two bucket emits over touched buckets only (each
+    capped at C(32,2) pairs/bucket) + one outer merge against the
+    stored counts — proportional to the shard's fingerprint
+    footprint, never the corpus. Consumers apply the >= 2 decision
+    at read (winnow_pairs_from_counts); parity with the full rebuild
+    is oracle-gated end to end by dedup_edge_maintenance_winnow."""
+    # BROADCAST the touched-fingerprint keys: the existing index is
+    # corpus-sized and must reduce to the touched buckets map-side —
+    # a hash join on fp would shuffle the whole corpus index per
+    # shard, which is exactly the cost class the delta avoids. The
+    # key set is shard-sized (distinct fps of the arriving docs).
+    touched = F.broadcast(new_ex.select("fp").distinct())
+    old_touched = winnow_edge_counts(
+        old_ex.join(touched, "fp")
+    ).withColumnRenamed("n", "n_old")
+    new_touched = winnow_edge_counts(
+        old_ex.join(touched, "fp").unionByName(new_ex)
+    ).withColumnRenamed("n", "n_new")
+    delta = (
+        old_touched.join(new_touched, ["id_a", "id_b"], "full")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce(F.col("n_new"), F.lit(0))
+             - F.coalesce(F.col("n_old"), F.lit(0))).alias("dn"),
+        )
+        .filter(F.col("dn") != 0)
+    )
+    return (
+        stored_counts.join(delta, ["id_a", "id_b"], "full")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce(F.col("n"), F.lit(0))
+             + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def winnow_pairs_from_counts(counts: DataFrame,
+                             min_shared: int = 2) -> DataFrame:
+    """The read-side decision over the stored count relation: pairs
+    sharing >= ``min_shared`` capped fingerprints — identical output
+    to the one-shot pipeline's (id_a, id_b, n_shared_fps)."""
+    return counts.filter(F.col("n") >= min_shared).select(
+        "id_a", "id_b", F.col("n").alias("n_shared_fps")
+    )

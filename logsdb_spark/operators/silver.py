@@ -1035,3 +1035,34 @@ def flac_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("text_len", LongType()),
     ])
     return _blob_layout(spark, sf_dir, "flac1", make, schema)
+
+
+def winnow_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED winnow pair-count state for the edge-maintenance
+    demonstration (prefix ``wnedge90``): per-pair shared-fingerprint
+    counts (operators/dedup.winnow_edge_counts — the delta-able form
+    of the edge layout's ``wn`` partition) over the 90% existing-
+    corpus split the maintenance query's scenario fixes (doc_id % 10
+    != 0; the remaining 10% plays the arriving shard). Materialized
+    because stored counts ARE the operator's premise — a production
+    curator keeps this relation columnar and updates it per shard
+    (winnow_edges_apply_delta); deriving it in-plan per run would
+    bench the rebuild the delta exists to avoid. Deterministic
+    function of the winnow index, so the consuming query keeps the
+    full-rebuild oracle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def make():
+        from .dedup import winnow_edge_counts
+
+        return winnow_edge_counts(
+            winnow_fp_layout(spark, sf_dir).filter(
+                F.col("doc_id") % 10 != 0)
+        )
+
+    schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("n", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, "wnedge90", make, schema)

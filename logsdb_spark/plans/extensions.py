@@ -7094,3 +7094,44 @@ def multimodal_flac_sample_stats(spark: SparkSession,
         "flac1",
     )
     return flac_sample_stats(blobs).orderBy("doc_id")
+
+
+@register(
+    "dedup_edge_maintenance_winnow",
+    oracle=REGISTRY["dedup_substring_winnow"].oracle,
+)
+def dedup_edge_maintenance_winnow(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """INCREMENTAL edge maintenance, proven equal to the full rebuild
+    (round 11): the corpus is split 90/10, the 90% side's winnow pair
+    COUNTS play the stored edge state a production curator keeps
+    columnar (the MATERIALIZED winnow_edge_count_layout — the
+    delta-able form of dedup_edge_layout's ``wn`` partition), and
+    the 10% shard
+    lands through winnow_edges_apply_delta — two bucket emits over
+    the shard's TOUCHED fingerprints only plus one merge against the
+    stored counts. The hub cap makes edges non-monotone (a bucket
+    crossing 32 docs RETRACTS its pairs), which is exactly what the
+    count-delta handles and a naive union-of-new-pairs would get
+    wrong. Output is the full-corpus pair relation; the oracle is
+    dedup_substring_winnow's VERBATIM — the one-shot rebuild over all
+    documents — so a hash match proves delta == rebuild end to end,
+    retractions included. Scale shape: per-shard cost is proportional
+    to the shard's fingerprint footprint (touched buckets, each
+    capped at 32 docs), never the corpus; the stored-counts merge is
+    a dup-sized full-outer join."""
+    from ..operators.dedup import (
+        winnow_edges_apply_delta,
+        winnow_pairs_from_counts,
+    )
+    from ..operators.silver import (
+        winnow_edge_count_layout,
+        winnow_fp_layout,
+    )
+
+    idx = winnow_fp_layout(spark, sf_dir)
+    old_ex = idx.filter(F.col("doc_id") % 10 != 0)
+    new_ex = idx.filter(F.col("doc_id") % 10 == 0)
+    stored = winnow_edge_count_layout(spark, sf_dir)
+    updated = winnow_edges_apply_delta(stored, old_ex, new_ex)
+    return winnow_pairs_from_counts(updated).orderBy("id_a", "id_b")

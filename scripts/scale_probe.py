@@ -247,6 +247,10 @@ CORPUS_QUERIES = [
     # warm ratio <= 2 vs ADC-only 3.14, the cell prune cutting the
     # code scan to nprobe/n_centroids)
     "ann_ivf_pq",
+    # round-11: incremental winnow edge maintenance (timing ratio
+    # only — correctness is the shared full-rebuild oracle): cost
+    # should scale with the 10% shard's fingerprint footprint
+    "dedup_edge_maintenance_winnow",
 ]
 
 
@@ -393,6 +397,10 @@ def main() -> None:
 
     dedup_edge_layout(spark, SRC).limit(1).count()
     dedup_edge_layout(spark, DST).limit(1).count()
+    from logsdb_spark.operators.silver import winnow_edge_count_layout
+
+    winnow_edge_count_layout(spark, SRC).limit(1).count()
+    winnow_edge_count_layout(spark, DST).limit(1).count()
 
     results = {}
     queries = all_queries()

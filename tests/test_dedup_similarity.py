@@ -738,3 +738,49 @@ def test_ivf_pq_layout_matches_lazy_derivation(spark):
         )
 
     assert rows(stored) == rows(lazy)
+
+
+def test_winnow_edge_delta_handles_cap_retraction(spark):
+    """The non-monotone case incremental edge maintenance exists for:
+    a shard that pushes a fingerprint bucket past the 32-doc hub cap
+    must RETRACT the pairs that bucket was contributing — a naive
+    union-of-new-pairs keeps them. Built directly on the exploded
+    (doc_id, fp) index form; parity target is a fresh full
+    computation over corpus ∪ shard."""
+    from logsdb_spark.operators.dedup import (
+        winnow_edge_counts,
+        winnow_edges_apply_delta,
+        winnow_pairs_from_counts,
+    )
+
+    # fp=100: 32 docs share it twice-over via fp=101 too (so pairs
+    # have n=2 and survive the >=2 filter). fp=200: a stable pair
+    # (docs 1,2 also share 200/201) that must be untouched.
+    old_rows = []
+    for d in range(1, 33):
+        old_rows += [(d, 100), (d, 101)]
+    old_rows += [(1, 200), (2, 200), (1, 201), (2, 201)]
+    old_ex = spark.createDataFrame(old_rows, "doc_id long, fp long")
+    # the shard: doc 1000 lands fp=100 (bucket 100 goes 32 -> 33,
+    # over the cap) and fp=300 (untouched elsewhere, bucket of 1)
+    new_ex = spark.createDataFrame([(1000, 100), (1000, 300)],
+                                   "doc_id long, fp long")
+
+    stored = winnow_edge_counts(old_ex)
+    updated = winnow_pairs_from_counts(
+        winnow_edges_apply_delta(stored, old_ex, new_ex)
+    )
+    got = {(r.id_a, r.id_b, r.n_shared_fps) for r in updated.collect()}
+    full = {
+        (r.id_a, r.id_b, r.n_shared_fps)
+        for r in winnow_pairs_from_counts(
+            winnow_edge_counts(old_ex.unionByName(new_ex))
+        ).collect()
+    }
+    assert got == full
+    # bucket 100's contribution retracted: every (d, d') pair that
+    # relied on fps {100, 101} dropped to n=1 and fails the >=2
+    # decision — the naive union would keep all C(32,2) of them.
+    # Docs 1,2 survive on {101, 200, 201} = 3 shared.
+    assert not any(p[0] != 1 or p[1] != 2 for p in got), got
+    assert (1, 2, 3) in got

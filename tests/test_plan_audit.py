@@ -108,9 +108,10 @@ def test_windowed_scan_pushes_time_predicate(spark):
 
 def test_winnow_kernel_runs_once(spark):
     """dedup_substring_winnow must fingerprint each document EXACTLY
-    once: the Arrow winnow kernel (functions/winnow_fast.py, a
-    MapInPandas node) appears a single time in the optimized plan and
-    no per-gram JVM digest (md5/conv lattice — the r5-r9 formulation
+    once: the Arrow winnow kernel (functions/winnow_fast.py — a
+    MapInArrow node since the r11 flat-output rewrite, MapInPandas
+    before it) appears a single time in the optimized plan and no
+    per-gram JVM digest (md5/conv lattice — the r5-r9 formulation
     whose CollapseProject/InferFiltersFromGenerate re-inlining was
     measured at up to 19x the hashing cost) remains anywhere in it."""
     plan = (
@@ -120,8 +121,9 @@ def test_winnow_kernel_runs_once(spark):
         .optimizedPlan()
         .toString()
     )
-    assert plan.count("MapInPandas") == 1, (
-        f"winnow kernel duplicated {plan.count('MapInPandas')}x:\n{plan}"
+    kernels = plan.count("MapInArrow") + plan.count("MapInPandas")
+    assert kernels == 1, (
+        f"winnow kernel duplicated {kernels}x:\n{plan}"
     )
     assert "md5" not in plan, f"stale JVM digest path in plan:\n{plan}"
 
