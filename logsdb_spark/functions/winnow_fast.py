@@ -207,8 +207,11 @@ def winnow_fingerprints_fast(df, id_col, text_col, k=5, w=4):
 
     def gen(batches):
         for rb in batches:
-            tbl = rb.to_pydict()
-            texts = tbl[text_col]
+            # id column passes through ZERO-COPY (it is already the
+            # right Arrow type); only the text column — which the
+            # kernel genuinely needs as Python strings for the
+            # normalization regex — is materialized.
+            texts = rb.column(rb.schema.get_field_index(text_col)).to_pylist()
             values, offsets, isnull = _batch_fps_flat(texts, k, w)
             fps = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()),
@@ -216,7 +219,7 @@ def winnow_fingerprints_fast(df, id_col, text_col, k=5, w=4):
                 mask=pa.array(isnull),
             )
             yield pa.RecordBatch.from_arrays(
-                [pa.array(tbl[id_col], type=pa.int64()), fps],
+                [rb.column(rb.schema.get_field_index(id_col)), fps],
                 [id_col, "fps"],
             )
 

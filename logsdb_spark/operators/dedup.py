@@ -602,16 +602,25 @@ def ensemble_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 12,
-                         broadcast_nodes: int = 5_000_000) -> DataFrame:
+                         max_iterations: int = 12) -> DataFrame:
     """Connected components over an undirected pair-edge list →
     (doc_id, cluster) where cluster is the component's minimum id —
     the step that turns near-dup PAIRS into dedup GROUPS with a
     canonical representative (keep min-id, drop the rest).
 
-    Iterative min-label propagation, tuned so each round costs exactly
-    ONE Spark action (round 8 — the previous form paid ~2 s/query of
-    fixed small-job latency at bench scale):
+    TWO regimes on the measured directed-edge count (riding the
+    edge-materialization job's observe): at or below 20M edges the
+    whole computation runs in ONE Arrow kernel (phase 2a below —
+    every dup graph measured to date, including the 100x probes, is
+    deep inside this bound); above it, distributed iterative
+    min-label propagation under the session's normal conf (AQE,
+    full-width shuffle joins — billions of dup edges at 100 TB), each
+    round costing exactly ONE Spark action. (The r8-r10 "small
+    regime" that toggled session-global AQE/shuffle conf for the loop
+    was removed in r11: the kernel regime covers its entire range, so
+    the loop only ever runs on graphs big enough to want the normal
+    conf — and the session-global-conf concurrency caveat went with
+    it.) The iterative loop:
 
     - edges are symmetrized with an in-row ``explode(array(fwd, rev))``
       instead of a self-union, so the upstream pair pipeline appears
@@ -639,34 +648,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
       pointer trees that do form). Soundness is unchanged: ``l(n)``
       always names a node inside n's component, so ``l(l(n))`` does
       too, and at fixpoint symmetric edges force ``l(u) == l(v)`` per
-      edge with the component minimum labeling itself;
-    - the iteration REGIME adapts to the measured edge volume (riding
-      the edge-materialization job's observe): dup graphs far below
-      the corpus size run the loop with AQE off and a shuffle width
-      sized from the edge count — per-round cost there is pure
-      scheduling + adaptive re-planning latency, not data — while
-      large graphs leave the session conf untouched (AQE, full-width
-      shuffle joins). The session conf is restored in a finally.
-
-    CONTRACT — single concurrent query per session: the small regime
-    toggles SESSION-GLOBAL conf (AQE, shuffle partitions) for the
-    loop's duration; a query running concurrently on the same
-    SparkSession would plan under the degraded conf, and an interrupt
-    between set and finally leaves a window of altered state. Every
-    registered pipeline runs queries serially (the driver contract),
-    so this holds today; a multi-tenant session should run CC via
-    spark.newSession() or accept full-width AQE rounds (the large
-    regime, conf untouched).
+      edge with the component minimum labeling itself.
 
     Rounds needed ≈ effective diameter (cliques: 1 confirm round).
     Each round is localCheckpoint'ed: without lineage truncation an
     iterative plan re-derives every prior round per action (at
     production scale use reliable checkpointing to cluster storage
     instead; GraphX/GraphFrames' large-star/small-star does the same
-    job in O(log n) rounds if diameters ever get large).
-    tests/test_dedup_similarity.py pins the action count: 3 jobs total
-    for a clique fixture (edges + init + 1 confirm round)."""
-    spark = pairs.sparkSession
+    job in O(log n) rounds if diameters ever get large — and
+    _star_components is the in-repo fallback when the cap trips).
+    tests/test_dedup_similarity.py pins the total action budget for a
+    clique fixture (edges job + the kernel job + collect)."""
     # Phase 1 — materialize the symmetric edge list ONCE under the
     # session's normal conf: this job runs the whole upstream evidence
     # pipeline (for the keep queries: LSH banding + verify joins), so
@@ -709,115 +701,77 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     if n_edges <= 20_000_000:
         return _kernel_components(edges)
 
-    # Phase 2 — the iteration regime is chosen from the MEASURED edge
-    # volume (the decision AQE would make per-stage, paid once):
-    # near-dup graphs are dup-group-sized, usually orders of magnitude
-    # below the corpus, and for them every round is a handful of tiny
-    # tasks whose cost is pure scheduling + adaptive re-planning
-    # latency. Small regime → AQE off for the loop, shuffle width
-    # sized from the edge count, label-side joins broadcast (the
-    # checkpointed label frame is an ExistingRDD with no stats, so
-    # Catalyst would otherwise plan full-width shuffle joins every
-    # round). Large regime (a 100 TB corpus can produce billions of
-    # dup edges) → conf untouched: AQE, shuffle joins, full width.
-    # The force-broadcast table is the LABEL frame, which holds one
-    # row per distinct node — and every node appears as a source in
-    # the symmetrized directed edge set, so nodes <= n_edges. Gating
-    # on n_edges therefore bounds the broadcast table by
-    # broadcast_nodes rows (round 9: the previous 2x-edges gate let
-    # the label table reach double the bound F.broadcast bypasses
-    # autoBroadcastJoinThreshold for).
-    small = n_edges <= broadcast_nodes
-    bc = F.broadcast if small else (lambda df: df)
-    conf_saved: dict[str, str] = {}
-    if small:
-        # width scales with measured edge volume: ~150k directed-edge
-        # rows per task keeps tiny dup graphs at 1 partition (pure
-        # scheduling latency, the r8 calibration) while a 700k-edge
-        # graph — the media ensemble's star-reduced evidence at 100x —
-        # gets real parallelism instead of one 1.4M-row thread per
-        # round (measured 35s -> the width fix is ~3x there), capped
-        # at cluster parallelism.
-        loop_parts = max(1, min(
-            spark.sparkContext.defaultParallelism,
-            int(n_edges) // 150_000 + 1,
-        ))
-        conf_saved = {
-            "spark.sql.adaptive.enabled":
-                spark.conf.get("spark.sql.adaptive.enabled"),
-            "spark.sql.shuffle.partitions":
-                spark.conf.get("spark.sql.shuffle.partitions"),
-        }
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        obs0 = Observation()
-        labels = (
-            edges.groupBy("u")
-            .agg(F.min("v").alias("_mn"))
-            .select(
-                F.col("u").alias("node"),
-                F.least("u", "_mn").alias("label"),
+    # Phase 2 — the distributed iterative loop, reached only above
+    # the kernel bound (billions of dup edges at 100 TB scale): runs
+    # under the session's normal conf — AQE, full-width shuffle
+    # joins — because at this edge volume the rounds are data-bound,
+    # not scheduling-bound, and the label table (one row per node,
+    # nodes <= n_edges > 20M) is far past any broadcast threshold.
+    bc = lambda df: df  # noqa: E731 — kept as _star_components' hook
+    obs0 = Observation()
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least("u", "_mn").alias("label"),
+        )
+        .observe(obs0, F.sum("label").alias("s"))
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["s"]
+    converged = False
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(bc(labels), edges.u == labels.node)
+            .select(F.col("v").alias("node"), "label")
+        )
+        jumped = (
+            labels.alias("a")
+            .join(
+                bc(labels.alias("b")),
+                F.col("a.label") == F.col("b.node"),
             )
-            .observe(obs0, F.sum("label").alias("s"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.label").alias("label"),
+            )
+        )
+        obs = Observation()
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .unionByName(jumped)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        prev_sum = obs0.get["s"]
-        converged = False
-        for _ in range(max_iterations):
-            neighbor_labels = (
-                edges.join(bc(labels), edges.u == labels.node)
-                .select(F.col("v").alias("node"), "label")
-            )
-            jumped = (
-                labels.alias("a")
-                .join(
-                    bc(labels.alias("b")),
-                    F.col("a.label") == F.col("b.node"),
-                )
-                .select(
-                    F.col("a.node").alias("node"),
-                    F.col("b.label").alias("label"),
-                )
-            )
-            obs = Observation()
-            labels = (
-                labels.unionByName(neighbor_labels)
-                .unionByName(jumped)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .observe(obs, F.sum("label").alias("s"))
-                .localCheckpoint()
-            )
-            cur_sum = obs.get["s"]
-            if cur_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = cur_sum
-        if not converged:
-            # HIGH-DIAMETER escape (round 10): min-label propagation
-            # converges in O(diameter) rounds, which is right for the
-            # clique/short-chain graphs near-dup evidence usually
-            # produces — but a deep graph (the 100x perceptual-hash
-            # lattice: long Hamming-adjacency chains, needs hundreds
-            # of rounds) would previously EXIT THE CAP SILENTLY with
-            # unconverged labels, and the late rounds also degrade as
-            # localCheckpoint recomputation cascades (measured: round
-            # 18 0.8 s -> round 24 264 s on 313k edges). Large-star /
-            # small-star contraction (Kiveris et al., public
-            # literature) finishes in O(log^2 n) rounds on ANY
-            # diameter, so it is the guaranteed-convergence fallback;
-            # the propagation loop stays the fast path because its
-            # per-round cost is lower on the shallow graphs that are
-            # the common case. The 12-round cap (was 25) is load-
-            # bearing: the checkpoint-recompute degradation observed
-            # above began around round 18, so the fast path must hand
-            # off before it can manifest (every shallow graph measured
-            # to date converges in <= 8 rounds with pointer jumping).
-            labels = _star_components(edges, bc)
-    finally:
-        for k, v in conf_saved.items():
-            spark.conf.set(k, v)
+        cur_sum = obs.get["s"]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        # HIGH-DIAMETER escape (round 10): min-label propagation
+        # converges in O(diameter) rounds, which is right for the
+        # clique/short-chain graphs near-dup evidence usually
+        # produces — but a deep graph (the 100x perceptual-hash
+        # lattice: long Hamming-adjacency chains, needs hundreds
+        # of rounds) would previously EXIT THE CAP SILENTLY with
+        # unconverged labels, and the late rounds also degrade as
+        # localCheckpoint recomputation cascades (measured: round
+        # 18 0.8 s -> round 24 264 s on 313k edges). Large-star /
+        # small-star contraction (Kiveris et al., public
+        # literature) finishes in O(log^2 n) rounds on ANY
+        # diameter, so it is the guaranteed-convergence fallback;
+        # the propagation loop stays the fast path because its
+        # per-round cost is lower on the shallow graphs that are
+        # the common case. The 12-round cap (was 25) is load-
+        # bearing: the checkpoint-recompute degradation observed
+        # above began around round 18, so the fast path must hand
+        # off before it can manifest (every shallow graph measured
+        # to date converges in <= 8 rounds with pointer jumping).
+        labels = _star_components(edges, bc)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 

@@ -574,5 +574,11 @@ def decode_flac_samples(payload: bytes) -> dict | None:
             "n_channels": nch, "sample_rate_hz": int(rate),
             "bit_depth": int(bits), "samples": inter,
         }
-    except (EOFError, ValueError, IndexError, struct.error):
+    except (EOFError, ValueError, IndexError, struct.error,
+            OverflowError):
+        # OverflowError: a CRC-valid but pathological LPC/FIXED
+        # subframe (huge coefficients, zero shift) can grow predicted
+        # samples past int32 across a block; the int32 conversion
+        # then overflows, and the contract is None, not a crashed
+        # Arrow task.
         return None

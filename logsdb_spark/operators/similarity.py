@@ -986,6 +986,98 @@ def pq_codes(emb: DataFrame, codebooks: DataFrame, m: int = 8,
     )
 
 
+def _pq_cb_row(cbs: DataFrame) -> DataFrame:
+    """The broadcastable one-row ``_allcb`` frame (array of per-
+    subspace codebooks, each an array_sort'ed (cid, cv) struct list)
+    every ADC consumer attaches to its probe side — ONE assembly
+    shared by pq_adc_topk and ivf_pq_adc_topk so the nested-sort
+    layout the adc_j lookups depend on cannot drift."""
+    return (
+        cbs.groupBy("j")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cbj"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cbj"))),
+                lambda t: t["cbj"],
+            ).alias("_allcb")
+        )
+    )
+
+
+def _adc_pool_rerank(cand: DataFrame, emb: DataFrame, k: int,
+                     m: int, sub: int, rerank: int) -> DataFrame:
+    """The shared ADC tail: given a candidate frame carrying
+    (probe_id, vec_id, codes, nrm, pe, _pn, _allcb), score each
+    candidate as the FIXED left-to-right sum of per-subspace
+    probe·codeword table lookups (deterministic: never a grouped SUM,
+    whose accumulation order differs between engines), round to 4
+    decimals, cut the per-probe top-``rerank`` pool with vec_id
+    tiebreak, and exact-rerank only the pool against the
+    full-precision embeddings. One implementation for both the
+    full-corpus scan (pq_adc_topk) and the IVF-pruned scan
+    (ivf_pq_adc_topk) — their oracles replay this identical
+    expression tree, so the scorer must not fork."""
+    def adc_j(jj: int) -> F.Column:
+        psub = F.slice(F.col("pe"), jj * sub + 1, sub)
+        code = F.element_at(F.col("codes"), jj + 1)
+        cw = F.element_at(
+            F.filter(
+                F.element_at(F.col("_allcb"), jj + 1),
+                lambda c: c["cid"] == code,
+            ),
+            1,
+        )["cv"]
+        return F.aggregate(
+            F.zip_with(psub, cw, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    approx = adc_j(0)
+    for j in range(1, m):
+        approx = approx + adc_j(j)
+
+    scored = cand.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "pe", "_pn",
+        F.round(approx / (F.col("_pn") * F.col("nrm")), 4).alias("approx_cos"),
+    )
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    pool = (
+        scored.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= rerank)
+        .select("probe_id", "neighbor_id", "pe", "_pn")
+    )
+    full = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("fe"),
+        ),
+        "fe",
+        "_fn",
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pool.join(full, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("fe"), F.col("pe")) / (F.col("_fn") * F.col("_pn")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
                 m: int = 8, sub: int = 8, ks: int = 16,
                 rerank: int = 64,
@@ -1017,16 +1109,6 @@ def pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
     if codes is None:
         codes = pq_codes(emb, cbs, m=m, sub=sub)
 
-    cb_row = (
-        cbs.groupBy("j")
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cbj"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "cbj"))),
-                lambda t: t["cbj"],
-            ).alias("_allcb")
-        )
-    )
     pq = _with_norm(
         probes.select(
             "probe_id",
@@ -1034,67 +1116,9 @@ def pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
         ),
         "pe",
         "_pn",
-    ).join(F.broadcast(cb_row))
-
-    def adc_j(jj: int) -> F.Column:
-        psub = F.slice(F.col("pe"), jj * sub + 1, sub)
-        code = F.element_at(F.col("codes"), jj + 1)
-        cw = F.element_at(
-            F.filter(
-                F.element_at(F.col("_allcb"), jj + 1),
-                lambda c: c["cid"] == code,
-            ),
-            1,
-        )["cv"]
-        return F.aggregate(
-            F.zip_with(psub, cw, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    approx = adc_j(0)
-    for j in range(1, m):
-        approx = approx + adc_j(j)
-
-    cand = codes.join(F.broadcast(pq)).select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        "pe", "_pn",
-        F.round(approx / (F.col("_pn") * F.col("nrm")), 4).alias("approx_cos"),
-    )
-    wa = Window.partitionBy("probe_id").orderBy(
-        F.desc("approx_cos"), F.asc("neighbor_id")
-    )
-    pool = (
-        cand.withColumn("ar", F.row_number().over(wa))
-        .filter(F.col("ar") <= rerank)
-        .select("probe_id", "neighbor_id", "pe", "_pn")
-    )
-    full = _with_norm(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("fe"),
-        ),
-        "fe",
-        "_fn",
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        pool.join(full, "neighbor_id")
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("fe"), F.col("pe")) / (F.col("_fn") * F.col("_pn")),
-                4,
-            ).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim", "rank")
-    )
+    ).join(F.broadcast(_pq_cb_row(cbs)))
+    cand = codes.join(F.broadcast(pq))
+    return _adc_pool_rerank(cand, emb, k=k, m=m, sub=sub, rerank=rerank)
 
 
 def ivf_pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
@@ -1152,13 +1176,6 @@ def ivf_pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
         )
         corpus = pq_codes(emb, cbs, m=m, sub=sub).join(assign, "vec_id")
 
-    cb_row = (
-        cbs.groupBy("j")
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cbj"))
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "cbj"))),
-            lambda t: t["cbj"]).alias("_allcb"))
-    )
     pq = _with_norm(
         probes.select(
             "probe_id",
@@ -1176,51 +1193,7 @@ def ivf_pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
         pc.withColumn("cr", F.row_number().over(wp))
         .filter(F.col("cr") <= nprobe)
         .select("probe_id", "pe", "_pn", F.col("cent_id").alias("cell"))
-        .join(F.broadcast(cb_row))
+        .join(F.broadcast(_pq_cb_row(cbs)))
     )
-
-    def adc_j(jj: int) -> F.Column:
-        psub = F.slice(F.col("pe"), jj * sub + 1, sub)
-        code = F.element_at(F.col("codes"), jj + 1)
-        cw = F.element_at(
-            F.filter(F.element_at(F.col("_allcb"), jj + 1),
-                     lambda c: c["cid"] == code), 1)["cv"]
-        return F.aggregate(F.zip_with(psub, cw, lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    approx = adc_j(0)
-    for j in range(1, m):
-        approx = approx + adc_j(j)
-
-    cand = corpus.join(F.broadcast(probe_cells), "cell").select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        "pe", "_pn",
-        F.round(approx / (F.col("_pn") * F.col("nrm")), 4).alias("approx_cos"),
-    )
-    wa = Window.partitionBy("probe_id").orderBy(F.desc("approx_cos"),
-                                                F.asc("neighbor_id"))
-    pool = (
-        cand.withColumn("ar", F.row_number().over(wa))
-        .filter(F.col("ar") <= rerank)
-        .select("probe_id", "neighbor_id", "pe", "_pn")
-    )
-    full = _with_norm(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("fe"),
-        ), "fe", "_fn",
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"),
-                                               F.asc("neighbor_id"))
-    return (
-        pool.join(full, "neighbor_id")
-        .select(
-            "probe_id", "neighbor_id",
-            F.round(dot(F.col("fe"), F.col("pe"))
-                    / (F.col("_fn") * F.col("_pn")), 4).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim", "rank")
-    )
+    cand = corpus.join(F.broadcast(probe_cells), "cell")
+    return _adc_pool_rerank(cand, emb, k=k, m=m, sub=sub, rerank=rerank)

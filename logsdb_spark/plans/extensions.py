@@ -5445,26 +5445,14 @@ def _winnow_pairs_from_index(ex: DataFrame) -> DataFrame:
     is the exploded (doc_id, fp) index — built in-plan
     (dedup_substring_winnow) or read from the materialized
     winnow_fp_layout. Hub-capped bucket groupBy, in-bucket pair emit,
-    >= 2 shared-fps filter — identical either way, one oracle."""
-    buckets = (
-        ex.groupBy("fp")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= 32))
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "b -> struct(a AS id_a, b AS id_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    return (
-        pairs.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
-        .filter(F.col("n_shared_fps") >= 2)
-    )
+    >= 2 shared-fps filter — identical either way, one oracle.
+    Delegates to the SINGLE implementation of the capped bucket emit
+    (operators/dedup.winnow_edge_counts — also the stored state the
+    incremental maintenance path updates) so the cap and emit can
+    never drift between the rebuild and delta routes."""
+    from ..operators.dedup import winnow_edge_counts, winnow_pairs_from_counts
+
+    return winnow_pairs_from_counts(winnow_edge_counts(ex))
 
 
 @register(

@@ -267,3 +267,49 @@ def test_audio_dedup_finds_wav_flac_twins(spark):
                  fps, max_hamming=3, hash_col="afp").collect()}
     for i in range(len(texts)):
         assert (i, 100 + i, 0) in pairs, f"twin {i} not found: {pairs}"
+
+
+def test_flac_pathological_lpc_returns_none_not_crash():
+    """A CRC-valid stream whose LPC subframe has huge coefficients and
+    zero shift grows predicted samples past int32 within one block —
+    the decoder must honor the fall-back-not-crash contract (None),
+    not raise OverflowError out of the Arrow task."""
+    rate, blk = 8000, 64
+    bw = _BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 2)
+    bw.write(0b0110, 4)
+    bw.write(0b0000, 4)
+    bw.write(0, 4)
+    bw.write(0b100, 3)
+    bw.write(0, 1)
+    head = bw.bytes() + _utf8_code(0) + bytes([blk - 1])
+    head += bytes([_crc8(head)])
+    sw = _BitWriter()
+    sw.write(0, 1)
+    sw.write(0b100000 | (1 - 1), 6)  # LPC order 1
+    sw.write(0, 1)
+    sw.write(2, 16)                  # warm-up sample
+    sw.write(15 - 1, 4)              # precision 15
+    sw.write(0, 5)                   # shift 0
+    sw.write(16383, 15)              # coefficient 16383
+    sw.write(0b00, 2)
+    sw.write(0, 4)
+    sw.write(0, 4)                   # rice p=0, residuals all zero
+    for _ in range(blk - 1):
+        sw.write_unary(0)
+    sw.align()
+    body = head + sw.bytes()
+    frame = body + struct.pack(">H", _crc16(body))
+    info = _BitWriter()
+    info.write(4096, 16)
+    info.write(4096, 16)
+    info.write(len(frame), 24)
+    info.write(len(frame), 24)
+    info.write(rate, 20)
+    info.write(0, 3)
+    info.write(15, 5)
+    info.write(blk, 36)
+    si = info.bytes() + b"\x00" * 16
+    blob = b"fLaC" + bytes([0x80]) + struct.pack(">I", len(si))[1:] + si + frame
+    assert decode_flac_samples(blob) is None
