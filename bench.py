@@ -162,6 +162,12 @@ HEADLINE = [
     # (touched-bucket emissions + stored-count merge) proven equal to
     # the full rebuild by sharing its oracle
     "dedup_edge_maintenance_winnow",
+    # round-12: the video tier's second container — real MJPEG/AVI
+    # decode (RIFF walk + baseline JPEG per '00dc' chunk) and the
+    # cross-container GIF/AVI near-dup pairs through the one
+    # format-sniffing frame-hash kernel
+    "multimodal_avi_frames_stats",
+    "dedup_video_frames_cross",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -415,6 +421,11 @@ def warm_up(spark, sf_dir: str) -> None:
 
     dedup_edge_layout(spark, sf_dir).limit(1).count()
     winnow_edge_count_layout(spark, sf_dir).limit(1).count()
+    # round-12: the cross-container video corpus (MJPEG AVI + GIF twin
+    # halves — the stored input of the AVI decode + cross dedup benches)
+    from logsdb_spark.operators.silver import cross_video_blob_layout
+
+    cross_video_blob_layout(spark, sf_dir).limit(1).count()
 
 
 def streaming_bench(spark, sf_dir: str) -> dict:

@@ -1763,31 +1763,104 @@ def phash_component_edges(hashes: DataFrame, max_hamming: int = 3,
 #     "maintained at ingest" rather than rebuilt per corpus change.
 # ---------------------------------------------------------------------------
 
-def winnow_edge_counts(ex: DataFrame) -> DataFrame:
-    """Per-pair shared-fingerprint COUNTS from an exploded (doc_id,
-    fp) winnow index — the UNFILTERED form of the span-pair relation:
-    hub-capped bucket groupBy (2..32 docs per fingerprint, the same
-    boilerplate guard every winnow consumer applies), in-bucket pair
-    emit, grouped to (id_a, id_b, n). The >= 2-shared-fps decision is
-    NOT applied here because the count is the delta-able quantity —
-    incremental maintenance adds and subtracts per-bucket emissions,
-    and a pair can cross the threshold in either direction when a
-    shard lands (see winnow_edges_apply_delta)."""
+# The winnow/video hub cap: a fingerprint (or sampled-frame hash)
+# bucket above this occupancy stops contributing PAIRS. Round 12: it
+# no longer RETRACTS — over-cap buckets contribute min-doc STAR edges
+# to the component-consuming keep endpoints (winnow_component_edges),
+# because at replication scale the >cap clusters are exactly the
+# virally-copied content a curator must dedup (the r11 probe measured
+# end recall 0.0004 under retraction). Pair-contract queries
+# (dedup_substring_winnow, dedup_video_frames) keep the capped 2..cap
+# ≥2-shared relation via winnow_edge_counts.
+WINNOW_HUB_CAP = 32
+
+
+def _capped_bucket_emit(ex: DataFrame,
+                        cap: int = WINNOW_HUB_CAP) -> DataFrame:
+    """The SINGLE implementation of the hub-capped bucket emit every
+    winnow-shaped consumer derives from: one groupBy on the
+    fingerprint, then per bucket either all C(k,2) pairs (occupancy
+    2..cap) or k-1 min-doc STAR edges (occupancy > cap), tagged
+    ``is_star``. One row per bucket holds k sorted ids (linear — the
+    quadratic emit only ever runs under the cap; star rows are k-1 by
+    construction), and the CASE branches evaluate lazily per row, so
+    an over-cap bucket never materializes its clique. Counts
+    (winnow_edge_counts) and component edges (winnow_component_edges)
+    both ride this emit, so the cap and pair semantics cannot drift
+    between the pair, keep, and maintenance routes."""
     buckets = (
         ex.groupBy("fp")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= 32))
+        .filter(F.size("ids") >= 2)
     )
-    pairs = buckets.select(
+    all_pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    star = F.expr(
+        "transform(slice(ids, 2, size(ids)), "
+        "b -> struct(ids[0] AS id_a, b AS id_b))"
+    )
+    return buckets.select(
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "b -> struct(a AS id_a, b AS id_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+            F.when(F.size("ids") <= cap, all_pairs).otherwise(star)
+        ).alias("p"),
+        (F.size("ids") > cap).alias("is_star"),
+    ).select("p.id_a", "p.id_b", "is_star")
+
+
+def winnow_edge_counts(ex: DataFrame) -> DataFrame:
+    """Per-pair shared-fingerprint COUNTS from an exploded (doc_id,
+    fp) winnow index — the UNFILTERED form of the span-PAIR relation:
+    hub-capped bucket groupBy (2..32 docs per fingerprint, the same
+    boilerplate guard every winnow pair consumer applies), in-bucket
+    pair emit, grouped to (id_a, id_b, n). Over-cap buckets
+    contribute NOTHING here (the pair contract); their star edges are
+    winnow_component_edges' addition for keep consumers. The
+    >= 2-shared-fps decision is NOT applied here because the count is
+    the delta-able quantity — incremental maintenance adds and
+    subtracts per-bucket emissions, and a pair can cross the
+    threshold in either direction when a shard lands (see
+    winnow_edges_apply_delta)."""
+    pairs = _capped_bucket_emit(ex).filter(~F.col("is_star"))
     return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def winnow_component_edges(ex: DataFrame, cap: int = WINNOW_HUB_CAP,
+                           min_shared: int = 2) -> DataFrame:
+    """COMPONENT-EQUIVALENT edge set for the winnow-shaped dedup
+    signals — what the KEEP endpoints consume (round 12): the capped
+    pair relation (buckets of 2..cap docs, >= ``min_shared`` shared
+    fingerprints — identical to winnow_pairs_from_counts'
+    (id_a, id_b) projection) UNIONED with one min-doc STAR edge per
+    member of every over-cap bucket. Under retraction (the r11
+    contract) a fingerprint shared by > cap docs contributed nothing,
+    so a video copied 100 times — every frame bucket over the
+    corpus-size-invariant cap — produced NO edges and end recall
+    collapsed to ~0 at replication scale (media_probe_r11
+    recall_vs_exact 0.0004). Stars keep the curator decision intact
+    on exactly those viral clusters with k-1 edges instead of C(k,2):
+    the keep endpoints consume connected COMPONENTS, and a star spans
+    the same component the clique would. The precision trade is
+    explicit and documented: docs sharing only ONE over-cap
+    fingerprint now merge (under the pair contract two shared capped
+    fps were required) — for span/frame signals an over-cap bucket is
+    either boilerplate-so-viral-it-is-a-duplicate (merging is the
+    point) or a corpus needing a larger cap; the pair queries keep
+    the conservative contract. Same one-bucket-shuffle shape as the
+    pair route (shared _capped_bucket_emit), one extra boolean
+    through the same two shuffles."""
+    em = _capped_bucket_emit(ex, cap)
+    return (
+        em.groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("is_star"), 0).otherwise(1)).alias("n"),
+            F.max("is_star").alias("st"),
+        )
+        .filter((F.col("n") >= min_shared) | F.col("st"))
+        .select("id_a", "id_b")
+    )
 
 
 def winnow_edges_apply_delta(stored_counts: DataFrame,

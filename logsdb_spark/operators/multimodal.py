@@ -2808,6 +2808,25 @@ def gif_frames_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(stats, GIF_FRAMES_STATS_SCHEMA)
 
 
+def decode_video_frames(payload: bytes) -> dict | None:
+    """Container-dispatching VIDEO decode (round 12): GIF87a/89a →
+    decode_gif_frames, RIFF('AVI ') → MJPEG decode_avi_frames
+    (operators/avi), anything else None — the video twin of
+    decode_audio_samples' WAV/FLAC dispatch. Both decoders return the
+    same ``{"width", "height", "n_frames", "frames"}`` dict (AVI adds
+    "n_channels"), so the same frame content hashes identically
+    whichever container it arrived in (pinned by
+    tests/test_avi.py::test_gif_mjpeg_twins_hash_hamming_zero)."""
+    b = bytes(payload)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_frames(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from .avi import decode_avi_frames
+
+        return decode_avi_frames(b)
+    return None
+
+
 VIDEO_FRAME_HASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -2822,22 +2841,25 @@ def video_frame_hashes(blobs: DataFrame, stride: int = 2) -> DataFrame:
     ``stride``-th decoded frame (the frame-sampling knob a video
     pipeline turns — decode cost scales with sampled frames, not
     stored frames) through dhash56. One row per (doc, sampled frame);
-    undecodable payloads contribute no rows. The video near-dup
-    decision buckets on the frame hash downstream
+    undecodable payloads contribute no rows. Container-SNIFFING since
+    round 12 (decode_video_frames: GIF89a or MJPEG/AVI through one
+    kernel), so cross-container duplicates pair at identical hashes.
+    The video near-dup decision buckets on the frame hash downstream
     (plans/extensions.dedup_video_frames) — the winnowing shape with
     frames in place of k-gram fingerprints."""
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, hs = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                dec = decode_gif_frames(bytes(p) if p is not None else b"")
+                dec = decode_video_frames(bytes(p) if p is not None else b"")
                 if dec is None:
                     continue
+                nch = dec.get("n_channels", 1)
                 for f in range(0, dec["n_frames"], stride):
                     ids.append(doc_id)
                     idxs.append(f)
                     hs.append(dhash56(dec["frames"][f], dec["width"],
-                                      dec["height"], 1))
+                                      dec["height"], nch))
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
                                 "fhash": hs})
 

@@ -758,6 +758,57 @@ def gif_anim_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_video_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CROSS-CONTAINER video fixture corpus as a materialized
+    (doc_id, payload) parquet (prefix ``vx1``): even docs MJPEG AVIs,
+    odd docs GIF89a animations with IDENTICAL frame content derived
+    from the even sibling's text (operators/avi.
+    synthesize_cross_videos) — every (2k, 2k+1) pair a true
+    cross-container twin, the video tier's analogue of
+    flac_blob_layout's WAV/FLAC twins. The sibling text arrives via a
+    self-join on sib_id = doc_id - doc_id % 2 (broadcast-eligible
+    dimension-to-self join; at 100 TB this is the one-time fixture
+    encode, keyed on the documents mtime like every layout here);
+    rows whose sibling text is empty are filtered — the same
+    nonempty contract as the other media layouts, applied to the
+    CONTENT-bearing sibling."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from ..catalog import load_table
+    from .avi import synthesize_cross_videos
+    from .scale import widen_for_compute
+
+    def make():
+        docs = load_table(spark, sf_dir, "documents")
+        sib = docs.select(
+            F.col("doc_id").alias("sib_id"),
+            F.col("text").alias("sib_text"),
+        ).filter(F.length("sib_text") > 0)
+        base = (
+            docs.select("doc_id")
+            .join(sib,
+                  (F.col("doc_id") - F.col("doc_id") % 2)
+                  == F.col("sib_id"))
+            .select("doc_id", "sib_text")
+        )
+        return synthesize_cross_videos(widen_for_compute(
+            base, spark,
+            cache_key=(sf_dir, "crossvideo",
+                       _source_mtime(os.path.join(sf_dir,
+                                                  "documents.parquet"))),
+        ))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("payload", BinaryType())]
+    )
+    return _blob_layout(spark, sf_dir, "vx1", make, schema).select(
+        "doc_id", "payload"
+    )
+
+
 def media_evidence_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MEDIA content-evidence INDEX as a materialized (doc_id,
     hv, kind) parquet, PARTITIONED BY modality kind (prefix mevidx1):
@@ -937,11 +988,15 @@ def dedup_edge_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep queries reuse one CC input"). Signals:
 
     - ``mh``  — verified-jaccard >= 0.6 MinHash near-dup pairs
-    - ``wn``  — winnowing shared-span pairs (>= 2 shared capped fps)
+    - ``wn``  — winnowing shared-span COMPONENT edges (>= 2 shared
+      capped fps pairs + over-cap min-doc stars — round 12; the
+      retraction semantics collapsed keep recall on viral clusters,
+      see operators/dedup.winnow_component_edges)
     - ``iph`` — image perceptual-hash COMPONENT edges (rep stars +
       fused-kernel ball stars — component-equivalent, node-linear)
     - ``afp`` — audio fingerprint component edges (same operator)
-    - ``vfr`` — shared-sampled-frame video pairs
+    - ``vfr`` — shared-sampled-frame video COMPONENT edges (same
+      pair + over-cap star semantics as ``wn``)
 
     Directory pruning per signal (PartitionFilters), and every
     consumer shares the in-plan form's oracle because each edge
@@ -961,15 +1016,16 @@ def dedup_edge_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         # call time inside query bodies, so importing it lazily here
         # (both modules are fully loaded by the time make() runs)
         # breaks no cycle.
-        from ..plans.extensions import _winnow_pairs_from_index
-        from .dedup import minhash_near_dups_prepared, phash_component_edges
+        from .dedup import (
+            minhash_near_dups_prepared,
+            phash_component_edges,
+            winnow_component_edges,
+        )
 
         mh = minhash_near_dups_prepared(
             minhash_index_layout(spark, sf_dir), threshold=0.6
         ).select("id_a", "id_b")
-        wn = _winnow_pairs_from_index(
-            winnow_fp_layout(spark, sf_dir)
-        ).select("id_a", "id_b")
+        wn = winnow_component_edges(winnow_fp_layout(spark, sf_dir))
         midx = media_evidence_layout(spark, sf_dir)
         iph = phash_component_edges(
             midx.filter(F.col("kind") == "phash")
@@ -981,10 +1037,10 @@ def dedup_edge_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("hv").alias("afp")),
             max_hamming=3, hash_col="afp",
         )
-        vfr = _winnow_pairs_from_index(
+        vfr = winnow_component_edges(
             midx.filter(F.col("kind") == "vframe")
             .select("doc_id", F.col("hv").alias("fp"))
-        ).select("id_a", "id_b")
+        )
         tagged = [
             (mh, "mh"), (wn, "wn"), (iph, "iph"), (afp, "afp"),
             (vfr, "vfr"),
@@ -1000,7 +1056,10 @@ def dedup_edge_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("id_a", LongType()),
         StructField("id_b", LongType()),
     ])
-    return _blob_layout(spark, sf_dir, "dedg1", make, schema,
+    # dedg2 (round 12): wn/vfr switched from pair retraction to
+    # component edges (over-cap stars) — new prefix so a cached dedg1
+    # from the old semantics can never serve the new consumers.
+    return _blob_layout(spark, sf_dir, "dedg2", make, schema,
                         partition_by="signal")
 
 

@@ -5516,10 +5516,21 @@ def dedup_substring_winnow_indexed(spark: SparkSession, sf_dir: str) -> DataFram
       GROUP BY a.doc_id, b.doc_id
       HAVING COUNT(*) >= 2
     ),
+    stars AS (
+      SELECT s.rep AS id_a, e.doc_id AS id_b
+      FROM ex e JOIN (
+        SELECT fp, MIN(doc_id) AS rep FROM ex
+        GROUP BY fp HAVING COUNT(*) > 32
+      ) s ON s.fp = e.fp
+      WHERE e.doc_id <> s.rep
+    ),
+    allw AS (
+      SELECT id_a, id_b FROM pairs UNION SELECT id_a, id_b FROM stars
+    ),
     edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
+      SELECT id_a AS u, id_b AS v FROM allw
       UNION
-      SELECT id_b, id_a FROM pairs
+      SELECT id_b, id_a FROM allw
     ),
     reach(u, v) AS (
       SELECT u, v FROM edges
@@ -5546,8 +5557,12 @@ def dedup_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     of dedup_minhash_clusters' group resolution, sharing its
     min-label propagation operator and the recursive-CTE oracle
     pattern (a genuinely iterative algorithm hash-gated end to end).
-    Scale shape (round 11: EDGE-FED): the pair evidence is the
-    ``wn`` partition of the materialized edge layout
+    Scale shape (round 11: EDGE-FED): the edge evidence is the
+    ``wn`` partition of the materialized edge layout — round 12:
+    COMPONENT edges (capped pairs + over-cap min-doc stars,
+    operators/dedup.winnow_component_edges; the ``stars`` CTE
+    mirrors them, so viral >32-doc span clusters dedup instead of
+    retracting)
     (operators/silver.dedup_edge_layout — in production near-dup
     edges are maintained at ingest on top of the fingerprint
     indexes), so the per-run cost is one directory-pruned narrow
@@ -5634,8 +5649,17 @@ def dedup_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
       HAVING COUNT(*) >= 2
     ),
+    wstars AS (
+      SELECT s.rep AS id_a, e.doc_id AS id_b
+      FROM wex e JOIN (
+        SELECT fp, MIN(doc_id) AS rep FROM wex
+        GROUP BY fp HAVING COUNT(*) > 32
+      ) s ON s.fp = e.fp
+      WHERE e.doc_id <> s.rep
+    ),
     allpairs AS (
       SELECT id_a, id_b FROM mpairs UNION SELECT id_a, id_b FROM wpairs
+      UNION SELECT id_a, id_b FROM wstars
     ),
     edges AS (
       SELECT id_a AS u, id_b AS v FROM allpairs
@@ -5674,7 +5698,9 @@ def dedup_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (round 11: EDGE-FED): both evidence relations come
     from the materialized edge layout (operators/silver.
     dedup_edge_layout, ``mh`` + ``wn`` partitions — near-dup edges
-    maintained at ingest on top of the fingerprint indexes), so the
+    maintained at ingest on top of the fingerprint indexes; round
+    12: ``wn`` is component edges, capped pairs + over-cap min-doc
+    stars — the ``wstars`` CTE mirrors them), so the
     per-run cost is one directory-pruned narrow scan + CC over
     dup-group-sized edges + a corpus-keyed left join. The evidence
     pipelines stay registered + benched under their own names
@@ -6277,6 +6303,10 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_winnow_pairs_from_index: hub cap 2..32 mirrored in the oracle —
     a static frame so common it stops being a dedup signal is
     dropped on BOTH engines — in-bucket pair emit, no self-join).
+    This PAIR query keeps the conservative capped contract; the keep
+    endpoints consume COMPONENT edges instead (over-cap buckets as
+    min-doc stars, operators/dedup.winnow_component_edges — round
+    12), so viral >cap frame clusters still dedup at scale.
     The oracle recomputes every sampled frame hash closed-form from
     the cycled text. Scale shape: scan-local decode+hash, ONE
     frame-hash bucket shuffle, pair counts bounded by the capped
@@ -6288,6 +6318,157 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                             gif_anim_blob_layout(spark, sf_dir), "gifanim")
     ex = (
         video_frame_hashes(blobs, stride=_VIDEO_STRIDE)
+        .select("doc_id", F.col("fhash").alias("fp"))
+        .distinct()
+    )
+    return _winnow_pairs_from_index(ex).orderBy("id_a", "id_b")
+
+
+@register(
+    "multimodal_avi_frames_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 24 + 5 AS BIGINT) AS w,
+             CAST(doc_id % 12 + 5 AS BIGINT) AS h,
+             CAST(doc_id % 4 + 3 AS BIGINT) AS nf,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0
+    ),
+    g AS (
+      SELECT doc_id, text, w, h, nf, L,
+             (w + 7) // 8 AS bw, (h + 7) // 8 AS bh
+      FROM d
+    ),
+    fs AS (
+      SELECT doc_id, w, h, nf,
+             list_transform(range(0, CAST(nf AS INTEGER)), f ->
+               COALESCE(list_sum(list_transform(
+                 range(0, CAST(bw * bh AS INTEGER)), i ->
+                 CAST(ascii(substr(text,
+                        CAST((f * bw * bh + i) % L AS INTEGER) + 1, 1))
+                      AS BIGINT)
+                 * LEAST(8, w - 8 * (i % bw))
+                 * LEAST(8, h - 8 * (i // bw)))), 0)) AS sums
+      FROM g
+    )
+    SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+           CAST(COALESCE(list_sum(sums), 0) AS BIGINT) AS px_sum,
+           CAST(COALESCE(list_sum(list_transform(
+             range(0, CAST(nf AS INTEGER)),
+             f -> (f + 1) * sums[CAST(f AS INTEGER) + 1])), 0) AS BIGINT)
+             AS weighted_sum
+    FROM fs
+    ORDER BY doc_id
+    """,
+)
+def multimodal_avi_frames_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG/AVI decode, hash-gated end to end — the video
+    tier's SECOND container (round 12), closing the cross-container
+    triangle the image (PNG/GIF/JPEG) and audio (WAV/FLAC) tiers
+    already have: the even-doc half of the cross-video corpus is a
+    genuine RIFF AVI whose '00dc' chunks each hold a complete
+    baseline JPEG (operators/avi.build_avi_mjpeg), the kernel walks
+    the container and runs the full Huffman/IDCT decode per frame
+    (operators/avi.decode_avi_frames), and the oracle recomputes
+    frame count, exact pixel sum, and the frame-order-sensitive
+    checksum sum((f+1)*frame_sum) closed-form from the text (JPEG's
+    DC-exact block-constant contract: frame f block i carries byte
+    (f*nb + i) % L, edge blocks weighted by their true pixel
+    coverage). Scale shape: materialized blob layout, one widened
+    scan, one Arrow decode kernel, no shuffle until the presentation
+    sort."""
+    from ..operators.avi import avi_frames_stats
+    from ..operators.silver import cross_video_blob_layout
+
+    blobs = _widened_layout(spark, sf_dir,
+                            cross_video_blob_layout(spark, sf_dir), "vx")
+    return avi_frames_stats(
+        blobs.filter(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_video_frames_cross",
+    oracle="""
+    WITH d AS (
+      SELECT a.doc_id,
+             CAST(b.doc_id % 24 + 5 AS BIGINT) AS w,
+             CAST(b.doc_id % 12 + 5 AS BIGINT) AS h,
+             CAST(b.doc_id % 4 + 3 AS BIGINT) AS nf,
+             CAST(length(b.text) AS BIGINT) AS L,
+             b.text AS t
+      FROM documents a
+      JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 2
+      WHERE length(b.text) > 0
+    ),
+    s AS (
+      SELECT doc_id, w, h, nf, L,
+             (w + 7) // 8 AS bw,
+             ((w + 7) // 8) * ((h + 7) // 8) AS nb,
+             list_transform(range(1, CAST(L AS INTEGER) + 1),
+               i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT)
+             ) AS bs
+      FROM d
+    ),
+    fh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               list_filter(range(0, CAST(nf AS INTEGER)),
+                           f -> f % 2 = 0),
+               f -> CAST(list_sum(list_transform(range(0, 56), b ->
+                 CASE WHEN
+                   bs[CAST((f*nb + ((((2*(b//7)+1)*h)//16)//8) * bw
+                            + ((((2*(b%7)+1)*w)//16)//8)) % L
+                      AS INTEGER) + 1]
+                   >
+                   bs[CAST((f*nb + ((((2*(b//7)+1)*h)//16)//8) * bw
+                            + ((((2*(b%7)+3)*w)//16)//8)) % L
+                      AS INTEGER) + 1]
+                 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT))) AS fp
+      FROM s
+    ),
+    ok AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fh GROUP BY fp)
+      WHERE c BETWEEN 2 AND 32
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ns
+      FROM fh a
+      JOIN fh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN ok ON ok.fp = a.fp
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(ns AS BIGINT) AS n_shared_fps
+    FROM pairs WHERE ns >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_video_frames_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CONTAINER video near-dup pairs — the query that proves
+    video dedup is container-blind the way audio dedup is WAV/FLAC-
+    blind: the mixed corpus (even docs MJPEG AVI, odd docs GIF89a,
+    sibling pairs carrying IDENTICAL frame content derived from the
+    even doc's text — operators/silver.cross_video_blob_layout) runs
+    through the ONE format-sniffing frame-hash kernel
+    (operators/multimodal.video_frame_hashes →
+    decode_video_frames dispatch) and the standard capped bucket
+    pipeline; every (2k, 2k+1) twin must pair because its GIF and
+    JPEG decodes produce the same pixels (pinned unit-level by
+    tests/test_avi.py). The oracle recomputes every sampled frame
+    hash closed-form from the sibling text via the block-constant
+    lattice (pixel → block (r//8)*bw + c//8), then replays the
+    bucket cap and >= 2-shared-hash decision. Scale shape: identical
+    to dedup_video_frames — scan-local decode+hash, ONE frame-hash
+    bucket shuffle, pair counts bounded by the capped buckets."""
+    from ..operators.multimodal import video_frame_hashes
+    from ..operators.silver import cross_video_blob_layout
+
+    blobs = _widened_layout(spark, sf_dir,
+                            cross_video_blob_layout(spark, sf_dir), "vx")
+    ex = (
+        video_frame_hashes(blobs, stride=2)
         .select("doc_id", F.col("fhash").alias("fp"))
         .distinct()
     )
@@ -6381,10 +6562,19 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN vok ON vok.fp = a.fp
       GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
     ),
+    vstars AS (
+      SELECT s.rep AS id_a, e.doc_id AS id_b
+      FROM vfh e JOIN (
+        SELECT fp, MIN(doc_id) AS rep FROM vfh
+        GROUP BY fp HAVING COUNT(*) > 32
+      ) s ON s.fp = e.fp
+      WHERE e.doc_id <> s.rep
+    ),
     allp AS (
       SELECT id_a, id_b FROM ipairs
       UNION SELECT id_a, id_b FROM apairs
       UNION SELECT id_a, id_b FROM vpairs
+      UNION SELECT id_a, id_b FROM vstars
     ),
     edges AS (
       SELECT id_a AS u, id_b AS v FROM allp
@@ -6415,7 +6605,11 @@ def dedup_media_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster labels; singletons keep themselves. The text-signal
     analogue is dedup_ensemble_keep, and like it this endpoint is
     EDGE-FED (round 11): all three evidence signals come from the
-    materialized edge layout (operators/silver.dedup_edge_layout,
+    materialized edge layout (round 12: the video signal is COMPONENT
+    edges — capped-bucket pairs plus over-cap min-doc stars,
+    operators/dedup.winnow_component_edges, so a frame shared by more
+    than 32 docs clusters its sharers instead of retracting — the
+    ``vstars`` CTE mirrors it) (operators/silver.dedup_edge_layout,
     ``iph``/``afp``/``vfr`` partitions — image/audio enter as the
     component-equivalent star edges phash_component_edges computes at
     layout build, node-linear in identical-hash group size), so the
@@ -6465,6 +6659,7 @@ def dedup_media_ensemble_keep_inplan(spark: SparkSession,
     from ..operators.dedup import (
         connected_components,
         phash_component_edges,
+        winnow_component_edges,
     )
     from ..operators.multimodal import (
         audio_fingerprint,
@@ -6498,7 +6693,7 @@ def dedup_media_ensemble_keep_inplan(spark: SparkSession,
         # re-evaluation across plan branches.
         .persist()
     )
-    vpairs = _winnow_pairs_from_index(vex)
+    vpairs = winnow_component_edges(vex)
     pairs = (
         iedges.unionByName(aedges)
         .unionByName(vpairs.select("id_a", "id_b"))
@@ -6554,9 +6749,11 @@ _CORPUS_KEEP_SQL = (
     allsig AS (
       SELECT id_a, id_b FROM mpairs
       UNION SELECT id_a, id_b FROM wpairs
+      UNION SELECT id_a, id_b FROM wstars
       UNION SELECT id_a, id_b FROM ipairs
       UNION SELECT id_a, id_b FROM apairs
       UNION SELECT id_a, id_b FROM vpairs
+      UNION SELECT id_a, id_b FROM vstars
     ),
     sedges AS (
       SELECT id_a AS u, id_b AS v FROM allsig
@@ -6634,6 +6831,7 @@ def dedup_corpus_keep_fromindex(spark: SparkSession,
         connected_components,
         minhash_near_dups_prepared,
         phash_component_edges,
+        winnow_component_edges,
     )
     from ..operators.silver import (
         media_evidence_layout,
@@ -6647,9 +6845,7 @@ def dedup_corpus_keep_fromindex(spark: SparkSession,
     mh = minhash_near_dups_prepared(mhidx, threshold=0.6).select(
         "id_a", "id_b"
     )
-    sp = _winnow_pairs_from_index(
-        winnow_fp_layout(spark, sf_dir)
-    ).select("id_a", "id_b")
+    sp = winnow_component_edges(winnow_fp_layout(spark, sf_dir))
     midx = _widened_layout(
         spark, sf_dir, media_evidence_layout(spark, sf_dir), "mevidx"
     )
@@ -6663,10 +6859,10 @@ def dedup_corpus_keep_fromindex(spark: SparkSession,
         .select("doc_id", F.col("hv").alias("afp")),
         max_hamming=3, hash_col="afp",
     )
-    vpairs = _winnow_pairs_from_index(
+    vpairs = winnow_component_edges(
         midx.filter(F.col("kind") == "vframe")
         .select("doc_id", F.col("hv").alias("fp"))
-    ).select("id_a", "id_b")
+    )
     edges = (
         mh.unionByName(sp)
         .unionByName(iedges)

@@ -133,6 +133,10 @@ def main() -> int:
     # CONSTRUCTION, not by bug).
     import pyspark.sql.functions as F
 
+    from logsdb_spark.operators.dedup import (
+        connected_components,
+        winnow_component_edges,
+    )
     from logsdb_spark.operators.multimodal import video_frame_hashes
     from logsdb_spark.plans.extensions import _winnow_pairs_from_index
     from scale_probe import _participants
@@ -148,10 +152,22 @@ def main() -> int:
                 video_frame_hashes(anim, stride=s)
                 .select("doc_id", F.col("fhash").alias("fp"))
                 .distinct()
-            )
+            ).persist()
             found_df = _winnow_pairs_from_index(ex).persist()
             found_df.count()
             t = time.perf_counter() - t0
+            # END RECALL (round 12): what the KEEP endpoints see —
+            # component labels over the star-augmented edge set
+            # (winnow_component_edges: capped pairs + over-cap min-doc
+            # stars). A truth pair counts as found when both endpoints
+            # land in one component — the curator decision, which the
+            # r11 retraction semantics collapsed to 0.0004 at 100x.
+            t0 = time.perf_counter()
+            comp = connected_components(
+                winnow_component_edges(ex)
+            ).persist()
+            comp.count()
+            t_comp = time.perf_counter() - t0
             # exact participants-only truth at the same stride
             tex = (
                 video_frame_hashes(part_anim, stride=s)
@@ -169,9 +185,18 @@ def main() -> int:
                 .filter(F.col("ns") >= 2)
                 .select("id_a", "id_b")
             )
+            truth = truth.persist()
             n_truth = truth.count()
             n_found = truth.join(found_df.select("id_a", "id_b"),
                                  ["id_a", "id_b"], "left_semi").count()
+            ca = comp.select(F.col("doc_id").alias("id_a"),
+                             F.col("cluster").alias("ca"))
+            cb = comp.select(F.col("doc_id").alias("id_b"),
+                             F.col("cluster").alias("cb"))
+            n_comp_found = (
+                truth.join(ca, "id_a").join(cb, "id_b")
+                .filter(F.col("ca") == F.col("cb")).count()
+            )
             # CONTRACT truth: the operator promises pairs sharing
             # >= 2 frames whose hash buckets hold 2..32 docs in the
             # FULL corpus (the boilerplate hub cap). At 100x a frame
@@ -205,10 +230,14 @@ def main() -> int:
                                    ["id_a", "id_b"], "left_semi").count()
             strides[f"stride_{s}"] = {
                 "scaled_s": round(t, 3),
+                "component_s": round(t_comp, 3),
                 "n_pairs": found_df.count(),
                 "truth_pairs": n_truth,
                 "truth_found": n_found,
-                "recall_vs_exact": (round(n_found / n_truth, 4)
+                "pair_recall_vs_exact": (round(n_found / n_truth, 4)
+                                         if n_truth else None),
+                "component_found": n_comp_found,
+                "recall_vs_exact": (round(n_comp_found / n_truth, 4)
                                     if n_truth else None),
                 "contract_truth_pairs": n_ctruth,
                 "contract_found": n_cfound,
@@ -216,8 +245,13 @@ def main() -> int:
                                        if n_ctruth else None),
             }
             found_df.unpersist()
+            comp.unpersist()
+            truth.unpersist()
+            ex.unpersist()
             print(f"video stride {s}: {t:.2f}s "
-                  f"recall {strides[f'stride_{s}']['recall_vs_exact']} "
+                  f"end(component) recall "
+                  f"{strides[f'stride_{s}']['recall_vs_exact']} "
+                  f"pair {strides[f'stride_{s}']['pair_recall_vs_exact']} "
                   f"contract {strides[f'stride_{s}']['recall_vs_contract']}",
                   file=sys.stderr)
 
@@ -229,6 +263,11 @@ def main() -> int:
             "layouts pre-materialized untimed (ingest-maintained "
             "state). Keep endpoints are EDGE-FED (dedup_edge_layout) "
             "since r11; _inplan is the from-raw decode baseline. "
+            "video_stride (r12): recall_vs_exact is now the END "
+            "(component/keep) recall over the star-augmented edge "
+            "set — over-cap buckets emit min-doc stars instead of "
+            "retracting; pair_recall_vs_exact is the conservative "
+            "pair contract's number, contract recall its fidelity. "
             "dedup_image_phash_pairs deliberately NOT probed: its "
             "ANSWER is quadratic in identical-hash group size; "
             "pipeline endpoints consume the linear component-"

@@ -784,3 +784,50 @@ def test_winnow_edge_delta_handles_cap_retraction(spark):
     # Docs 1,2 survive on {101, 200, 201} = 3 shared.
     assert not any(p[0] != 1 or p[1] != 2 for p in got), got
     assert (1, 2, 3) in got
+
+
+def test_winnow_component_edges_cap_stars(spark):
+    """Round 12 cap-STAR semantics for the keep/component consumers
+    (the r11 verdict's top item): a fingerprint bucket over the
+    32-doc hub cap contributes k-1 min-doc STAR edges to
+    winnow_component_edges instead of retracting — so a viral >cap
+    cluster (a video copied 100x, boilerplate-scale span reuse)
+    still resolves to ONE component at the keep endpoints, with
+    linear edges. The PAIR contract (winnow_edge_counts →
+    winnow_pairs_from_counts) keeps the conservative retraction —
+    both pinned here against one index."""
+    from logsdb_spark.operators.dedup import (
+        connected_components,
+        winnow_component_edges,
+        winnow_edge_counts,
+        winnow_pairs_from_counts,
+    )
+
+    rows = []
+    # fp=100: a 40-doc over-cap bucket (viral cluster) → stars 1→d
+    for d in range(1, 41):
+        rows.append((d, 100))
+    # docs 50,51: two shared in-range fps → the classic >=2 pair
+    rows += [(50, 500), (51, 500), (50, 501), (51, 501)]
+    # docs 60,61: ONE shared in-range fp → below min_shared, no edge
+    rows += [(60, 600), (61, 600)]
+    ex = spark.createDataFrame(rows, "doc_id long, fp long")
+
+    edges = {(r.id_a, r.id_b)
+             for r in winnow_component_edges(ex).collect()}
+    want = {(1, d) for d in range(2, 41)} | {(50, 51)}
+    assert edges == want, edges ^ want
+
+    # the star edges span one component over the whole viral bucket
+    comp = {r.doc_id: r.cluster
+            for r in connected_components(
+                winnow_component_edges(ex)).collect()}
+    assert {comp[d] for d in range(1, 41)} == {1}
+    assert comp[50] == comp[51] == 50
+    assert 60 not in comp and 61 not in comp  # singletons stay out
+
+    # pair contract unchanged: over-cap bucket contributes nothing
+    pair = {(r.id_a, r.id_b, r.n_shared_fps)
+            for r in winnow_pairs_from_counts(
+                winnow_edge_counts(ex)).collect()}
+    assert pair == {(50, 51, 2)}, pair
