@@ -694,10 +694,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # plus microsecond in-memory rounds. High-diameter graphs are
     # FREE here (the r10 Hamming-lattice case that needed the
     # star-contraction fallback converges in-kernel at ~ms/round), so
-    # the 12-round cap and fallback only govern the big regime. At
-    # 20M edges the task's working set is ~500 MB — far below the
-    # executor heap — and beyond it the distributed loop takes over;
-    # output is identical (component-minimum labels) in all regimes.
+    # the 12-round cap and fallback only govern the big regime.
+    # MEMORY SIZING (r12 advice correction — the earlier "~500 MB"
+    # note counted only the resident edge arrays): the single task's
+    # TRANSIENT peak is ~4-6 int64 copies of the directed edge list —
+    # the Arrow→pandas group materialization, np.unique(
+    # return_inverse), the stable argsort, and the per-round
+    # labels[srcs] gather — i.e. ~1.5-2 GB at the 20M-edge threshold.
+    # Size executors accordingly (a Python worker near the threshold
+    # needs ~2 GB headroom beyond the JVM heap), or lower the
+    # threshold on memory-tight clusters; beyond it the distributed
+    # loop takes over. Output is identical (component-minimum
+    # labels) in all regimes.
     if n_edges <= 20_000_000:
         return _kernel_components(edges)
 

@@ -567,18 +567,32 @@ def decode_flac_samples(payload: bytes) -> dict | None:
             got += take
         if got < total:
             return None
+        # Validate RANGE explicitly before the int32 conversion: a
+        # CRC-valid but pathological LPC/FIXED subframe (huge
+        # coefficients, zero shift) can grow predicted samples
+        # arbitrarily large, and numpy 1.x silently WRAPS Python ints
+        # in (2^31, 2^63) on int32 conversion (only >= 2^63 raises
+        # OverflowError) — relying on the cast to raise would turn
+        # such streams into wrapped garbage with a silently wrong
+        # fingerprint (round-12 advice). The spec bound is the stream
+        # bit depth: a conforming sample is a signed ``bits``-wide
+        # integer, so anything outside [-2^(bits-1), 2^(bits-1)) is a
+        # malformed stream -> None. Values past int64 still raise and
+        # land in the except below.
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1))
         inter = np.empty(got * nch, dtype=np.int32)
         for c in range(nch):
-            inter[c::nch] = np.asarray(chans[c], dtype=np.int32)
+            arr = np.asarray(chans[c], dtype=np.int64)
+            if arr.size and (int(arr.min()) < lo or int(arr.max()) >= hi):
+                return None
+            inter[c::nch] = arr.astype(np.int32)
         return {
             "n_channels": nch, "sample_rate_hz": int(rate),
             "bit_depth": int(bits), "samples": inter,
         }
     except (EOFError, ValueError, IndexError, struct.error,
             OverflowError):
-        # OverflowError: a CRC-valid but pathological LPC/FIXED
-        # subframe (huge coefficients, zero shift) can grow predicted
-        # samples past int32 across a block; the int32 conversion
-        # then overflows, and the contract is None, not a crashed
+        # OverflowError: samples past int64 overflow the validation
+        # array build itself; the contract is None, not a crashed
         # Arrow task.
         return None

@@ -220,16 +220,21 @@ def parquet_row_count(df: DataFrame) -> int | None:
     try:
         import pyarrow.parquet as pq
         total = 0
+        files_seen = False
         # os.walk, not listdir: partitioned layouts (partition_by=
         # 'kind' → kind=*/part-*.parquet) keep their files one level
-        # down, and a top-level-only scan would report 0 — which is
-        # falsy-distinct from the documented None fallback.
+        # down, and a top-level-only scan would report 0 rows.
         for root, _dirs, files in os.walk(target):
             for f in files:
                 if f.endswith(".parquet"):
+                    files_seen = True
                     total += pq.ParquetFile(
                         os.path.join(root, f)).metadata.num_rows
-        return total or None
+        # 0 from valid footers is a KNOWN cardinality (a genuinely
+        # empty layout) and must not trigger callers' fallback
+        # recompute; None is reserved for "no parquet files found"
+        # (round-12 advice — `total or None` conflated the two).
+        return total if files_seen else None
     except Exception:
         return None
 

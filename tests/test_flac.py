@@ -313,3 +313,54 @@ def test_flac_pathological_lpc_returns_none_not_crash():
     si = info.bytes() + b"\x00" * 16
     blob = b"fLaC" + bytes([0x80]) + struct.pack(">I", len(si))[1:] + si + frame
     assert decode_flac_samples(blob) is None
+
+
+def test_flac_pathological_lpc_int32_wrap_zone_returns_none():
+    """Round-12 advice regression: the SAME pathological LPC shape
+    with a SHORT block, so the runaway samples land in (2^31, 2^63)
+    — the zone numpy 1.x silently WRAPS on int32 conversion instead
+    of raising OverflowError. Pre-fix this decoded to wrapped garbage
+    (a silently wrong audio fingerprint); the explicit bit-depth
+    range validation must return None. With warm-up 2 and
+    coefficient 16383 at shift 0, samples run 2, 32766 (in int16
+    range), ~5.4e8 (past the 16-bit stream bound), ~8.8e12 (the
+    int32 silent-wrap zone)."""
+    rate, blk = 8000, 4
+    bw = _BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 2)
+    bw.write(0b0110, 4)
+    bw.write(0b0000, 4)
+    bw.write(0, 4)
+    bw.write(0b100, 3)
+    bw.write(0, 1)
+    head = bw.bytes() + _utf8_code(0) + bytes([blk - 1])
+    head += bytes([_crc8(head)])
+    sw = _BitWriter()
+    sw.write(0, 1)
+    sw.write(0b100000 | (1 - 1), 6)  # LPC order 1
+    sw.write(0, 1)
+    sw.write(2, 16)                  # warm-up sample
+    sw.write(15 - 1, 4)              # precision 15
+    sw.write(0, 5)                   # shift 0
+    sw.write(16383, 15)              # coefficient 16383
+    sw.write(0b00, 2)
+    sw.write(0, 4)
+    sw.write(0, 4)                   # rice p=0, residuals all zero
+    for _ in range(blk - 1):
+        sw.write_unary(0)
+    sw.align()
+    body = head + sw.bytes()
+    frame = body + struct.pack(">H", _crc16(body))
+    info = _BitWriter()
+    info.write(4096, 16)
+    info.write(4096, 16)
+    info.write(len(frame), 24)
+    info.write(len(frame), 24)
+    info.write(rate, 20)
+    info.write(0, 3)
+    info.write(15, 5)
+    info.write(blk, 36)
+    si = info.bytes() + b"\x00" * 16
+    blob = b"fLaC" + bytes([0x80]) + struct.pack(">I", len(si))[1:] + si + frame
+    assert decode_flac_samples(blob) is None
