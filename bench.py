@@ -168,6 +168,10 @@ HEADLINE = [
     # format-sniffing frame-hash kernel
     "multimodal_avi_frames_stats",
     "dedup_video_frames_cross",
+    # round-12: distributed BPE tokenizer training — 8 merge rounds
+    # over the corpus word-frequency table (one corpus agg + K
+    # vocab-sized rounds with one-row argmax collects)
+    "tokenizer_bpe_merges",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by

@@ -7319,3 +7319,89 @@ def dedup_edge_maintenance_winnow(spark: SparkSession,
     stored = winnow_edge_count_layout(spark, sf_dir)
     updated = winnow_edges_apply_delta(stored, old_ex, new_ex)
     return winnow_pairs_from_counts(updated).orderBy("id_a", "id_b")
+
+
+def _bpe_sql(k: int = 8) -> str:
+    """Generate the tokenizer_bpe_merges oracle: a K-round BPE replay
+    in DuckDB — per round one mechanical CTE block (pair counts over
+    the current segmentations → deterministic argmax → string-replace
+    re-segmentation), EMITTED by a loop instead of hand-copying K
+    near-identical blocks (the keep-in-lockstep rationale of
+    _CORPUS_KEEP_SQL / _pq_adc_sql). The wrapped-token string
+    representation makes the merge a plain ``replace`` — leftmost
+    non-overlapping on every engine — so the replay is engine-exact;
+    see operators/tokenizer.py for the representation contract."""
+    parts = [f"""
+    WITH w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+      ) WHERE w != '' GROUP BY w
+    ),
+    s0 AS (
+      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') || '<_>' AS seg, cnt
+      FROM w0
+    )"""]
+    for r in range(1, k + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT split_part(pr, '|', 1) AS a, split_part(pr, '|', 2) AS b,
+             SUM(cnt) AS c
+      FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(t)),
+                                          i -> t[i] || '|' || t[i+1])) AS pr
+        FROM (SELECT string_split(substr(seg, 2, length(seg) - 2),
+                                  '><') AS t, cnt
+              FROM s{r - 1})
+      ) GROUP BY a, b
+    ),
+    b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    s{r} AS (
+      SELECT replace(seg, '<' || a || '><' || b || '>',
+                     '<' || a || b || '>') AS seg, cnt
+      FROM s{r - 1}, b{r}
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, a AS left_tok, b AS right_tok, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(f"""
+    SELECT * FROM (
+      {union}
+    ) ORDER BY round
+    """)
+    return "".join(parts)
+
+
+@register("tokenizer_bpe_merges", oracle=_bpe_sql(8))
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (round 12 — the canonical
+    LLM-pipeline operator on top of corpus_vocab_topk's vocabulary
+    head): 8 byte-pair-encoding merge rounds over the corpus word-
+    frequency table, returning the learned merge list in training
+    order with each pair's weighted count. The corpus-sized work is
+    ONE word-count aggregation (map-side combinable — the
+    corpus_vocab_topk shape); each round is then a vocab-sized
+    pair-count aggregation plus a ONE-ROW collect (the global argmax
+    — the same inherently-driver-sized per-round decision a k-means
+    fit makes) and a broadcast-literal re-segmentation. Ties break
+    lexicographically, so the merge sequence is deterministic and the
+    DuckDB oracle replays all 8 rounds exactly (generated CTE chain,
+    _bpe_sql); a plain-Python reference BPE pins the algorithm
+    independently in tests/test_tokenizer.py. Scale: vocab tables are
+    millions of rows at 100 TB corpus scale — the per-round jobs stay
+    tiny; the one corpus pass dominates and shuffles one row per
+    distinct word per mapper."""
+    from ..operators.tokenizer import bpe_merge_rounds
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bpe_merge_rounds(spark, words, n_merges=8).orderBy("round")

@@ -1,0 +1,74 @@
+"""BPE tokenizer-training tests (round 12): the distributed merge
+loop pinned against an independent plain-Python reference BPE
+(explicit list-scan merges, no string-replace trick), plus the
+representation/determinism contracts."""
+
+from pyspark.sql import functions as F
+
+from logsdb_spark.operators.tokenizer import (
+    bpe_merge_rounds,
+    bpe_merges_reference,
+    initial_segmentation,
+)
+
+
+def _spark_merges(spark, word_counts, k):
+    words = spark.createDataFrame(
+        list(word_counts.items()), "w string, cnt long"
+    )
+    return [
+        (r.round, r.left_tok, r.right_tok, r.pair_count)
+        for r in bpe_merge_rounds(spark, words, n_merges=k)
+        .orderBy("round").collect()
+    ]
+
+
+def test_bpe_matches_reference_classic(spark):
+    """The Sennrich et al. worked example shape: low/lower/newest/
+    widest frequencies — merge order and counts must equal the
+    reference implementation exactly."""
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert _spark_merges(spark, wc, 8) == bpe_merges_reference(wc, 8)
+
+
+def test_bpe_matches_reference_overlap_and_ties(spark):
+    """Adversarial cases: runs of one character (leftmost
+    non-overlapping merge semantics — 'aaaa' merges to two 'aa', not
+    three), and exact count ties (lexicographic tie-break)."""
+    wc = {"aaaa": 3, "aaa": 2, "bc": 5, "bd": 5, "cd": 5}
+    assert _spark_merges(spark, wc, 10) == bpe_merges_reference(wc, 10)
+
+
+def test_bpe_early_stop_fully_merged(spark):
+    """A vocabulary that collapses before K rounds: both sides stop
+    at the same round (no phantom merges)."""
+    wc = {"ab": 4}
+    got = _spark_merges(spark, wc, 8)
+    want = bpe_merges_reference(wc, 8)
+    assert got == want
+    # 'ab' -> a,b,_ : merges (a,b) then (ab,_) then nothing
+    assert len(got) == 2
+
+
+def test_bpe_merge_spans_word_frequencies(spark):
+    """Counts are WEIGHTED by word frequency, not distinct-word
+    presence: a pair in one frequent word must beat a pair present
+    in several rare words."""
+    wc = {"xy": 10, "za": 1, "zb": 1, "zc": 1}
+    merges = _spark_merges(spark, wc, 1)
+    assert merges == [(1, "x", "y", 10)]
+
+
+def test_initial_segmentation_wraps_and_marks(spark):
+    df = spark.createDataFrame([("low", 7)], "w string, cnt long")
+    row = initial_segmentation(df).collect()[0]
+    assert row.seg == "<l><o><w><_>" and row.cnt == 7
+
+
+def test_bpe_merged_token_participates_next_round(spark):
+    """A learned merge token must be pairable in later rounds (the
+    segmentation actually advances): 'abc' x 9 learns (a,b) then
+    (ab,c) — the second merge's left token IS the first merge."""
+    wc = {"abc": 9}
+    got = _spark_merges(spark, wc, 2)
+    assert got == [(1, "a", "b", 9), (2, "ab", "c", 9)]
