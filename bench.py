@@ -172,6 +172,10 @@ HEADLINE = [
     # over the corpus word-frequency table (one corpus agg + K
     # vocab-sized rounds with one-row argmax collects)
     "tokenizer_bpe_merges",
+    # round-12: MinHash edge maintenance — the banded-emission delta
+    # (touched buckets only + stored-count merge), verified at read,
+    # proven equal to the rebuild by sharing the brute-force oracle
+    "dedup_edge_maintenance_minhash",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by

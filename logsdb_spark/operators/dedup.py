@@ -1784,20 +1784,23 @@ WINNOW_HUB_CAP = 32
 
 
 def _capped_bucket_emit(ex: DataFrame,
-                        cap: int = WINNOW_HUB_CAP) -> DataFrame:
+                        cap: int = WINNOW_HUB_CAP,
+                        key_cols: tuple = ("fp",)) -> DataFrame:
     """The SINGLE implementation of the hub-capped bucket emit every
-    winnow-shaped consumer derives from: one groupBy on the
-    fingerprint, then per bucket either all C(k,2) pairs (occupancy
-    2..cap) or k-1 min-doc STAR edges (occupancy > cap), tagged
-    ``is_star``. One row per bucket holds k sorted ids (linear — the
-    quadratic emit only ever runs under the cap; star rows are k-1 by
+    bucket-evidence consumer derives from: one groupBy on the bucket
+    key (a winnow/frame fingerprint, or the LSH (band_idx, band_hash)
+    pair), then per bucket either all C(k,2) pairs (occupancy 2..cap)
+    or k-1 min-doc STAR edges (occupancy > cap), tagged ``is_star``.
+    One row per bucket holds k sorted ids (linear — the quadratic
+    emit only ever runs under the cap; star rows are k-1 by
     construction), and the CASE branches evaluate lazily per row, so
     an over-cap bucket never materializes its clique. Counts
-    (winnow_edge_counts) and component edges (winnow_component_edges)
-    both ride this emit, so the cap and pair semantics cannot drift
+    (winnow_edge_counts, lsh_emission_counts), component edges
+    (winnow_component_edges), and the incremental maintenance deltas
+    all ride this emit, so the cap and pair semantics cannot drift
     between the pair, keep, and maintenance routes."""
     buckets = (
-        ex.groupBy("fp")
+        ex.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -1943,3 +1946,125 @@ def winnow_pairs_from_counts(counts: DataFrame,
     return counts.filter(F.col("n") >= min_shared).select(
         "id_a", "id_b", F.col("n").alias("n_shared_fps")
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. incremental MINHASH edge maintenance (round 12): the delta form
+#     of the LSH candidate evidence — extends the winnow pattern (§12)
+#     to the second text signal, the r11 verdict's item 4. The
+#     maintained quantity is the per-pair EMISSION relation over
+#     (band_idx, band_hash) buckets: a pair can be emitted by several
+#     bands, so retraction needs multiplicities (the same reason the
+#     winnow delta stores counts), and the 512 bucket cap switches an
+#     over-cap bucket's emissions from clique to min-doc stars — both
+#     tracked (n_pair, n_star) so the cap crossing is delta-exact in
+#     either direction. The VERIFY stage (est prefilter + exact
+#     jaccard) is pair-deterministic, so it is applied at read over
+#     the maintained candidate set — never re-run for unchanged pairs'
+#     sake, and the maintained relation equals the rebuild end to end
+#     (shared brute-force oracle, dedup_edge_maintenance_minhash).
+# ---------------------------------------------------------------------------
+
+def lsh_emission_counts_from_keys(keys: DataFrame,
+                                  max_bucket: int = DEFAULT_MAX_BUCKET,
+                                  ) -> DataFrame:
+    """Per-pair emission counts over banded LSH buckets from a
+    (doc_id, band_idx, band_hash) key relation (``_banded_keys``
+    output — in-plan or stored): the shared capped bucket emit keyed
+    on the band bucket, grouped to (id_a, id_b, n_pair, n_star).
+    ``n_pair`` counts in-range (2..cap) bucket cliques, ``n_star``
+    over-cap star emissions — a candidate exists while either is
+    positive."""
+    em = _capped_bucket_emit(keys, cap=max_bucket,
+                             key_cols=("band_idx", "band_hash"))
+    return em.groupBy("id_a", "id_b").agg(
+        F.sum(F.when(F.col("is_star"), 0).otherwise(1)).alias("n_pair"),
+        F.sum(F.when(F.col("is_star"), 1).otherwise(0)).alias("n_star"),
+    )
+
+
+def lsh_emission_counts(signed: DataFrame,
+                        max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """lsh_emission_counts_from_keys over in-plan banding of a
+    (doc_id, sig) frame — the stored state a production curator keeps
+    columnar next to the signature index (materialized by
+    operators/silver.minhash_emission_count_layout)."""
+    return lsh_emission_counts_from_keys(
+        _banded_keys(signed, "doc_id"), max_bucket
+    )
+
+
+def lsh_counts_apply_delta(stored_counts: DataFrame,
+                           old_signed: DataFrame,
+                           new_signed: DataFrame,
+                           max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """EXACT incremental maintenance of the MinHash candidate-emission
+    relation under a new shard — winnow_edges_apply_delta's shape on
+    the banded signal: touched buckets are the shard's distinct
+    (band_idx, band_hash) keys (broadcast, so the corpus-sized key
+    relation reduces map-side — never reshuffled per shard), and
+
+        n' = n - emissions(touched buckets, old contents)
+           + emissions(touched buckets, old ∪ shard contents)
+
+    bucket-locally for BOTH count columns; untouched buckets cancel
+    by never entering. Handles every non-monotone case: a bucket
+    crossing the 512 cap retracts its clique and gains stars, one
+    shrinking back retracts stars and regains pairs. Per-shard cost
+    ∝ the shard's banded-key footprint."""
+    touched = F.broadcast(
+        _banded_keys(new_signed, "doc_id")
+        .select("band_idx", "band_hash").distinct()
+    )
+    old_keys = _banded_keys(old_signed, "doc_id")
+    old_in = old_keys.join(touched, ["band_idx", "band_hash"])
+    old_t = lsh_emission_counts_from_keys(old_in, max_bucket).select(
+        "id_a", "id_b",
+        F.col("n_pair").alias("_op"), F.col("n_star").alias("_os"),
+    )
+    new_t = lsh_emission_counts_from_keys(
+        old_in.unionByName(_banded_keys(new_signed, "doc_id")),
+        max_bucket,
+    ).select(
+        "id_a", "id_b",
+        F.col("n_pair").alias("_np"), F.col("n_star").alias("_ns"),
+    )
+    z = F.lit(0)
+    delta = (
+        old_t.join(new_t, ["id_a", "id_b"], "full")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce("_np", z) - F.coalesce("_op", z)).alias("_dp"),
+            (F.coalesce("_ns", z) - F.coalesce("_os", z)).alias("_ds"),
+        )
+        .filter((F.col("_dp") != 0) | (F.col("_ds") != 0))
+    )
+    return (
+        stored_counts.join(delta, ["id_a", "id_b"], "full")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce("n_pair", z) + F.coalesce("_dp", z)).alias("n_pair"),
+            (F.coalesce("n_star", z) + F.coalesce("_ds", z)).alias("n_star"),
+        )
+        .filter((F.col("n_pair") > 0) | (F.col("n_star") > 0))
+    )
+
+
+def minhash_pairs_from_counts(counts: DataFrame, index: DataFrame,
+                              threshold: float = 0.6,
+                              n_perm: int = N_PERM) -> DataFrame:
+    """The read-side decision over the stored emission relation:
+    candidates with any live emission, est-jaccard prefiltered and
+    exact-verified against the signature/shingle index — identical
+    output to minhash_near_dups_prepared (the one-shot pipeline),
+    because candidate emission is a deterministic function of bucket
+    contents and verify is pair-deterministic."""
+    cands = counts.filter(
+        (F.col("n_pair") > 0) | (F.col("n_star") > 0)
+    ).select("id_a", "id_b")
+    signed = index.select("doc_id", "sig")
+    shingled = index.select("doc_id", "shingles")
+    cands = estimate_jaccard(cands, signed, n_perm=n_perm).filter(
+        F.col("est_jac") >= threshold - 0.2
+    )
+    return verify_pairs(cands, shingled, threshold)

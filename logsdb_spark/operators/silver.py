@@ -1101,6 +1101,38 @@ def flac_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blob_layout(spark, sf_dir, "flac1", make, schema)
 
 
+def minhash_emission_count_layout(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The STORED MinHash candidate-emission state for the round-12
+    edge-maintenance demonstration (prefix ``mhedge90``): per-pair
+    (n_pair, n_star) emission counts over banded LSH buckets
+    (operators/dedup.lsh_emission_counts — the delta-able form of the
+    edge layout's ``mh`` candidates) for the 90% existing-corpus
+    split (doc_id % 10 != 0); the remaining 10% plays the arriving
+    shard in dedup_edge_maintenance_minhash. Materialized for the
+    same reason as winnow_edge_count_layout: stored counts ARE the
+    operator's premise. Deterministic function of the signature
+    index, so the consuming query keeps the full-rebuild oracle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def make():
+        from .dedup import lsh_emission_counts
+
+        return lsh_emission_counts(
+            minhash_index_layout(spark, sf_dir)
+            .filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id", "sig")
+        )
+
+    schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("n_pair", LongType()),
+        StructField("n_star", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, "mhedge90", make, schema)
+
+
 def winnow_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED winnow pair-count state for the edge-maintenance
     demonstration (prefix ``wnedge90``): per-pair shared-fingerprint

@@ -7405,3 +7405,51 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return bpe_merge_rounds(spark, words, n_merges=8).orderBy("round")
+
+
+@register(
+    "dedup_edge_maintenance_minhash",
+    oracle=REGISTRY["dedup_minhash_lsh"].oracle,
+)
+def dedup_edge_maintenance_minhash(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """INCREMENTAL edge maintenance for the SECOND text signal
+    (round 12 — extends dedup_edge_maintenance_winnow's pattern to
+    MinHash, the r11 verdict's item 4): the corpus is split 90/10,
+    the 90% side's per-pair LSH emission counts play the stored
+    candidate state a production curator keeps columnar (the
+    MATERIALIZED minhash_emission_count_layout — (n_pair, n_star)
+    over banded buckets, the delta-able form of the edge layout's
+    ``mh`` partition's candidate set), and the 10% shard lands
+    through lsh_counts_apply_delta — two bucket emits over the
+    shard's TOUCHED (band_idx, band_hash) buckets only (broadcast
+    touched keys, corpus keys reduced map-side) plus one merge
+    against the stored counts. Multiplicities matter exactly as in
+    the winnow delta (a pair emitted by several bands must survive
+    one band's retraction), and the 512 bucket cap's clique↔star
+    switch is tracked per direction by the two count columns. The
+    deterministic est-prefilter + exact-jaccard verify runs at read
+    over the maintained candidates (minhash_pairs_from_counts), so
+    the output is the full-corpus verified relation and the oracle
+    is dedup_minhash_lsh's VERBATIM brute-force ground truth — a
+    hash match proves delta == rebuild end to end. Scale shape:
+    per-shard cost ∝ the shard's banded-key footprint, never the
+    corpus; the stored-counts merge is a candidate-sized full-outer
+    join."""
+    from ..operators.dedup import (
+        lsh_counts_apply_delta,
+        minhash_pairs_from_counts,
+    )
+    from ..operators.silver import (
+        minhash_emission_count_layout,
+        minhash_index_layout,
+    )
+
+    idx = minhash_index_layout(spark, sf_dir)
+    old_sig = idx.filter(F.col("doc_id") % 10 != 0).select("doc_id", "sig")
+    new_sig = idx.filter(F.col("doc_id") % 10 == 0).select("doc_id", "sig")
+    stored = minhash_emission_count_layout(spark, sf_dir)
+    updated = lsh_counts_apply_delta(stored, old_sig, new_sig)
+    return minhash_pairs_from_counts(updated, idx, threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )

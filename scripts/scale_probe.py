@@ -251,6 +251,10 @@ CORPUS_QUERIES = [
     # only — correctness is the shared full-rebuild oracle): cost
     # should scale with the 10% shard's fingerprint footprint
     "dedup_edge_maintenance_winnow",
+    # round-12: the MinHash twin (timing ratio only — shared
+    # brute-force oracle): cost should scale with the shard's
+    # banded-key footprint
+    "dedup_edge_maintenance_minhash",
 ]
 
 

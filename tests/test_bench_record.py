@@ -52,9 +52,10 @@ def test_line_parses_with_typical_timings():
     # sidecar always carries every query. (r11: ann_ivf_pq +
     # dedup_edge_maintenance_winnow joined HEADLINE, 8 -> 11 at the
     # 0.42 s typical width; r12: multimodal_avi_frames_stats +
-    # dedup_video_frames_cross + tokenizer_bpe_merges, 11 -> 14.)
+    # dedup_video_frames_cross + tokenizer_bpe_merges +
+    # dedup_edge_maintenance_minhash, 11 -> 15.)
     shown = rec["queries"]
-    assert rec.get("omitted", 0) <= 14
+    assert rec.get("omitted", 0) <= 15
     assert len(shown) + rec.get("omitted", 0) == len(bench.HEADLINE)
     assert set(shown) <= set(bench.HEADLINE)
 

@@ -831,3 +831,39 @@ def test_winnow_component_edges_cap_stars(spark):
             for r in winnow_pairs_from_counts(
                 winnow_edge_counts(ex)).collect()}
     assert pair == {(50, 51, 2)}, pair
+
+
+def test_lsh_emission_delta_handles_cap_crossing(spark):
+    """Round-12 MinHash edge maintenance: the delta over banded
+    emission counts must equal a fresh rebuild when the arriving
+    shard pushes a band bucket past the cap — the clique↔star switch
+    tracked per direction by (n_pair, n_star). Built on hand-made
+    signatures (identical sig ⇒ same bucket in all 16 bands) with a
+    tiny cap so the transition is exercised without 512 docs."""
+    from logsdb_spark.operators.dedup import (
+        N_PERM,
+        lsh_counts_apply_delta,
+        lsh_emission_counts,
+    )
+
+    sig_a = [7] * N_PERM
+    sig_b = [9] * N_PERM
+    rows = [(d, sig_a) for d in range(1, 5)]          # group A: 4 docs
+    rows += [(50, sig_b), (51, sig_b)]                # group B: stable pair
+    old = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    new = spark.createDataFrame([(1000, sig_a)],
+                                "doc_id long, sig array<bigint>")
+
+    def rows_of(df):
+        return {(r.id_a, r.id_b, r.n_pair, r.n_star)
+                for r in df.collect()}
+
+    stored = lsh_emission_counts(old, max_bucket=4)
+    got = rows_of(lsh_counts_apply_delta(stored, old, new, max_bucket=4))
+    want = rows_of(lsh_emission_counts(old.unionByName(new), max_bucket=4))
+    assert got == want and got
+    # group A's bucket went 4 -> 5 (over the cap) in ALL 16 bands:
+    # every clique pair retracted, min-doc stars (1, x) appeared
+    assert (50, 51, 16, 0) in got
+    a_rows = {t for t in got if t[0] != 50}
+    assert a_rows == {(1, d, 0, 16) for d in (2, 3, 4, 1000)}, a_rows
