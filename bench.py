@@ -464,15 +464,20 @@ def streaming_bench(spark, sf_dir: str) -> dict:
       consumer should), so the r9 parity contract (flags == the
       batch ensemble edges) still pins correctness.
 
-      Steady-state floor (r11 decomposition): with the corpus state
-      pre-materialized untimed and arrivals distinct'd, the indexed
-      drain is ~2.3 s = stream start/commit (~0.5 s) + a probe plan
-      of ~8 stages whose per-stage LAUNCH cost (~0.2 s at local
-      scale) — not row volume — is the budget; per-stage input is
-      hundreds of rows. Throughput therefore scales with batch size
-      (the stage costs are flat until the corpus-scan terms bind),
-      so the recorded rows/s is a per-micro-batch LATENCY number at
-      bench scale, not a saturation number.
+      Steady-state floor (r11 decomposition, r12 cuts): per-stage
+      LAUNCH cost — not row volume — is the budget at this batch
+      size. Round 12 removed two whole shuffle stages from every
+      micro-batch (the intermediate candidate distinct — the final
+      distinct subsumes it — and the batch fp distinct, redundant by
+      the winnow kernel's sorted-distinct contract): probe plan
+      ~1.35 s → ~0.85 s, indexed drain ~2.3 s → ~1.4 s warm. The
+      remaining ~0.7-0.9 s is Structured-Streaming machinery
+      (measured with a trivial foreachBatch), so the 10x number is a
+      per-micro-batch LATENCY point; ensemble_probe_indexed_sat
+      below records the 100x (50k-row) SATURATION point (~27k
+      rows/s at sf0.1 — on par with raw ingest). Two deeper fusions
+      were measured and rejected — see
+      scripts/ensemble_probe_r12.json.
 
     Timed sections cover stream start → drained; source generation
     and corpus load are untimed (generation is not the engine)."""
@@ -574,6 +579,38 @@ def streaming_bench(spark, sf_dir: str) -> dict:
                 "sec": round(elapsed, 3),
                 "rows_per_sec": round(n_shard / elapsed),
             }
+
+        # SATURATION point (round 12): the 10x-replay number above is
+        # a per-micro-batch LATENCY at bench scale — ~0.7-0.9 s of it
+        # is fixed Structured-Streaming machinery (trigger planning,
+        # source listing, checkpoint commit; measured with a trivial
+        # foreachBatch), not probe work. A 100x replay (50k rows in
+        # one micro-batch) amortizes the flat terms and records what
+        # the probe sustains when batches are production-sized — the
+        # honest throughput claim for a pipeline whose knob
+        # (maxFilesPerTrigger) exists precisely to size batches up.
+        esat = os.path.join(work, "ens_src_sat")
+        os.makedirs(esat)
+        shutil.copy(os.path.join(esrc, part), os.path.join(esat, part))
+        for rep in range(99):
+            shutil.copy(os.path.join(esrc, part),
+                        os.path.join(esat, f"sat{rep}-{part}"))
+        n_sat = spark.read.parquet(esat).count()
+        eout = os.path.join(work, "ens_out_sat")
+        t0 = time.perf_counter()
+        run_until_drained(
+            start_ensemble_stream(spark, corpus, esat, eout,
+                                  threshold=0.6, state=est)
+        )
+        elapsed = time.perf_counter() - t0
+        flags = spark.read.parquet(
+            os.path.join(eout, "ensemble_flags")).count()
+        out["ensemble_probe_indexed_sat"] = {
+            "rows": n_sat,
+            "flags": flags,
+            "sec": round(elapsed, 3),
+            "rows_per_sec": round(n_sat / elapsed),
+        }
 
         # Streaming IMAGE-content probe (round 10): the PNG corpus
         # split 90/10, shard replayed 10x into one micro-batch — the

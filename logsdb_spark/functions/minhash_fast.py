@@ -106,3 +106,4 @@ def minhash_sigs_fast(hashed, a_consts, b_consts, keep_shingles):
             yield pd.DataFrame(data)
 
     return hashed.mapInPandas(gen, schema=cols)
+

@@ -1595,30 +1595,23 @@ def prepare_ensemble_corpus_state(c_mh_idx: DataFrame,
     return state
 
 
-def ensemble_near_dups_from_state(state, new_docs: DataFrame,
-                                  text_col: str = "text",
-                                  threshold: float = 0.6,
-                                  k: int = 20, w: int = 8,
-                                  min_shared: int = 2) -> DataFrame:
-    """The per-micro-batch half of the ensemble probe against a
-    prepared corpus state: only the BATCH side computes (shingles,
-    signatures, winnow fingerprints — all scan-local on the arriving
-    rows), every corpus-side frame is a cached scan, and each join
-    broadcasts its small side so no cached frame reshuffles. Same
-    output as ensemble_near_dups_prepared(c_mh_idx, c_fp_idx, ...)
-    whose corpus inputs produced ``state``."""
+def _ensemble_probe_tail(state, n_bands: DataFrame, nb: DataFrame,
+                         n_rows: DataFrame, threshold: float,
+                         min_shared: int) -> DataFrame:
+    """The corpus-side half of the ensemble probe, shared by the
+    in-plan and collected-batch routes: every corpus frame is a
+    cached scan, every batch-derived frame broadcasts. Candidates are
+    deliberately NOT distinct'd before the verify (round 12): a true
+    pair collides in up to 16 bands, so the duplication is bounded
+    and the FINAL distinct removes it — dropping the intermediate
+    distinct removes one whole shuffle stage from every micro-batch,
+    and per-stage launch latency (not row volume) was the measured
+    throughput floor."""
     c_banded, c_sh, c_fp_capped = state
-
-    n_sh = shingle_sets(new_docs, text_col)
-    n_sig = minhash_signatures(n_sh, engine="arrow")
     cands = (
-        c_banded.join(F.broadcast(_banded_keys(n_sig, "new_id")),
-                      ["band_idx", "band_hash"])
+        c_banded.join(F.broadcast(n_bands), ["band_idx", "band_hash"])
         .select("corpus_id", "new_id")
-        .distinct()
     )
-    nb = n_sh.select(F.col("doc_id").alias("new_id"),
-                     F.col("shingles").alias("sh_b"))
     mh = (
         c_sh.join(F.broadcast(cands), "corpus_id")
         .join(F.broadcast(nb), "new_id")
@@ -1630,16 +1623,6 @@ def ensemble_near_dups_from_state(state, new_docs: DataFrame,
         .filter(F.col("jac") >= threshold)
         .select("corpus_id", "new_id")
     )
-
-    from ..functions.text import winnow_fingerprints
-
-    n_rows = (
-        winnow_fingerprints(new_docs, "doc_id", text_col, k=k, w=w)
-        .select(F.col("doc_id").alias("new_id"),
-                F.explode_outer("fps").alias("fp"))
-        .filter(F.col("fp").isNotNull())
-        .distinct()
-    )
     wn = (
         c_fp_capped.join(F.broadcast(n_rows), "fp")
         .groupBy("corpus_id", "new_id")
@@ -1648,6 +1631,51 @@ def ensemble_near_dups_from_state(state, new_docs: DataFrame,
         .select("corpus_id", "new_id")
     )
     return mh.unionByName(wn).distinct()
+
+
+def ensemble_near_dups_from_state(state, new_docs: DataFrame,
+                                  text_col: str = "text",
+                                  threshold: float = 0.6,
+                                  k: int = 20, w: int = 8,
+                                  min_shared: int = 2) -> DataFrame:
+    """The per-micro-batch half of the ensemble probe against a
+    prepared corpus state: only the BATCH side computes (shingles,
+    signatures, winnow fingerprints — all scan-local on the arriving
+    rows), every corpus-side frame is a cached scan, and each join
+    broadcasts its small side so no cached frame reshuffles. Same
+    output as ensemble_near_dups_prepared(c_mh_idx, c_fp_idx, ...)
+    whose corpus inputs produced ``state``.
+
+    Round-12 stage cuts (the r11 "streaming ensemble" item), each
+    measured on the 5,000-row probe batch at sf0.1: the intermediate
+    candidate distinct is gone (see _ensemble_probe_tail), and the
+    batch fingerprint rows are NOT re-distinct'd — the winnow kernel's
+    per-doc fps are already sorted-distinct, so (new_id, fp) is unique
+    by construction and the old .distinct() was a pure extra shuffle
+    stage. Together: ~1.35 s → ~0.85 s per batch. Two heavier fusions
+    were built and REJECTED on measurement (r11 advice asked for the
+    experiment): a single fused Arrow pass + persist cost ~1.6 s (the
+    eager materialization job exceeds what the per-consumer kernel
+    re-runs cost), and a collect-to-local-literals route cost ~2-3 s
+    (literal-plan serialization); numbers in
+    scripts/ensemble_probe_r12.json."""
+    n_sh = shingle_sets(new_docs, text_col)
+    n_sig = minhash_signatures(n_sh, engine="arrow")
+    nb = n_sh.select(F.col("doc_id").alias("new_id"),
+                     F.col("shingles").alias("sh_b"))
+
+    from ..functions.text import winnow_fingerprints
+
+    n_rows = (
+        winnow_fingerprints(new_docs, "doc_id", text_col, k=k, w=w)
+        .select(F.col("doc_id").alias("new_id"),
+                F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    return _ensemble_probe_tail(
+        state, _banded_keys(n_sig, "new_id"), nb, n_rows,
+        threshold, min_shared,
+    )
 
 
 def _phash_banded(hashes: DataFrame, id_alias: str,
