@@ -207,6 +207,10 @@ TRACKED_EXTRAS = [
     # read the materialized edge layout; this form keeps the five
     # in-plan evidence pipelines + CC benched as one query)
     "dedup_corpus_keep_fromindex",
+    # round-12: star-state maintenance (the pair-count maintenance
+    # forms are the HEADLINE entries; this maintains the over-cap
+    # star relation via per-fp occupancy state at the cap=4 demo)
+    "dedup_edge_maintenance_winnow_stars",
 ]
 
 

@@ -2096,3 +2096,69 @@ def minhash_pairs_from_counts(counts: DataFrame, index: DataFrame,
         F.col("est_jac") >= threshold - 0.2
     )
     return verify_pairs(cands, shingled, threshold)
+
+
+# ---------------------------------------------------------------------------
+# 14. STAR-state maintenance (round 12): the delta form of the
+#     over-cap star edges the keep endpoints consume since the
+#     cap-star change — completing the "maintained at ingest" story
+#     for the component-edge layout: pair evidence deltas via counts
+#     (§12/§13), star evidence via per-fingerprint occupancy state.
+# ---------------------------------------------------------------------------
+
+def winnow_star_state(ex: DataFrame) -> DataFrame:
+    """Per-fingerprint occupancy state (fp, c, rep): bucket size and
+    minimum doc id — ONE row per distinct fingerprint (an aggregate
+    of the stored inverted index, strictly smaller than it), from
+    which the over-cap star edges derive at read. Map-side
+    combinable; the rep is the component representative
+    winnow_component_edges' stars use."""
+    return ex.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("doc_id").alias("rep"),
+    )
+
+
+def winnow_star_state_apply_delta(stored: DataFrame,
+                                  new_ex: DataFrame) -> DataFrame:
+    """EXACT incremental maintenance of the occupancy state under an
+    arriving shard (documents only ever ARRIVE in this model — the
+    same append-corpus premise as every maintenance operator here):
+    merge the shard's per-fp (count, min) into the stored state —
+    c' = c + c_shard, rep' = least(rep, rep_shard). Both column
+    updates are associative/commutative aggregates, so the merge is
+    one shard-footprint-sized full-outer join; no corpus rescan, and
+    a bucket crossing the cap in either direction is just c' moving
+    past the threshold at read time."""
+    shard = winnow_star_state(new_ex).select(
+        "fp", F.col("c").alias("_cn"), F.col("rep").alias("_rn")
+    )
+    return (
+        stored.join(shard, "fp", "full")
+        .select(
+            "fp",
+            (F.coalesce("c", F.lit(0)) + F.coalesce("_cn", F.lit(0)))
+            .alias("c"),
+            F.least("rep", "_rn").alias("rep"),
+        )
+    )
+
+
+def winnow_stars_from_state(state: DataFrame, ex: DataFrame,
+                            cap: int = WINNOW_HUB_CAP) -> DataFrame:
+    """The read-side star derivation: over-cap fingerprints from the
+    maintained occupancy state (broadcast — the over-cap set is tiny
+    by the boilerplate premise), joined against the stored inverted
+    index to emit one rep→member edge per over-cap membership.
+    DISTINCT because one doc pair can share several over-cap
+    fingerprints. Identical to winnow_component_edges' star half by
+    construction (same rep = bucket minimum, same cap test)."""
+    over = F.broadcast(
+        state.filter(F.col("c") > cap).select("fp", "rep")
+    )
+    return (
+        ex.join(over, "fp")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )

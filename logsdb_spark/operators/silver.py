@@ -1133,6 +1133,33 @@ def minhash_emission_count_layout(spark: SparkSession,
     return _blob_layout(spark, sf_dir, "mhedge90", make, schema)
 
 
+def winnow_star_state_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED per-fingerprint occupancy state for the round-12
+    star-maintenance demonstration (prefix ``wnstar90``): (fp, c,
+    rep) over the 90% existing-corpus split
+    (operators/dedup.winnow_star_state — the delta-able form of the
+    over-cap star edges the component-consuming keep endpoints read
+    since the cap-star change). Same stored-state premise as
+    winnow_edge_count_layout; deterministic function of the winnow
+    index, so the consuming query keeps the full-rebuild oracle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def make():
+        from .dedup import winnow_star_state
+
+        return winnow_star_state(
+            winnow_fp_layout(spark, sf_dir).filter(
+                F.col("doc_id") % 10 != 0)
+        )
+
+    schema = StructType([
+        StructField("fp", LongType()),
+        StructField("c", LongType()),
+        StructField("rep", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, "wnstar90", make, schema)
+
+
 def winnow_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED winnow pair-count state for the edge-maintenance
     demonstration (prefix ``wnedge90``): per-pair shared-fingerprint

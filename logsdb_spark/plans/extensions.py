@@ -7453,3 +7453,68 @@ def dedup_edge_maintenance_minhash(spark: SparkSession,
     return minhash_pairs_from_counts(updated, idx, threshold=0.6).orderBy(
         "id_a", "id_b"
     )
+
+
+# Fail fast if dedup_substring_keep's oracle loses the CTE marker the
+# star-maintenance oracle slices on (same rationale as the
+# _CORPUS_KEEP_SQL asserts above).
+assert "ok AS (" in REGISTRY["dedup_substring_keep"].oracle, (
+    "dedup_substring_keep oracle lost the 'ok AS (' marker "
+    "dedup_edge_maintenance_winnow_stars slices on"
+)
+_WINNOW_STARS_SQL = (
+    REGISTRY["dedup_substring_keep"].oracle.split("ok AS (")[0]
+    .rstrip().rstrip(",")
+    + """,
+    dstars AS (
+      SELECT s.rep AS id_a, e.doc_id AS id_b
+      FROM ex e JOIN (
+        SELECT fp, MIN(doc_id) AS rep FROM ex
+        GROUP BY fp HAVING COUNT(*) > 4
+      ) s ON s.fp = e.fp
+      WHERE e.doc_id <> s.rep
+    )
+    SELECT DISTINCT id_a, id_b FROM dstars ORDER BY id_a, id_b
+    """
+)
+
+
+@register("dedup_edge_maintenance_winnow_stars", oracle=_WINNOW_STARS_SQL)
+def dedup_edge_maintenance_winnow_stars(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the over-cap STAR evidence — the
+    third maintained relation (round 12), completing the
+    edge-layout's "maintained at ingest" story after the cap-star
+    change: pair evidence deltas via counts (winnow §12, minhash
+    §13), star evidence via this per-fingerprint occupancy state.
+    The corpus splits 90/10, the 90% side's (fp, c, rep) occupancy
+    state is the MATERIALIZED winnow_star_state_layout, the 10%
+    shard lands through winnow_star_state_apply_delta (one
+    shard-footprint-sized merge — both state columns are
+    associative aggregates, so no corpus rescan), and the read side
+    derives the star edges from the maintained state
+    (winnow_stars_from_state). Run at cap=4 — the DEMONSTRATION
+    regime: the production hub cap (32) deliberately never binds on
+    the gated fixture corpora (tests pin that margin), so a cap-32
+    demo would gate on empty sets; at cap=4 the sf0.01 corpus has
+    real over-cap buckets (measured: 9 fingerprints, max occupancy
+    6) and the hash gate is live. The oracle is the full-corpus
+    REBUILD of the same star relation (sliced verbatim from
+    dedup_substring_keep's fingerprint CTEs, HAVING COUNT(*) > 4) —
+    a hash match proves state-delta == rebuild end to end."""
+    from ..operators.dedup import (
+        winnow_star_state_apply_delta,
+        winnow_stars_from_state,
+    )
+    from ..operators.silver import (
+        winnow_fp_layout,
+        winnow_star_state_layout,
+    )
+
+    idx = winnow_fp_layout(spark, sf_dir)
+    new_ex = idx.filter(F.col("doc_id") % 10 == 0)
+    stored = winnow_star_state_layout(spark, sf_dir)
+    updated = winnow_star_state_apply_delta(stored, new_ex)
+    return winnow_stars_from_state(updated, idx, cap=4).orderBy(
+        "id_a", "id_b"
+    )

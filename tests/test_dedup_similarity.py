@@ -833,6 +833,50 @@ def test_winnow_component_edges_cap_stars(spark):
     assert pair == {(50, 51, 2)}, pair
 
 
+def test_winnow_star_state_delta_equals_rebuild(spark):
+    """Round-12 star-state maintenance: merging a shard's occupancy
+    into the stored (fp, c, rep) state must yield exactly the
+    rebuild's state, and the derived star edges must equal
+    winnow_component_edges' star half — including a shard that
+    pushes a bucket over the cap AND one that lowers the bucket's
+    rep (the least() merge)."""
+    from logsdb_spark.operators.dedup import (
+        winnow_component_edges,
+        winnow_star_state,
+        winnow_star_state_apply_delta,
+        winnow_stars_from_state,
+    )
+
+    old_rows = [(d, 100) for d in range(10, 14)]   # bucket 100: 4 docs
+    old_rows += [(20, 200), (21, 200)]             # bucket 200: stays small
+    old = spark.createDataFrame(old_rows, "doc_id long, fp long")
+    # shard: doc 5 joins bucket 100 (over cap=4 AND new minimum rep)
+    new = spark.createDataFrame([(5, 100), (5, 300)],
+                                "doc_id long, fp long")
+    full = old.unionByName(new)
+
+    merged = {(r.fp, r.c, r.rep)
+              for r in winnow_star_state_apply_delta(
+                  winnow_star_state(old), new).collect()}
+    rebuilt = {(r.fp, r.c, r.rep)
+               for r in winnow_star_state(full).collect()}
+    assert merged == rebuilt
+    assert (100, 5, 5) in merged  # count 5, rep lowered to the arrival
+
+    stars = {(r.id_a, r.id_b)
+             for r in winnow_stars_from_state(
+                 winnow_star_state_apply_delta(
+                     winnow_star_state(old), new),
+                 full, cap=4).collect()}
+    assert stars == {(5, d) for d in range(10, 14)}
+    # equality with the one-shot component-edge star half at the
+    # same cap: component edges = stars here (docs 20,21 share only
+    # ONE in-range fp, below the >=2-shared pair threshold)
+    comp = {(r.id_a, r.id_b)
+            for r in winnow_component_edges(full, cap=4).collect()}
+    assert comp == stars, (comp, stars)
+
+
 def test_lsh_emission_delta_handles_cap_crossing(spark):
     """Round-12 MinHash edge maintenance: the delta over banded
     emission counts must equal a fresh rebuild when the arriving
