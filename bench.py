@@ -211,6 +211,10 @@ TRACKED_EXTRAS = [
     # forms are the HEADLINE entries; this maintains the over-cap
     # star relation via per-fp occupancy state at the cap=4 demo)
     "dedup_edge_maintenance_winnow_stars",
+    # round-12: corpus encode under the trained tokenizer (the
+    # training loop is the HEADLINE entry tokenizer_bpe_merges; this
+    # adds the dictionary-join deployment form)
+    "tokenizer_bpe_encode",
 ]
 
 

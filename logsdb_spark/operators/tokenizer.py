@@ -42,12 +42,17 @@ BPE_MERGES_SCHEMA = ("round long, left_tok string, right_tok string, "
 
 def initial_segmentation(words: DataFrame, word_col: str = "w",
                          count_col: str = "cnt") -> DataFrame:
-    """(word, count) → (seg, cnt): each character wrapped, plus the
-    end-of-word marker token ``_``."""
+    """(word, count) → (w, seg, cnt): each character wrapped, plus
+    the end-of-word marker token ``_``. The word rides along so the
+    trained segmentation can be joined back to the corpus
+    (tokenizer_bpe_encode)."""
     seg = F.concat(
         F.regexp_replace(F.col(word_col), "(.)", "<$1>"), F.lit("<_>")
     )
-    return words.select(seg.alias("seg"), F.col(count_col).alias("cnt"))
+    return words.select(
+        F.col(word_col).alias("w"), seg.alias("seg"),
+        F.col(count_col).alias("cnt"),
+    )
 
 
 def _adjacent_pairs(seg_col) -> "F.Column":
@@ -80,6 +85,14 @@ def bpe_merge_rounds(spark: SparkSession, words: DataFrame,
     only the (cheap, expression-level) replace chain, never the
     corpus aggregation upstream. Stops early if no pair remains
     (fully merged vocabulary)."""
+    merges, _ = _run_merges(spark, words, n_merges)
+    return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)
+
+
+def _run_merges(spark: SparkSession, words: DataFrame, n_merges: int):
+    """Shared training loop: returns (merge list, final (w, seg, cnt)
+    frame) — the merge list feeds bpe_merge_rounds, the final
+    segmentation feeds the corpus encode."""
     cur = initial_segmentation(words).localCheckpoint()
     merges = []
     for rnd in range(1, n_merges + 1):
@@ -95,11 +108,27 @@ def bpe_merge_rounds(spark: SparkSession, words: DataFrame,
         a, b, c = best[0].a, best[0].b, int(best[0].c)
         merges.append((rnd, a, b, c))
         cur = cur.select(
+            "w",
             F.replace(F.col("seg"), F.lit(f"<{a}><{b}>"),
                       F.lit(f"<{a}{b}>")).alias("seg"),
             "cnt",
         )
-    return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)
+    return merges, cur
+
+
+def bpe_vocab_token_counts(spark: SparkSession, words: DataFrame,
+                           n_merges: int = 8) -> DataFrame:
+    """Train K merges, then return (w, n_tok) — each vocabulary
+    word's token count under the learned tokenizer (the wrapped-token
+    segmentation's length). The corpus ENCODE is then a dictionary
+    join: docs explode to words, words look up n_tok — the standard
+    deployment shape (the trained segmentation table broadcasts; the
+    corpus is never re-segmented per document)."""
+    _, final = _run_merges(spark, words, n_merges)
+    toks = F.split(
+        F.col("seg").substr(F.lit(2), F.length("seg") - 2), "><"
+    )
+    return final.select("w", F.size(toks).cast("long").alias("n_tok"))
 
 
 def bpe_merges_reference(word_counts: dict, n_merges: int = 8) -> list:

@@ -7338,7 +7338,8 @@ def _bpe_sql(k: int = 8) -> str:
       ) WHERE w != '' GROUP BY w
     ),
     s0 AS (
-      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') || '<_>' AS seg, cnt
+      SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') || '<_>' AS seg,
+             cnt
       FROM w0
     )"""]
     for r in range(1, k + 1):
@@ -7356,8 +7357,8 @@ def _bpe_sql(k: int = 8) -> str:
     ),
     b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
     s{r} AS (
-      SELECT replace(seg, '<' || a || '><' || b || '>',
-                     '<' || a || b || '>') AS seg, cnt
+      SELECT w, replace(seg, '<' || a || '><' || b || '>',
+                        '<' || a || b || '>') AS seg, cnt
       FROM s{r - 1}, b{r}
     )""")
     union = "\n      UNION ALL ".join(
@@ -7517,4 +7518,61 @@ def dedup_edge_maintenance_winnow_stars(spark: SparkSession,
     updated = winnow_star_state_apply_delta(stored, new_ex)
     return winnow_stars_from_state(updated, idx, cap=4).orderBy(
         "id_a", "id_b"
+    )
+
+
+@register(
+    "tokenizer_bpe_encode",
+    oracle=_bpe_sql(8).split("SELECT * FROM (")[0].rstrip().rstrip(",")
+    + f""",
+    seg8 AS (
+      SELECT w,
+             CAST(len(string_split(substr(seg, 2, length(seg) - 2),
+                                   '><')) AS BIGINT) AS n_tok
+      FROM s8
+    ),
+    dw AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents
+    )
+    SELECT d.doc_id, CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM dw d JOIN seg8 s ON s.w = d.w
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODE under the trained tokenizer — the deployment
+    half of tokenizer_bpe_merges (round 12): train the same 8 merges,
+    reduce the final segmentation to a (word, token-count) dictionary
+    (operators/tokenizer.bpe_vocab_token_counts), and encode every
+    document by a dictionary JOIN — docs explode to words, the
+    trained table broadcasts, per-doc token totals aggregate. This is
+    the shape a 100 TB pipeline encodes with: the corpus is never
+    re-segmented per document; the one corpus-sized pass is the
+    explode + count (map-side combinable), and the trained dictionary
+    is vocab-sized state. The oracle replays the 8 training rounds
+    (the shared _bpe_sql CTE chain, word carried through), derives
+    the same dictionary from s8, and re-joins it — token totals
+    hash-gated end to end against an engine that trained
+    independently."""
+    from ..functions.text import normalize_text
+    from ..operators.tokenizer import bpe_vocab_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    words = dw.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    dic = bpe_vocab_token_counts(spark, words, n_merges=8)
+    return (
+        dw.join(F.broadcast(dic), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy("doc_id")
     )

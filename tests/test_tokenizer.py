@@ -65,6 +65,34 @@ def test_initial_segmentation_wraps_and_marks(spark):
     assert row.seg == "<l><o><w><_>" and row.cnt == 7
 
 
+def test_bpe_vocab_token_counts_match_reference_segs(spark):
+    """The deployment dictionary (word -> token count under the
+    trained tokenizer) must equal the reference implementation's
+    final segmentation lengths."""
+    from logsdb_spark.operators.tokenizer import bpe_vocab_token_counts
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 1}
+    words = spark.createDataFrame(list(wc.items()), "w string, cnt long")
+    got = {r.w: r.n_tok
+           for r in bpe_vocab_token_counts(spark, words, 6).collect()}
+
+    # reference: replay merges on list segmentations
+    segs = {w: [*w, "_"] for w in wc}
+    for _, a, b, _c in bpe_merges_reference(wc, 6):
+        for w, toks in segs.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            segs[w] = merged
+    want = {w: len(t) for w, t in segs.items()}
+    assert got == want, (got, want)
+
+
 def test_bpe_merged_token_participates_next_round(spark):
     """A learned merge token must be pairable in later rounds (the
     segmentation actually advances): 'abc' x 9 learns (a,b) then
