@@ -197,6 +197,32 @@ PICKS = {
         "the pool cut; at 100 TB ADC slots in as the in-cell scorer "
         "of the IVF paths."
     ),
+    "dedup_edge_maintenance_minhash": (
+        "Round-12 MinHash edge maintenance: the shard's banded keys "
+        "broadcast as the touched-bucket filter (the corpus key relation "
+        "reduces map-side — no corpus shuffle per shard), two capped "
+        "bucket emits over touched buckets only, one candidate-sized "
+        "full-outer merge against the stored (n_pair, n_star) counts, "
+        "and the deterministic est-prefilter + exact-jaccard verify at "
+        "read. Per-shard cost ∝ the shard's banded-key footprint."
+    ),
+    "tokenizer_bpe_merges": (
+        "Distributed BPE training: ONE corpus-sized word-count aggregate "
+        "(map-side combinable), then per merge round a vocab-sized "
+        "weighted pair-count aggregate + a one-row argmax collect + a "
+        "broadcast-literal re-segmentation (plain string replace — no "
+        "shuffle). The dumped plan shows the final round's shape; the "
+        "vocab frame is localCheckpointed once so rounds never re-run "
+        "the corpus scan."
+    ),
+    "dedup_video_frames_cross": (
+        "Cross-container video dedup (GIF + MJPEG/AVI through one "
+        "format-sniffing Arrow decode kernel): scan-local decode+hash "
+        "over the materialized mixed blob layout, ONE frame-hash bucket "
+        "shuffle, in-bucket capped pair emit — identical shape to "
+        "dedup_video_frames, the container dispatch adding zero plan "
+        "cost."
+    ),
     "multimodal_gif_frames_stats": (
         "REAL multi-frame animation decode: materialized blob layout, "
         "one widened scan, one Arrow kernel emitting the frame-order-"
