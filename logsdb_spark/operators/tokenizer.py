@@ -73,8 +73,23 @@ def _adjacent_pairs(seg_col) -> "F.Column":
     )
 
 
+# Vocabularies at or below this row count train DRIVER-LOCALLY (the
+# tiny regime): K distributed rounds cost K job launches + K one-row
+# collects (~0.25 s each at local scale — a pure fixed floor when the
+# vocab is thousands of rows), while the reference list-scan BPE
+# finishes the whole fit in milliseconds. Outputs are IDENTICAL by
+# construction (same counts, same tie-break, same leftmost
+# non-overlapping merge — the equality is what tests/test_tokenizer.py
+# pins), so the cutover is pure physics, the same precedent as
+# connected_components' tiny in-kernel regime. At 100 TB vocabularies
+# (hundreds of millions of words) the distributed loop is the path.
+BPE_LOCAL_VOCAB_MAX = 65536
+
+
 def bpe_merge_rounds(spark: SparkSession, words: DataFrame,
-                     n_merges: int = 8) -> DataFrame:
+                     n_merges: int = 8,
+                     local_vocab_max: int = BPE_LOCAL_VOCAB_MAX
+                     ) -> DataFrame:
     """K BPE merge rounds over a (w, cnt) word-frequency table →
     (round, left_tok, right_tok, pair_count), one row per learned
     merge in training order. Each round: weighted adjacent-pair
@@ -84,15 +99,35 @@ def bpe_merge_rounds(spark: SparkSession, words: DataFrame,
     frame is localCheckpointed once so the K count jobs re-evaluate
     only the (cheap, expression-level) replace chain, never the
     corpus aggregation upstream. Stops early if no pair remains
-    (fully merged vocabulary)."""
-    merges, _ = _run_merges(spark, words, n_merges)
+    (fully merged vocabulary). Small vocabularies fit driver-side
+    (see BPE_LOCAL_VOCAB_MAX)."""
+    merges, _ = _run_merges(spark, words, n_merges, local_vocab_max)
     return spark.createDataFrame(merges, BPE_MERGES_SCHEMA)
 
 
-def _run_merges(spark: SparkSession, words: DataFrame, n_merges: int):
+def _collect_vocab_if_tiny(words: DataFrame, local_vocab_max: int):
+    """dict(word -> count) when the vocab is within the tiny regime,
+    else None. One count job decides; the collect is bounded by the
+    threshold."""
+    if local_vocab_max <= 0:
+        return None
+    head = words.limit(local_vocab_max + 1).collect()
+    if len(head) > local_vocab_max:
+        return None
+    return {r[0]: int(r[1]) for r in head}
+
+
+def _run_merges(spark: SparkSession, words: DataFrame, n_merges: int,
+                local_vocab_max: int = BPE_LOCAL_VOCAB_MAX):
     """Shared training loop: returns (merge list, final (w, seg, cnt)
-    frame) — the merge list feeds bpe_merge_rounds, the final
-    segmentation feeds the corpus encode."""
+    frame or local dict) — the merge list feeds bpe_merge_rounds, the
+    final segmentation feeds the corpus encode. ``final`` is a
+    DataFrame on the distributed path and a {word: [tokens]} dict on
+    the tiny-vocab local path."""
+    wc = _collect_vocab_if_tiny(words, local_vocab_max)
+    if wc is not None:
+        merges, segs = _reference_merges_with_segs(wc, n_merges)
+        return merges, segs
     cur = initial_segmentation(words).localCheckpoint()
     merges = []
     for rnd in range(1, n_merges + 1):
@@ -117,25 +152,33 @@ def _run_merges(spark: SparkSession, words: DataFrame, n_merges: int):
 
 
 def bpe_vocab_token_counts(spark: SparkSession, words: DataFrame,
-                           n_merges: int = 8) -> DataFrame:
+                           n_merges: int = 8,
+                           local_vocab_max: int = BPE_LOCAL_VOCAB_MAX
+                           ) -> DataFrame:
     """Train K merges, then return (w, n_tok) — each vocabulary
     word's token count under the learned tokenizer (the wrapped-token
     segmentation's length). The corpus ENCODE is then a dictionary
     join: docs explode to words, words look up n_tok — the standard
     deployment shape (the trained segmentation table broadcasts; the
     corpus is never re-segmented per document)."""
-    _, final = _run_merges(spark, words, n_merges)
+    _, final = _run_merges(spark, words, n_merges, local_vocab_max)
+    if isinstance(final, dict):
+        return spark.createDataFrame(
+            [(w, len(t)) for w, t in sorted(final.items())],
+            "w string, n_tok long",
+        )
     toks = F.split(
         F.col("seg").substr(F.lit(2), F.length("seg") - 2), "><"
     )
     return final.select("w", F.size(toks).cast("long").alias("n_tok"))
 
 
-def bpe_merges_reference(word_counts: dict, n_merges: int = 8) -> list:
-    """Plain-Python reference BPE (test oracle): explicit list-based
-    pair counting and leftmost non-overlapping merge — deliberately
-    NOT the string-replace trick, so the pytest parity is between two
-    independent formulations of the same algorithm."""
+def _reference_merges_with_segs(word_counts: dict, n_merges: int):
+    """The list-scan BPE fit: (merge list, final {word: [tokens]}).
+    Both the tiny-vocab production path (_run_merges' local regime)
+    and the test oracle (bpe_merges_reference) ride this one
+    implementation; the distributed loop is pinned EQUAL to it by
+    tests/test_tokenizer.py (which forces local_vocab_max=0)."""
     segs = {w: [*w, "_"] for w in word_counts}
     out = []
     for rnd in range(1, n_merges + 1):
@@ -160,4 +203,12 @@ def bpe_merges_reference(word_counts: dict, n_merges: int = 8) -> list:
                     merged.append(toks[i])
                     i += 1
             segs[w] = merged
-    return out
+    return out, segs
+
+
+def bpe_merges_reference(word_counts: dict, n_merges: int = 8) -> list:
+    """Plain-Python reference BPE (test oracle): explicit list-based
+    pair counting and leftmost non-overlapping merge — deliberately
+    NOT the string-replace trick, so the pytest parity is between two
+    independent formulations of the same algorithm."""
+    return _reference_merges_with_segs(word_counts, n_merges)[0]

@@ -7392,7 +7392,13 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently in tests/test_tokenizer.py. Scale: vocab tables are
     millions of rows at 100 TB corpus scale — the per-round jobs stay
     tiny; the one corpus pass dominates and shuffles one row per
-    distinct word per mapper."""
+    distinct word per mapper. Tiny vocabularies
+    (<= BPE_LOCAL_VOCAB_MAX — the fixture corpora) fit DRIVER-LOCALLY
+    instead: K distributed rounds are pure job-launch floor there
+    (~0.25 s each), and the local fit is value-identical by
+    construction (local == distributed == reference pinned by
+    tests/test_tokenizer.py) — the connected_components tiny-regime
+    precedent."""
     from ..operators.tokenizer import bpe_merge_rounds
     from ..functions.text import normalize_text
 

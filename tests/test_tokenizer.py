@@ -12,13 +12,18 @@ from logsdb_spark.operators.tokenizer import (
 )
 
 
-def _spark_merges(spark, word_counts, k):
+def _spark_merges(spark, word_counts, k, local_vocab_max=0):
+    """local_vocab_max=0 FORCES the distributed loop — the parity
+    tests must pin the DataFrame implementation, not the tiny-vocab
+    local regime (which IS the reference implementation); the
+    dedicated cutover test covers the default routing."""
     words = spark.createDataFrame(
         list(word_counts.items()), "w string, cnt long"
     )
     return [
         (r.round, r.left_tok, r.right_tok, r.pair_count)
-        for r in bpe_merge_rounds(spark, words, n_merges=k)
+        for r in bpe_merge_rounds(spark, words, n_merges=k,
+                                  local_vocab_max=local_vocab_max)
         .orderBy("round").collect()
     ]
 
@@ -65,6 +70,25 @@ def test_initial_segmentation_wraps_and_marks(spark):
     assert row.seg == "<l><o><w><_>" and row.cnt == 7
 
 
+def test_bpe_tiny_vocab_cutover_equals_distributed(spark):
+    """The tiny-vocab local regime (default routing — the registered
+    query's path on the fixture corpora) must return exactly what the
+    distributed loop returns, merges AND dictionary."""
+    from logsdb_spark.operators.tokenizer import bpe_vocab_token_counts
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+    local = _spark_merges(spark, wc, 8, local_vocab_max=65536)
+    dist = _spark_merges(spark, wc, 8, local_vocab_max=0)
+    assert local == dist and local
+
+    words = spark.createDataFrame(list(wc.items()), "w string, cnt long")
+    d_local = {r.w: r.n_tok for r in bpe_vocab_token_counts(
+        spark, words, 8).collect()}
+    d_dist = {r.w: r.n_tok for r in bpe_vocab_token_counts(
+        spark, words, 8, local_vocab_max=0).collect()}
+    assert d_local == d_dist
+
+
 def test_bpe_vocab_token_counts_match_reference_segs(spark):
     """The deployment dictionary (word -> token count under the
     trained tokenizer) must equal the reference implementation's
@@ -74,7 +98,8 @@ def test_bpe_vocab_token_counts_match_reference_segs(spark):
     wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 1}
     words = spark.createDataFrame(list(wc.items()), "w string, cnt long")
     got = {r.w: r.n_tok
-           for r in bpe_vocab_token_counts(spark, words, 6).collect()}
+           for r in bpe_vocab_token_counts(spark, words, 6,
+                                           local_vocab_max=0).collect()}
 
     # reference: replay merges on list segmentations
     segs = {w: [*w, "_"] for w in wc}
