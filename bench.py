@@ -176,6 +176,12 @@ HEADLINE = [
     # (touched buckets only + stored-count merge), verified at read,
     # proven equal to the rebuild by sharing the brute-force oracle
     "dedup_edge_maintenance_minhash",
+    # round-12: Hamming-ball edge maintenance — the additive media
+    # delta (broadcast attach to stored reps + touched-ball probe),
+    # proven component-equal to the rebuild by sharing the image
+    # keep endpoint's recursive-CTE oracle; with the vframe delta
+    # below, all five edge-layout signals are maintained at ingest
+    "dedup_edge_maintenance_phash",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -215,6 +221,12 @@ TRACKED_EXTRAS = [
     # training loop is the HEADLINE entry tokenizer_bpe_merges; this
     # adds the dictionary-join deployment form)
     "tokenizer_bpe_encode",
+    # round-12: the remaining per-signal maintenance demos (the
+    # phash form is the HEADLINE entry; audio rides the identical
+    # operator on the afp column, vframe rides the winnow deltas on
+    # the frame-hash index)
+    "dedup_edge_maintenance_audio",
+    "dedup_edge_maintenance_vframe",
 ]
 
 

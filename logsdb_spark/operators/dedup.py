@@ -1323,22 +1323,23 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3,
     )
 
 
-def _hamming_buckets(hashes: DataFrame, max_hamming: int,
+def _banded_key_rows(hashes: DataFrame, max_hamming: int,
                      id_col: str = "doc_id",
                      hash_col: str = "phash") -> DataFrame:
-    """The shared LSH bucketing both Hamming-ball consumers start
-    from: band the 56-bit hash into max(4, r+1) slices, bucket on
-    (band, slice value), keep buckets with >= 2 members → (bk, ms)
-    where ms is the sorted (_id, _ph) member set. ONE shuffle on the
-    band key; the pigeonhole guarantee (a pair within distance r
-    differs in at most r of the r+1 bands, so at least one band
-    matches) makes downstream recall EXACT at the default radius."""
+    """Flat band-key rows (_id, _ph, bk) for the Hamming-ball LSH:
+    band the 56-bit hash into max(4, r+1) slices and emit one row per
+    (hash, band) with bk = struct(band, slice value). The SINGLE
+    banding definition every Hamming-ball consumer derives from —
+    the bucketed pipelines group these rows (_hamming_buckets), and
+    the incremental delta (phash_edges_apply_delta) joins new-rep
+    keys against them map-side — so the band geometry cannot drift
+    between the build and maintenance routes."""
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_ph")
     )
     n_bands = max(4, max_hamming + 1)
     width = 56 // n_bands
-    banded = h.select(
+    return h.select(
         "_id", "_ph",
         F.explode(F.array(*[
             F.struct(
@@ -1349,6 +1350,19 @@ def _hamming_buckets(hashes: DataFrame, max_hamming: int,
             for b in range(n_bands)
         ])).alias("bk"),
     )
+
+
+def _hamming_buckets(hashes: DataFrame, max_hamming: int,
+                     id_col: str = "doc_id",
+                     hash_col: str = "phash") -> DataFrame:
+    """The shared LSH bucketing both Hamming-ball consumers start
+    from: band the 56-bit hash into max(4, r+1) slices, bucket on
+    (band, slice value), keep buckets with >= 2 members → (bk, ms)
+    where ms is the sorted (_id, _ph) member set. ONE shuffle on the
+    band key; the pigeonhole guarantee (a pair within distance r
+    differs in at most r of the r+1 bands, so at least one band
+    matches) makes downstream recall EXACT at the default radius."""
+    banded = _banded_key_rows(hashes, max_hamming, id_col, hash_col)
     return (
         banded.groupBy("bk")
         .agg(F.array_sort(
@@ -2162,3 +2176,138 @@ def winnow_stars_from_state(state: DataFrame, ex: DataFrame,
         .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. incremental HAMMING-BALL edge maintenance (round 12): the delta
+#     form of the media component-edge signals (iph/afp) — completing
+#     "maintained at ingest" for all five partitions of the edge
+#     layout. Unlike the capped winnow/LSH signals the ball relation
+#     is MONOTONE (no hub cap on the exact-radius banding: docs only
+#     arrive, edges only appear), so the delta is purely ADDITIVE —
+#     no counts, no retraction — and the maintained state is the edge
+#     relation itself plus the per-hash representative table.
+# ---------------------------------------------------------------------------
+
+def phash_reps_apply_delta(stored_reps: DataFrame,
+                           new_hashes: DataFrame,
+                           hash_col: str = "phash") -> DataFrame:
+    """EXACT incremental maintenance of the per-hash representative
+    table (hv, rep_id) under an arriving shard: merge the shard's
+    per-hash minimum into the stored state — rep' = least(rep,
+    rep_shard). Same associative-merge shape as
+    winnow_star_state_apply_delta: one shard-footprint-sized
+    full-outer join, no corpus rescan. NOTE the EDGE delta below
+    deliberately attaches new members to the OLD rep even when a new
+    doc id undercuts it (components are unchanged either way and the
+    old rep's star edges stay valid); this table is the canonical
+    min for read-side consumers that want the true representative."""
+    sh = (
+        new_hashes.filter(F.col(hash_col).isNotNull())
+        .groupBy(F.col(hash_col).alias("hv"))
+        .agg(F.min("doc_id").alias("_rn"))
+    )
+    return (
+        stored_reps.join(sh, "hv", "full")
+        .select("hv", F.least("rep_id", "_rn").alias("rep_id"))
+    )
+
+
+def phash_edges_apply_delta(stored_edges: DataFrame,
+                            stored_reps: DataFrame,
+                            new_hashes: DataFrame,
+                            max_hamming: int = 3,
+                            hash_col: str = "phash") -> DataFrame:
+    """COMPONENT-EXACT incremental maintenance of a Hamming-ball
+    dedup signal (the edge layout's ``iph``/``afp`` partitions) under
+    an arriving shard — the media analogue of winnow_edges_apply_delta
+    (the r11 verdict's "touched-ball re-sweep"). Input state is what
+    a production media store keeps columnar: the component-equivalent
+    edge relation (phash_component_edges output) and the per-hash
+    representative table (hv, rep_id). Returns the edge relation for
+    corpus ∪ shard; connected components over it EQUAL components
+    over the full rebuild (gate: dedup_edge_maintenance_phash /
+    _audio share the keep endpoints' recursive-CTE oracles verbatim).
+
+    The delta is additive because the exact-radius banding has no hub
+    cap (no retraction regime), in four shard-proportional pieces:
+
+    - ATTACH: a new doc whose hash is already indexed gains one star
+      edge to the STORED rep (Hamming 0). Components match the
+      rebuild even when the new doc id undercuts the stored rep —
+      the rebuild would star the other direction, same component.
+    - NEW-REP STARS: previously-unseen hashes elect the shard-minimum
+      doc as rep; other shard docs with the same hash star onto it.
+    - TOUCHED-BALL PROBE: each new rep must connect to every OLD rep
+      within the radius. Banding is EXACT at radius <= n_bands-1
+      (pigeonhole), so candidates = old reps sharing >= 1 band key
+      with a new rep: the shard reps' band keys BROADCAST against
+      the in-plan banded projection of the stored rep table — the
+      corpus side is scanned map-side (narrow projection + explode,
+      no shuffle, no bucket materialization), survivors verify by
+      popcount. This is the touched-ball re-sweep: only balls a new
+      rep lands in are ever examined.
+    - SHARD-INTERNAL BALL: new reps vs new reps, a shard-sized
+      band-key self-join.
+
+    Component-equality argument: every rebuild near-dup pair (u, v)
+    is connected in the maintained graph — u to rep(h_u) by an
+    attach/new-rep star, rep(h_u) to rep(h_v) by a stored ball edge
+    (both old), a probe edge (one new), or a shard-internal edge
+    (both new); conversely every emitted edge joins true near-dups
+    (Hamming 0 or <= radius), so the maintained components neither
+    split nor over-merge the rebuild's. Per-shard cost: broadcast
+    joins against the rep table and its banded projection (map-side
+    corpus scans, zero corpus shuffles) + shard-sized aggregations —
+    proportional to the shard and the touched balls, never the
+    corpus pair structure."""
+    newh = (
+        new_hashes.filter(F.col(hash_col).isNotNull())
+        .select("doc_id", F.col(hash_col).alias("hv"))
+    )
+    hit = stored_reps.join(F.broadcast(newh), "hv")
+    attach = hit.select(
+        F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    matched = F.broadcast(hit.select("hv").distinct())
+    unmatched = newh.join(matched, "hv", "left_anti")
+    nreps = unmatched.groupBy("hv").agg(F.min("doc_id").alias("rep_id"))
+    nstar = (
+        unmatched.join(F.broadcast(nreps), "hv")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id_a"),
+                F.col("doc_id").alias("id_b"))
+    )
+    as_hashes = lambda reps: reps.select(  # noqa: E731
+        F.col("rep_id").alias("doc_id"), F.col("hv").alias(hash_col)
+    )
+    oldk = _banded_key_rows(as_hashes(stored_reps), max_hamming,
+                            hash_col=hash_col)
+    newk = _banded_key_rows(as_hashes(nreps), max_hamming,
+                            hash_col=hash_col)
+    ham = F.bit_count(F.col("_ph").bitwiseXOR(F.col("_nph")))
+    probe = (
+        oldk.join(
+            F.broadcast(newk.select(
+                "bk", F.col("_id").alias("_nid"),
+                F.col("_ph").alias("_nph"),
+            )),
+            "bk",
+        )
+        .filter(ham <= max_hamming)
+        .select(F.least("_id", "_nid").alias("id_a"),
+                F.greatest("_id", "_nid").alias("id_b"))
+        .distinct()
+    )
+    selfb = (
+        newk.join(
+            newk.select("bk", F.col("_id").alias("_nid"),
+                        F.col("_ph").alias("_nph")),
+            "bk",
+        )
+        .filter((F.col("_id") < F.col("_nid")) & (ham <= max_hamming))
+        .select(F.col("_id").alias("id_a"), F.col("_nid").alias("id_b"))
+        .distinct()
+    )
+    delta = attach.unionByName(nstar).unionByName(probe).unionByName(selfb)
+    return stored_edges.unionByName(delta)

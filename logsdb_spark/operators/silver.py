@@ -1189,3 +1189,115 @@ def winnow_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("n", LongType()),
     ])
     return _blob_layout(spark, sf_dir, "wnedge90", make, schema)
+
+
+def media_edge90_layout(spark: SparkSession, sf_dir: str,
+                        kind: str) -> DataFrame:
+    """The STORED Hamming-ball component-edge state for the round-12
+    media edge-maintenance demonstrations (prefix ``<kind>edge90``):
+    phash_component_edges over the 90% existing-corpus split of the
+    media evidence index's ``kind`` partition (doc_id % 10 != 0; the
+    remaining 10% plays the arriving shard in
+    dedup_edge_maintenance_phash/_audio). Same stored-state premise
+    as winnow_edge_count_layout — the edge relation IS what a
+    production media store keeps columnar (dedup_edge_layout's
+    iph/afp partitions) and updates per shard
+    (operators/dedup.phash_edges_apply_delta). Deterministic function
+    of the evidence index, so the consuming queries keep the keep
+    endpoints' full-rebuild oracles."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def make():
+        from .dedup import phash_component_edges
+
+        return phash_component_edges(
+            media_evidence_layout(spark, sf_dir)
+            .filter((F.col("kind") == kind) & (F.col("doc_id") % 10 != 0))
+            .select("doc_id", F.col("hv").alias("phash"))
+        )
+
+    schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, f"{kind}edge90", make, schema)
+
+
+def media_rep90_layout(spark: SparkSession, sf_dir: str,
+                       kind: str) -> DataFrame:
+    """The STORED per-hash representative table (hv, rep_id) for the
+    media edge-maintenance demonstrations (prefix ``<kind>rep90``):
+    minimum doc id per distinct hash over the 90% existing-corpus
+    split of the evidence index's ``kind`` partition — the second
+    half of the Hamming-ball maintenance state (the table
+    phash_edges_apply_delta attaches exact-dup arrivals to and bands
+    for the touched-ball probe; maintained per shard by
+    phash_reps_apply_delta's least-merge)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def make():
+        return (
+            media_evidence_layout(spark, sf_dir)
+            .filter((F.col("kind") == kind) & (F.col("doc_id") % 10 != 0))
+            .groupBy(F.col("hv"))
+            .agg(F.min("doc_id").alias("rep_id"))
+        )
+
+    schema = StructType([
+        StructField("hv", LongType()),
+        StructField("rep_id", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, f"{kind}rep90", make, schema)
+
+
+def vframe_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED video-frame pair-count state for the round-12
+    vframe edge-maintenance demonstration (prefix ``vfredge90``):
+    winnow_edge_counts over the 90% split of the evidence index's
+    ``vframe`` partition — the video signal shares the winnow
+    bucket-evidence shape ((doc_id, fp) inverted index, hub-capped
+    emit), so its maintained state and delta operators are the
+    winnow ones verbatim; only the index differs."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def make():
+        from .dedup import winnow_edge_counts
+
+        return winnow_edge_counts(
+            media_evidence_layout(spark, sf_dir)
+            .filter((F.col("kind") == "vframe") & (F.col("doc_id") % 10 != 0))
+            .select("doc_id", F.col("hv").alias("fp"))
+        )
+
+    schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("n", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, "vfredge90", make, schema)
+
+
+def vframe_star_state_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED video-frame occupancy state for the round-12 vframe
+    edge-maintenance demonstration (prefix ``vfrstar90``): per-frame
+    (fp, c, rep) over the 90% split — winnow_star_state on the
+    vframe index, from which the over-cap star edges (the cap-star
+    semantics that fixed the viral-cluster recall collapse this
+    round) derive at read."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def make():
+        from .dedup import winnow_star_state
+
+        return winnow_star_state(
+            media_evidence_layout(spark, sf_dir)
+            .filter((F.col("kind") == "vframe") & (F.col("doc_id") % 10 != 0))
+            .select("doc_id", F.col("hv").alias("fp"))
+        )
+
+    schema = StructType([
+        StructField("fp", LongType()),
+        StructField("c", LongType()),
+        StructField("rep", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, "vfrstar90", make, schema)

@@ -255,6 +255,13 @@ CORPUS_QUERIES = [
     # brute-force oracle): cost should scale with the shard's
     # banded-key footprint
     "dedup_edge_maintenance_minhash",
+    # round-12: the Hamming-ball media delta (timing ratio only —
+    # component-level keep oracle shared verbatim): cost should
+    # scale with the shard's hash footprint + touched balls
+    "dedup_edge_maintenance_phash",
+    # round-12: the video twin (winnow deltas over the frame-hash
+    # index; count + star state in one query)
+    "dedup_edge_maintenance_vframe",
 ]
 
 
@@ -405,6 +412,25 @@ def main() -> None:
 
     winnow_edge_count_layout(spark, SRC).limit(1).count()
     winnow_edge_count_layout(spark, DST).limit(1).count()
+    # and the round-12 maintenance state (stored counts / reps /
+    # occupancy are the operators' PREMISE — production keeps them
+    # columnar and pays the build at ingest)
+    from logsdb_spark.operators.silver import (
+        media_edge90_layout,
+        media_evidence_layout,
+        media_rep90_layout,
+        minhash_emission_count_layout,
+        vframe_edge_count_layout,
+        vframe_star_state_layout,
+    )
+
+    for _d in (SRC, DST):
+        media_evidence_layout(spark, _d).limit(1).count()
+        media_edge90_layout(spark, _d, "phash").limit(1).count()
+        media_rep90_layout(spark, _d, "phash").limit(1).count()
+        minhash_emission_count_layout(spark, _d).limit(1).count()
+        vframe_edge_count_layout(spark, _d).limit(1).count()
+        vframe_star_state_layout(spark, _d).limit(1).count()
 
     results = {}
     queries = all_queries()

@@ -911,3 +911,63 @@ def test_lsh_emission_delta_handles_cap_crossing(spark):
     assert (50, 51, 16, 0) in got
     a_rows = {t for t in got if t[0] != 50}
     assert a_rows == {(1, d, 0, 16) for d in (2, 3, 4, 1000)}, a_rows
+
+
+def test_phash_edge_delta_components_equal_rebuild(spark):
+    """Round-12 Hamming-ball edge maintenance: components over
+    (stored edges ∪ phash_edges_apply_delta's additions) must equal
+    components over the full rebuild, across every delta regime at
+    once — an arriving doc whose hash is already indexed AND whose
+    id undercuts the stored rep (the delta stars onto the OLD rep;
+    the rebuild would re-root — edges differ, components must not),
+    a new hash BRIDGING two previously-separate old components, a
+    shard-internal near-dup pair, a multi-doc new hash (new-rep
+    star), and a far singleton that must connect to nothing."""
+    from logsdb_spark.operators.dedup import (
+        connected_components,
+        phash_component_edges,
+        phash_edges_apply_delta,
+        phash_reps_apply_delta,
+    )
+
+    h0, h1, h2 = 0x00, 0x01, 0x3F          # d(h0,h1)=1; d(*,h2)>3
+    bridge = 0x07                           # <=3 from h0, h1 AND h2
+    g, g2 = 0xF << 46, 0xF << 30            # far from everything
+    lone = (1 << 40) | (1 << 20) | (1 << 10) | (1 << 5)
+    old = spark.createDataFrame(
+        [(10, h0), (12, h0), (14, h1), (20, h2), (22, h2)],
+        "doc_id long, phash long",
+    )
+    new = spark.createDataFrame(
+        [(4, h0),                 # existing hash, id undercuts rep 10
+         (30, bridge),            # merges {10,12,14,4} with {20,22}
+         (40, g), (42, g ^ (0b11 << 10)),  # shard-internal pair (d=2)
+         (44, g2), (46, g2),      # multi-doc NEW hash -> new-rep star
+         (50, lone)],             # singleton
+        "doc_id long, phash long",
+    )
+    full = old.unionByName(new)
+
+    stored_edges = phash_component_edges(old)
+    stored_reps = old.groupBy(F.col("phash").alias("hv")).agg(
+        F.min("doc_id").alias("rep_id"))
+    got = {r.doc_id: r.cluster
+           for r in connected_components(
+               phash_edges_apply_delta(stored_edges, stored_reps, new)
+           ).collect()}
+    want = {r.doc_id: r.cluster
+            for r in connected_components(
+                phash_component_edges(full)).collect()}
+    assert got == want
+    assert want[30] == want[20] == want[10] == 4   # bridged, min id 4
+    assert want[42] == 40 and want[46] == 44
+    assert 50 not in want
+
+    # the rep-table delta is rebuild-exact (least-merge semantics)
+    merged = {(r.hv, r.rep_id)
+              for r in phash_reps_apply_delta(stored_reps, new).collect()}
+    rebuilt = {(r.hv, r.rep_id)
+               for r in full.groupBy(F.col("phash").alias("hv"))
+               .agg(F.min("doc_id").alias("rep_id")).collect()}
+    assert merged == rebuilt
+    assert (h0, 4) in merged                        # undercut recorded
