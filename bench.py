@@ -182,6 +182,11 @@ HEADLINE = [
     # keep endpoint's recursive-CTE oracle; with the vframe delta
     # below, all five edge-layout signals are maintained at ingest
     "dedup_edge_maintenance_phash",
+    # round-12: ANN index maintenance — the shard encodes against
+    # the FROZEN centroid model (broadcast, row-local) and appends
+    # to the stored inverted lists; oracle rebuilds under the same
+    # model
+    "ann_index_maintenance_ivf",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -227,6 +232,9 @@ TRACKED_EXTRAS = [
     # the frame-hash index)
     "dedup_edge_maintenance_audio",
     "dedup_edge_maintenance_vframe",
+    # round-12: the PQ twin of ann_index_maintenance_ivf (shard
+    # encodes under the frozen 90% codebooks and appends)
+    "ann_index_maintenance_pq",
 ]
 
 

@@ -1301,3 +1301,133 @@ def vframe_star_state_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("rep", LongType()),
     ])
     return _blob_layout(spark, sf_dir, "vfrstar90", make, schema)
+
+
+def ivf_cent90_layout(spark: SparkSession, sf_dir: str,
+                      target_cell_rows: int = 64) -> DataFrame:
+    """The FROZEN IVF centroid model for the round-12 ANN index
+    maintenance demonstration (prefix ``ivfcent90``): the centroid
+    selection ivf_cell_assignments makes — k = max(4, ceil(n /
+    target_cell_rows)) lowest-vec_id vectors with their norms — over
+    the 90% existing-corpus split (vec_id % 10 != 0). This is the
+    versioned MODEL state a production ANN store pins between
+    refits; the arriving shard encodes against it
+    (operators/similarity.ivf_assign_apply_delta) instead of
+    triggering a re-selection."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, FloatType, LongType, StructField,
+        StructType,
+    )
+
+    def make():
+        from .similarity import _with_norm
+
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 != 0)
+        k_row = emb.agg(
+            F.greatest(
+                F.lit(4).cast("long"),
+                F.ceil(F.count(F.lit(1)) / F.lit(64.0)).cast("long"),
+            ).alias("_nc")
+        )
+        return _with_norm(
+            emb.join(F.broadcast(k_row))
+            .filter(F.col("vec_id") < F.col("_nc"))
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("embedding").alias("cent_vec")),
+            "cent_vec", "cnrm",
+        )
+
+    schema = StructType([
+        StructField("cent_id", LongType()),
+        StructField("cent_vec", ArrayType(FloatType())),
+        StructField("cnrm", DoubleType()),
+    ])
+    return _blob_layout(spark, sf_dir, "ivfcent90", make, schema,
+                        src_table="embeddings")
+
+
+def ivf_assign90_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED inverted-list state for the IVF maintenance
+    demonstration (prefix ``ivfassign90``): the 90% corpus encoded
+    under the frozen 90% centroid model (ivf_cent90_layout) — what a
+    production store holds when the 10% shard arrives."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, FloatType, IntegerType, LongType,
+        StructField, StructType,
+    )
+
+    def make():
+        from .similarity import ivf_assign_with_model
+
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 != 0)
+        return ivf_assign_with_model(
+            emb, ivf_cent90_layout(spark, sf_dir), n_assign=2)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("rk", IntegerType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("nrm", DoubleType()),
+    ])
+    return _blob_layout(spark, sf_dir, "ivfassign90", make, schema,
+                        src_table="embeddings")
+
+
+def pq_codebook90_layout(spark: SparkSession, sf_dir: str, m: int = 8,
+                         sub: int = 8, ks: int = 16) -> DataFrame:
+    """The FROZEN PQ codebooks for the round-12 maintenance
+    demonstration (prefix ``pqcb90``): pq_codebooks' deterministic
+    fit over the 90% existing-corpus split — the even-vec_id
+    training sample and the vec_id < ks init both restricted to the
+    stored corpus, exactly what a production fit saw before the
+    shard existed."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    def make():
+        from .similarity import pq_codebooks
+
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 != 0)
+        return pq_codebooks(emb, m=m, sub=sub, ks=ks)
+
+    schema = StructType([
+        StructField("j", IntegerType()),
+        StructField("cid", LongType()),
+        StructField("cv", ArrayType(DoubleType())),
+    ])
+    return _blob_layout(spark, sf_dir, f"pqcb90_{m}_{ks}", make, schema,
+                        src_table="embeddings")
+
+
+def pq_code90_layout(spark: SparkSession, sf_dir: str, m: int = 8,
+                     sub: int = 8, ks: int = 16) -> DataFrame:
+    """The STORED PQ code corpus for the maintenance demonstration
+    (prefix ``pqcode90``): the 90% corpus encoded under the frozen
+    90% codebooks (pq_codebook90_layout)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    def make():
+        from .similarity import pq_codes
+
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 != 0)
+        return pq_codes(
+            emb, pq_codebook90_layout(spark, sf_dir, m=m, sub=sub, ks=ks),
+            m=m, sub=sub)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+        StructField("nrm", DoubleType()),
+    ])
+    return _blob_layout(spark, sf_dir, f"pqcode90_{m}_{ks}", make, schema,
+                        src_table="embeddings")

@@ -377,6 +377,24 @@ def ivf_cell_assignments(emb: DataFrame, n_centroids: int | None = None,
         "cent_vec",
         "cnrm",
     )
+    return ivf_assign_with_model(emb, cents, n_assign)
+
+
+def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
+                          n_assign: int = 2) -> DataFrame:
+    """The ENCODE half of ivf_cell_assignments, split out (round 12)
+    so it can run against an EXPLICIT (frozen) centroid model: given
+    a (cent_id, cent_vec, cnrm) centroid frame, assign every vector
+    of ``emb`` to its top-``n_assign`` cells — the model broadcasts,
+    the scoring is row-local (one whole-stage-codegen pass, no
+    shuffle), so encoding cost is exactly proportional to the rows
+    encoded. This is what makes the ANN index layouts maintainable
+    at ingest: an arriving shard encodes under the stored model
+    (ivf_assign_apply_delta below) and appends; re-selecting
+    centroids is the RARE, explicitly-versioned model-refresh event,
+    never the per-shard one. Same scoring + (cos DESC, cent_id)
+    tie-break as the fused form (shared _topm_cells via the joined
+    ``_cents`` row), so model-equal inputs are value-identical."""
     cent_row = cents.agg(
         F.array_sort(
             F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
@@ -394,6 +412,24 @@ def ivf_cell_assignments(emb: DataFrame, n_centroids: int | None = None,
             F.col("_nrm").alias("nrm"),
         )
         .select("vec_id", "cell", "rk", "embedding", "nrm")
+    )
+
+
+def ivf_assign_apply_delta(stored_assign: DataFrame, cents: DataFrame,
+                           new_emb: DataFrame,
+                           n_assign: int = 2) -> DataFrame:
+    """INCREMENTAL maintenance of the IVF assignment index under an
+    arriving shard (round 12 — the ANN twin of the dedup edge
+    deltas): encode ONLY the shard against the stored centroid model
+    and append to the stored inverted lists. Purely additive and
+    embarrassingly shard-proportional — assignment under a frozen
+    model is a row-local broadcast computation, so the delta never
+    rescans or reshuffles the stored corpus. Equality with the full
+    rebuild UNDER THE SAME MODEL is definitional (the encode is
+    per-row deterministic) and oracle-gated end to end by
+    ann_index_maintenance_ivf."""
+    return stored_assign.unionByName(
+        ivf_assign_with_model(new_emb, cents, n_assign)
     )
 
 
@@ -984,6 +1020,21 @@ def pq_codes(emb: DataFrame, codebooks: DataFrame, m: int = 8,
             "nrm",
         )
     )
+
+
+def pq_codes_apply_delta(stored_codes: DataFrame, codebooks: DataFrame,
+                         new_emb: DataFrame, m: int = 8,
+                         sub: int = 8) -> DataFrame:
+    """INCREMENTAL maintenance of the PQ code corpus under an
+    arriving shard (round 12): encode ONLY the shard against the
+    stored (frozen) codebooks — pq_codes already takes the model as
+    a frame, so the delta is literally encode-shard + append. Same
+    contract as ivf_assign_apply_delta: encoding under a broadcast
+    model is row-local (one codegen pass, zero corpus work), refit
+    (pq_codebooks) is the rare versioned event. Rebuild equality
+    under the same codebooks is definitional; oracle-gated by
+    ann_index_maintenance_pq."""
+    return stored_codes.unionByName(pq_codes(new_emb, codebooks, m, sub))
 
 
 def _pq_cb_row(cbs: DataFrame) -> DataFrame:

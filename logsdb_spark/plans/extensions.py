@@ -6885,20 +6885,21 @@ def dedup_corpus_keep_fromindex(spark: SparkSession,
     )
 
 
-def _pq_adc_sql(m: int = 8, sub: int = 8, ks: int = 16,
-                rerank: int = 64, k: int = 10) -> str:
-    """Generate the ann_pq_adc oracle: the per-subspace CTE block is
-    mechanical (slice → init → one L2 Lloyd round → rounded means →
-    encode), so it is EMITTED by a loop instead of hand-copying four
-    near-identical 30-line blocks — the same keep-in-lockstep
-    rationale as _CORPUS_KEEP_SQL. The coda replays pq_adc_topk's
-    fixed-order ADC sum, rounded pool cut, and exact rerank."""
-    blocks = []
-    for j in range(m):
-        lo, hi = j * sub + 1, (j + 1) * sub
-        blocks.append(f"""
+def _pq_block_sql(j: int, sub: int, ks: int, fit_extra: str = "") -> str:
+    """ONE per-subspace PQ CTE block (slice → init → one L2 Lloyd
+    round → rounded means → encode) — the SINGLE emission both the
+    ADC oracle (_pq_adc_sql) and the maintenance oracle
+    (ann_index_maintenance_pq) build from, so the fit recipe cannot
+    drift between them. ``fit_extra`` appends a predicate to BOTH
+    fit-side filters (codeword init and training sample) — the
+    maintenance oracle restricts the fit to the stored 90% corpus
+    while still encoding every vector."""
+    lo, hi = j * sub + 1, (j + 1) * sub
+    init_extra = fit_extra.replace("s.vec_id", "vec_id")
+    return f"""
     s{j} AS (SELECT vec_id, e[{lo}:{hi}] AS sv FROM n),
-    i{j} AS (SELECT vec_id AS cid, sv AS cv FROM s{j} WHERE vec_id < {ks}),
+    i{j} AS (SELECT vec_id AS cid, sv AS cv FROM s{j}
+             WHERE vec_id < {ks}{init_extra}),
     a{j} AS (
       SELECT vec_id, cid AS cell, sv FROM (
         SELECT s.vec_id, c.cid, s.sv,
@@ -6906,7 +6907,7 @@ def _pq_adc_sql(m: int = 8, sub: int = 8, ks: int = 16,
                  list_sum(list_transform(list_zip(s.sv, c.cv),
                                          p -> (p[1]-p[2])*(p[1]-p[2]))) ASC,
                  c.cid ASC) AS rn
-        FROM s{j} s, i{j} c WHERE s.vec_id % 2 = 0
+        FROM s{j} s, i{j} c WHERE s.vec_id % 2 = 0{fit_extra}
       ) WHERE rn = 1
     ),
     m{j} AS (
@@ -6925,7 +6926,19 @@ def _pq_adc_sql(m: int = 8, sub: int = 8, ks: int = 16,
                  c.cid ASC) AS rn
         FROM s{j} s, cb{j} c
       ) WHERE rn = 1
-    )""")
+    )"""
+
+
+def _pq_adc_sql(m: int = 8, sub: int = 8, ks: int = 16,
+                rerank: int = 64, k: int = 10) -> str:
+    """Generate the ann_pq_adc oracle: the per-subspace CTE block is
+    mechanical (slice → init → one L2 Lloyd round → rounded means →
+    encode), so it is EMITTED by a loop (_pq_block_sql) instead of
+    hand-copying four near-identical 30-line blocks — the same
+    keep-in-lockstep rationale as _CORPUS_KEEP_SQL. The coda replays
+    pq_adc_topk's fixed-order ADC sum, rounded pool cut, and exact
+    rerank."""
+    blocks = [_pq_block_sql(j, sub, ks) for j in range(m)]
     code_joins = " ".join(
         f"JOIN code{j} c{j} ON c{j}.vec_id = x.vec_id" for j in range(m)
     )
@@ -7805,4 +7818,134 @@ def dedup_edge_maintenance_vframe(spark: SparkSession,
     stars = winnow_stars_from_state(state, idx)
     return (
         pairs.unionByName(stars).distinct().orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "ann_index_maintenance_ivf",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+      FROM v
+    ),
+    k AS (
+      SELECT GREATEST(4, CAST(ceil(COUNT(*) / 64.0) AS BIGINT)) AS n_cents
+      FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n
+      WHERE vec_id % 10 <> 0 AND vec_id < (SELECT n_cents FROM k)
+    ),
+    scored AS (
+      SELECT n.vec_id, c.cent_id,
+             list_sum(list_transform(list_zip(n.e, c.ce), z -> z[1]*z[2]))
+               / (n.nrm * c.cnrm) AS ccos
+      FROM n CROSS JOIN cents c
+    )
+    SELECT vec_id, cent_id AS cell, CAST(rn - 1 AS INTEGER) AS rk FROM (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cent_id) AS rn
+      FROM scored
+    ) WHERE rn <= 2
+    ORDER BY vec_id, rk
+    """,
+)
+def ann_index_maintenance_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the ANN side's stored state
+    (round 12 — the similarity twin of the five dedup edge deltas):
+    the embeddings corpus splits 90/10, the 90% side's centroid
+    MODEL and inverted-list assignments play the stored state
+    (MATERIALIZED ivf_cent90_layout / ivf_assign90_layout), and the
+    10% shard lands through ivf_assign_apply_delta — encoded against
+    the FROZEN model (broadcast centroids, row-local top-2 scoring,
+    zero corpus work) and appended. This is the production contract
+    a vector store runs at ingest: per-shard cost is exactly
+    proportional to the shard; re-SELECTING centroids is the rare,
+    explicitly-versioned model-refresh event (the count-derived cell
+    budget makes the model corpus-dependent, which is precisely why
+    a real system pins it between refits). Output is the full-corpus
+    assignment relation (vec_id, cell, rk) and the oracle REBUILDS
+    it from scratch under the same frozen model — the k/cents CTEs
+    restrict to the 90% corpus, the scoring covers every vector —
+    so a hash match proves delta == rebuild-under-model end to
+    end."""
+    from ..operators.silver import (
+        ivf_assign90_layout,
+        ivf_cent90_layout,
+    )
+    from ..operators.similarity import ivf_assign_apply_delta
+
+    new_emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0)
+    assign = ivf_assign_apply_delta(
+        ivf_assign90_layout(spark, sf_dir),
+        ivf_cent90_layout(spark, sf_dir),
+        new_emb, n_assign=2,
+    )
+    return assign.select("vec_id", "cell", "rk").orderBy("vec_id", "rk")
+
+
+_PQ_MAINT_FIT_EXTRA = " AND s.vec_id % 10 <> 0"
+_PQ_MAINT_SQL = (
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v
+    ),"""
+    + ",".join(_pq_block_sql(j, 8, 16, fit_extra=_PQ_MAINT_FIT_EXTRA)
+               for j in range(8))
+    + """
+    SELECT vec_id, j, code FROM (
+      """
+    + "\n      UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, CAST(code AS INTEGER) AS code "
+        f"FROM code{j}" for j in range(8))
+    + """
+    ) ORDER BY vec_id, j
+    """
+)
+
+
+@register("ann_index_maintenance_pq", oracle=_PQ_MAINT_SQL)
+def ann_index_maintenance_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_index_maintenance_ivf for the PQ code corpus: the 90%
+    side's codebooks (fit entirely on the stored corpus — training
+    sample AND codeword init restricted, pq_codebook90_layout) and
+    codes (pq_code90_layout) play the stored state; the 10% shard
+    encodes under the frozen codebooks through pq_codes_apply_delta
+    (broadcast model, row-local nearest-codeword scan) and appends.
+    Output is every vector's per-subspace code assignment and the
+    oracle rebuilds it with the SAME frozen fit — the shared
+    _pq_block_sql emission with the fit filters restricted to the
+    90% corpus (fit_extra), so the fit recipe provably cannot drift
+    from the ADC oracle's. The encode being row-local under a
+    broadcast model is the whole scale story: a 100 TB vector
+    corpus's code layout grows by exactly the shard's rows per
+    ingest, and the expensive fit re-runs only on explicit model
+    refresh."""
+    from ..operators.silver import (
+        pq_code90_layout,
+        pq_codebook90_layout,
+    )
+    from ..operators.similarity import pq_codes_apply_delta
+
+    new_emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0)
+    codes = pq_codes_apply_delta(
+        pq_code90_layout(spark, sf_dir),
+        pq_codebook90_layout(spark, sf_dir),
+        new_emb,
+    )
+    return (
+        codes.select("vec_id", F.posexplode("codes").alias("j", "code"))
+        .orderBy("vec_id", "j")
     )

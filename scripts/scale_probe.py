@@ -262,6 +262,10 @@ CORPUS_QUERIES = [
     # round-12: the video twin (winnow deltas over the frame-hash
     # index; count + star state in one query)
     "dedup_edge_maintenance_vframe",
+    # round-12: ANN index maintenance (shard encodes under the
+    # frozen model, row-local broadcast scoring — the cost should be
+    # the shard encode + the stored-layout scan union)
+    "ann_index_maintenance_ivf",
 ]
 
 
@@ -424,6 +428,11 @@ def main() -> None:
         vframe_star_state_layout,
     )
 
+    from logsdb_spark.operators.silver import (
+        ivf_assign90_layout,
+        ivf_cent90_layout,
+    )
+
     for _d in (SRC, DST):
         media_evidence_layout(spark, _d).limit(1).count()
         media_edge90_layout(spark, _d, "phash").limit(1).count()
@@ -431,6 +440,8 @@ def main() -> None:
         minhash_emission_count_layout(spark, _d).limit(1).count()
         vframe_edge_count_layout(spark, _d).limit(1).count()
         vframe_star_state_layout(spark, _d).limit(1).count()
+        ivf_cent90_layout(spark, _d).limit(1).count()
+        ivf_assign90_layout(spark, _d).limit(1).count()
 
     results = {}
     queries = all_queries()

@@ -971,3 +971,42 @@ def test_phash_edge_delta_components_equal_rebuild(spark):
                .agg(F.min("doc_id").alias("rep_id")).collect()}
     assert merged == rebuilt
     assert (h0, 4) in merged                        # undercut recorded
+
+
+def test_ivf_assign_delta_equals_rebuild_under_frozen_model(spark):
+    """Round-12 ANN index maintenance: (a) the refactored
+    ivf_assign_with_model is value-identical to the fused
+    ivf_cell_assignments when handed the same derived model, and
+    (b) encoding a shard under the frozen model + appending equals
+    the full rebuild under that model — the definitional contract
+    ann_index_maintenance_ivf oracle-gates at sf0.01, pinned here at
+    operator level on the real corpus."""
+    from logsdb_spark.operators.similarity import (
+        _with_norm,
+        ivf_assign_apply_delta,
+        ivf_assign_with_model,
+        ivf_cell_assignments,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    k = max(4, -(-n // 64))
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec")),
+        "cent_vec", "cnrm",
+    )
+
+    def rows(df):
+        return sorted((r.vec_id, r.cell, r.rk) for r in df.collect())
+
+    fused = rows(ivf_cell_assignments(emb, target_cell_rows=64))
+    split = rows(ivf_assign_with_model(emb, cents))
+    assert fused == split
+
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    stored = ivf_assign_with_model(old, cents)
+    got = rows(ivf_assign_apply_delta(stored, cents, new))
+    assert got == split
