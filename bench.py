@@ -187,6 +187,11 @@ HEADLINE = [
     # to the stored inverted lists; oracle rebuilds under the same
     # model
     "ann_index_maintenance_ivf",
+    # round-12: DSIR-style importance resampling — hashed-bigram
+    # log-likelihood ratio between a target domain sample and the
+    # raw pool, top-k selection (one corpus pass + broadcast B-row
+    # model)
+    "dsir_select_topk",
 ]
 
 # Registered + oracle-gated queries whose timing is tracked by
@@ -235,6 +240,9 @@ TRACKED_EXTRAS = [
     # round-12: the PQ twin of ann_index_maintenance_ivf (shard
     # encodes under the frozen 90% codebooks and appends)
     "ann_index_maintenance_pq",
+    # round-12: the per-doc weight half of dsir_select_topk (the
+    # selection form is the HEADLINE entry)
+    "dsir_importance_weights",
 ]
 
 

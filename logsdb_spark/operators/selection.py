@@ -1,0 +1,116 @@
+"""Data SELECTION operators for the LLM-pipeline surface (SURVEY
+§2.12 — *[extension]*, no reference file:line; designed Spark-native):
+DSIR-style importance resampling — pick raw-corpus documents whose
+hashed n-gram distribution resembles a TARGET domain sample (Xie et
+al. 2023, "Data Selection for Language Models via Importance
+Resampling" — the public method; this is an independent DataFrame
+re-expression of its hashed-n-gram estimator).
+
+Shape: everything is built-in Catalyst expressions over one corpus
+pass — gram explode → 60-bit portable hash → ``% n_buckets`` — with
+two bounded aggregations (the B-bucket target/raw distributions), a
+broadcast B-row log-ratio table, and an ordered per-document fold.
+No UDFs, no corpus shuffle beyond the (doc, bucket) count agg
+(map-side combinable). Cross-engine parity follows the repo rules:
+the hash is the md5-based portable_hash64 DuckDB re-derives, the
+log-ratios are rounded to 6 dp before any multiplication (the PQ
+rounded-means precedent), and the per-doc sum folds in bucket order
+on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, portable_hash64, word_ngrams
+
+DSIR_BUCKETS = 256
+
+
+def _bucketed_grams(docs: DataFrame, is_target: Column,
+                    n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """One row per word-bigram occurrence → (doc_id, _t, bk): grams
+    from the normalized text (word_ngrams' contract: shorter-than-2
+    docs contribute the whole doc as one gram), bucketed by the
+    portable 60-bit hash mod ``n_buckets``. The single corpus-pass
+    primitive both the distribution fit and the per-doc scoring
+    read."""
+    return docs.select(
+        "doc_id", is_target.alias("_t"),
+        F.explode(word_ngrams(normalize_text("text"), 2)).alias("g"),
+    ).select(
+        "doc_id", "_t",
+        (portable_hash64("g") % F.lit(n_buckets)).alias("bk"),
+    )
+
+
+def dsir_logratio(grams: DataFrame,
+                  n_buckets: int = DSIR_BUCKETS,
+                  round_dp: int = 6) -> DataFrame:
+    """The fitted DSIR importance model → (bk, lv): per hash bucket
+    the add-one-smoothed log-probability ratio between the target
+    sample and the raw pool,
+
+        lv[b] = round( ln((t_b+1)/(T+B)) - ln((q_b+1)/(Q+B)), 6 )
+
+    computed from ONE B-bounded aggregation over the bucketed grams.
+    Buckets no gram maps to are omitted — nothing can reference them
+    (a document's buckets are by construction present in the fit).
+    The table is B rows (broadcast state); at 100 TB this fit is one
+    map-side-combinable corpus aggregation, and a production pipeline
+    materializes it as versioned model state exactly like the IVF
+    centroids / PQ codebooks."""
+    dist = grams.groupBy("bk").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("qc"),
+    )
+    tot = dist.agg(F.sum("tc").alias("tt"), F.sum("qc").alias("qt"))
+    b = F.lit(float(n_buckets))
+    return dist.join(F.broadcast(tot)).select(
+        "bk",
+        F.round(
+            F.log((F.col("tc") + 1) / (F.col("tt") + b))
+            - F.log((F.col("qc") + 1) / (F.col("qt") + b)),
+            round_dp,
+        ).alias("lv"),
+    )
+
+
+def dsir_importance_weights(docs: DataFrame, is_target: Column,
+                            n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-document DSIR importance weight for every NON-target
+    document → (doc_id, weight): weight = Σ_b count_doc[b] · lv[b],
+    the hashed-bigram log-likelihood ratio between the target and
+    raw distributions — high weight means "looks like the target
+    domain". The per-doc sum folds over buckets IN BUCKET ORDER
+    (array_sort + F.aggregate — the repo's ordered-double-fold rule,
+    mirrored by the oracle's list_sum over a bucket-ordered list),
+    and the weight is rounded to 4 dp at the output edge. Scale: the
+    scoring side is one (doc, bucket) count aggregation + a
+    broadcast join against the B-row model — linear, shuffle only on
+    the count agg's keys."""
+    grams = _bucketed_grams(docs, is_target, n_buckets)
+    lr = dsir_logratio(grams, n_buckets)
+    db = (
+        grams.filter(~F.col("_t"))
+        .groupBy("doc_id", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    contrib = db.join(F.broadcast(lr), "bk").select(
+        "doc_id", "bk", (F.col("c") * F.col("lv")).alias("cv")
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("bk", "cv"))).alias("a"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    "a", F.lit(0.0),
+                    lambda acc, x: acc + x["cv"],
+                ),
+                4,
+            ).alias("weight"),
+        )
+    )

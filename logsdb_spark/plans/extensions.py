@@ -7949,3 +7949,112 @@ def ann_index_maintenance_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.select("vec_id", F.posexplode("codes").alias("j", "code"))
         .orderBy("vec_id", "j")
     )
+
+
+_DSIR_BASE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, unnest(
+        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        END) AS gram
+      FROM toks
+    ),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(gram), 1, 15)) AS UBIGINT)
+                  AS BIGINT) % 256 AS bk
+      FROM g
+    ),
+    dist AS (
+      SELECT bk,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc,
+             SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS qc
+      FROM b GROUP BY bk
+    ),
+    tot AS (SELECT SUM(tc) AS tt, SUM(qc) AS qt FROM dist),
+    lr AS (
+      SELECT bk,
+             ROUND(ln((tc + 1) / (tt + 256.0))
+                 - ln((qc + 1) / (qt + 256.0)), 6) AS lv
+      FROM dist CROSS JOIN tot
+    ),
+    db AS (
+      SELECT doc_id, bk, COUNT(*) AS c FROM b
+      WHERE source <> 'src0' GROUP BY doc_id, bk
+    ),
+    w AS (
+      SELECT doc_id,
+             ROUND(list_sum(list(c * lv ORDER BY bk)), 4) AS weight
+      FROM db JOIN lr USING (bk) GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_BASE_SQL + """
+    SELECT doc_id, weight FROM w ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """DSIR-style data selection, step 1 (round 12 — the
+    importance-resampling selector of Xie et al. 2023, re-expressed
+    as DataFrame plans): score every raw-pool document by the hashed
+    word-bigram log-likelihood ratio between a TARGET domain sample
+    (here the ``source = 'src0'`` slice — the "I want more data like
+    this" exemplar a curator provides) and the rest of the corpus.
+    One corpus gram pass → 256-bucket portable-hash features → two
+    B-bounded distribution aggs (add-one smoothed) → broadcast
+    log-ratio model → per-doc bucket-ordered fold
+    (operators/selection.py). Parity: the md5 portable hash, 6-dp
+    rounded log-ratios, and the ordered fold are all re-derived by
+    the oracle; the weight rounds to 4 dp at the edge. Scale: the
+    fit is one map-side-combinable aggregation to B rows (versioned
+    model state, like the PQ codebooks); scoring is linear with one
+    (doc, bucket) shuffle and a broadcast join — no UDF anywhere."""
+    from ..operators.selection import dsir_importance_weights
+
+    docs = _widened(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, F.col("source") == "src0"
+    ).orderBy("doc_id")
+
+
+@register(
+    "dsir_select_topk",
+    oracle=_DSIR_BASE_SQL + """
+    SELECT doc_id, weight, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT doc_id, weight,
+             ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rn
+      FROM w
+    ) WHERE rn <= 150
+    ORDER BY rank
+    """,
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR step 2 — the SELECTION: the top-150 raw-pool documents by
+    importance weight (ties broken by doc_id — deterministic
+    resampling, the same determinism-over-wall-clock stance as every
+    sampling operator here; a stochastic Gumbel top-k is one
+    `+ gumbel(hash(doc_id))` column away and keeps the identical
+    plan shape). The global top-k over per-doc weights is the
+    documented dim-scale total order (k rows through one window on a
+    weight-sorted relation); at 100 TB the same cut runs as the
+    ranged-ranking pattern o2_total_order_ranged demonstrates."""
+    from pyspark.sql.window import Window
+
+    from ..operators.selection import dsir_importance_weights
+
+    docs = _widened(spark, sf_dir, "documents")
+    w = dsir_importance_weights(docs, F.col("source") == "src0")
+    win = Window.orderBy(F.col("weight").desc(), F.col("doc_id"))
+    return (
+        w.select("doc_id", "weight",
+                 F.row_number().over(win).alias("rank"))
+        .filter(F.col("rank") <= 150)
+        .orderBy("rank")
+    )

@@ -1010,3 +1010,30 @@ def test_ivf_assign_delta_equals_rebuild_under_frozen_model(spark):
     stored = ivf_assign_with_model(old, cents)
     got = rows(ivf_assign_apply_delta(stored, cents, new))
     assert got == split
+
+
+def test_dsir_weights_prefer_target_vocabulary(spark):
+    """DSIR semantic pin: with a target sample defined by a marker
+    vocabulary, a pool document reusing that vocabulary must outweigh
+    a pool document with disjoint vocabulary — the sign of the hashed
+    log-likelihood ratio, independent of hash bucketing details."""
+    from logsdb_spark.operators.selection import dsir_importance_weights
+
+    rows = [
+        # target sample: the "domain" vocabulary
+        (1, "alpha beta gamma delta alpha beta", True),
+        (2, "beta gamma delta epsilon beta gamma", True),
+        # pool: one doc in-domain, one disjoint, one mixed
+        (10, "alpha beta gamma delta beta gamma", False),
+        (11, "zork quux blarg froop zork quux", False),
+        (12, "alpha beta zork quux gamma froop", False),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    ).withColumn("is_t", F.col("doc_id") < 10)
+    w = {r.doc_id: r.weight
+         for r in dsir_importance_weights(
+             docs, F.col("is_t")).collect()}
+    assert set(w) == {10, 11, 12}
+    assert w[10] > w[12] > w[11]
+    assert w[10] > 0 and w[11] < 0
