@@ -1846,21 +1846,74 @@ def _capped_bucket_emit(ex: DataFrame,
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    all_pairs = F.expr(
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "b -> struct(a AS id_a, b AS id_b))))"
-    )
-    star = F.expr(
-        "transform(slice(ids, 2, size(ids)), "
-        "b -> struct(ids[0] AS id_a, b AS id_b))"
-    )
+    all_pairs, star = _emit_exprs("ids")
     return buckets.select(
         F.explode(
-            F.when(F.size("ids") <= cap, all_pairs).otherwise(star)
+            F.when(F.size("ids") <= cap, F.expr(all_pairs))
+            .otherwise(F.expr(star))
         ).alias("p"),
         (F.size("ids") > cap).alias("is_star"),
     ).select("p.id_a", "p.id_b", "is_star")
+
+
+def _emit_exprs(ids_col: str) -> tuple:
+    """The in-row pair/star emission SQL over a sorted bucket id
+    array — the SINGLE pair of expressions _capped_bucket_emit and
+    the fused delta emit (_capped_bucket_emit_delta) both build
+    from, so the emission semantics cannot drift between the
+    one-shot and maintenance routes."""
+    all_pairs = (
+        f"flatten(transform({ids_col}, (a, i) -> "
+        f"transform(slice({ids_col}, i + 2, size({ids_col})), "
+        f"b -> struct(a AS id_a, b AS id_b))))"
+    )
+    star = (
+        f"transform(slice({ids_col}, 2, size({ids_col})), "
+        f"b -> struct({ids_col}[0] AS id_a, b AS id_b))"
+    )
+    return all_pairs, star
+
+
+def _capped_bucket_emit_delta(tagged: DataFrame,
+                              cap: int = WINNOW_HUB_CAP,
+                              key_cols: tuple = ("fp",)) -> DataFrame:
+    """The FUSED delta form of the capped bucket emit (round 12 —
+    halves the maintenance deltas' dominant cost): given the touched
+    buckets' rows TAGGED old/new (``is_new``), aggregate each
+    bucket's old id set and full (old ∪ new) id set in ONE groupBy,
+    and emit BOTH variants' capped emissions from that single row —
+    old contents signed s=-1, new contents s=+1 — as one concat +
+    explode. Per-pair sums of ``s`` are then exactly the
+    "-emissions(old) + emissions(new)" the two-pass form computed
+    with two corpus-index scans and two bucket shuffles; this does
+    it with one of each. Emission semantics come verbatim from
+    _emit_exprs (shared with _capped_bucket_emit), with the same cap
+    CASE per variant: 2..cap docs → clique pairs (st=false), > cap →
+    min-doc stars (st=true), < 2 → nothing (the star transform over
+    an empty slice). Returns (id_a, id_b, is_star, s)."""
+    buckets = tagged.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_set(F.when(~F.col("is_new"), F.col("doc_id")))
+        ).alias("ids_old"),
+        F.array_sort(F.collect_set("doc_id")).alias("ids_all"),
+    )
+
+    def variant(ids_col: str, sign: int) -> str:
+        pairs, star = _emit_exprs(ids_col)
+        return (
+            f"CASE WHEN size({ids_col}) BETWEEN 2 AND {cap} THEN "
+            f"transform({pairs}, q -> struct(q.id_a AS id_a, "
+            f"q.id_b AS id_b, false AS st, {sign} AS s)) "
+            f"ELSE transform({star}, q -> struct(q.id_a AS id_a, "
+            f"q.id_b AS id_b, true AS st, {sign} AS s)) END"
+        )
+
+    return buckets.select(
+        F.explode(F.expr(
+            f"concat({variant('ids_old', -1)}, {variant('ids_all', 1)})"
+        )).alias("p")
+    ).select("p.id_a", "p.id_b", F.col("p.st").alias("is_star"),
+             F.col("p.s").alias("s"))
 
 
 def winnow_edge_counts(ex: DataFrame) -> DataFrame:
@@ -1953,20 +2006,22 @@ def winnow_edges_apply_delta(stored_counts: DataFrame,
     # a hash join on fp would shuffle the whole corpus index per
     # shard, which is exactly the cost class the delta avoids. The
     # key set is shard-sized (distinct fps of the arriving docs).
+    # Old- and new-contents emissions come from ONE fused pass
+    # (_capped_bucket_emit_delta, round 12): the two-pass form paid
+    # the corpus-index scan and the bucket shuffle twice for inputs
+    # differing only by the shard rows.
     touched = F.broadcast(new_ex.select("fp").distinct())
-    old_touched = winnow_edge_counts(
-        old_ex.join(touched, "fp")
-    ).withColumnRenamed("n", "n_old")
-    new_touched = winnow_edge_counts(
-        old_ex.join(touched, "fp").unionByName(new_ex)
-    ).withColumnRenamed("n", "n_new")
+    tagged = (
+        old_ex.join(touched, "fp").select("doc_id", "fp")
+        .withColumn("is_new", F.lit(False))
+        .unionByName(new_ex.select("doc_id", "fp")
+                     .withColumn("is_new", F.lit(True)))
+    )
+    em = _capped_bucket_emit_delta(tagged)
     delta = (
-        old_touched.join(new_touched, ["id_a", "id_b"], "full")
-        .select(
-            "id_a", "id_b",
-            (F.coalesce(F.col("n_new"), F.lit(0))
-             - F.coalesce(F.col("n_old"), F.lit(0))).alias("dn"),
-        )
+        em.filter(~F.col("is_star"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("s").alias("dn"))
         .filter(F.col("dn") != 0)
     )
     return (
@@ -2058,26 +2113,28 @@ def lsh_counts_apply_delta(stored_counts: DataFrame,
         _banded_keys(new_signed, "doc_id")
         .select("band_idx", "band_hash").distinct()
     )
-    old_keys = _banded_keys(old_signed, "doc_id")
-    old_in = old_keys.join(touched, ["band_idx", "band_hash"])
-    old_t = lsh_emission_counts_from_keys(old_in, max_bucket).select(
-        "id_a", "id_b",
-        F.col("n_pair").alias("_op"), F.col("n_star").alias("_os"),
+    # ONE fused old/new emission pass over the touched buckets
+    # (_capped_bucket_emit_delta, round 12) instead of two
+    # corpus-key scans + two bucket shuffles; per-pair signed sums
+    # split by the star tag reproduce both count deltas exactly.
+    keep = ("doc_id", "band_idx", "band_hash")
+    tagged = (
+        _banded_keys(old_signed, "doc_id")
+        .join(touched, ["band_idx", "band_hash"]).select(*keep)
+        .withColumn("is_new", F.lit(False))
+        .unionByName(_banded_keys(new_signed, "doc_id").select(*keep)
+                     .withColumn("is_new", F.lit(True)))
     )
-    new_t = lsh_emission_counts_from_keys(
-        old_in.unionByName(_banded_keys(new_signed, "doc_id")),
-        max_bucket,
-    ).select(
-        "id_a", "id_b",
-        F.col("n_pair").alias("_np"), F.col("n_star").alias("_ns"),
-    )
+    em = _capped_bucket_emit_delta(tagged, cap=max_bucket,
+                                   key_cols=("band_idx", "band_hash"))
     z = F.lit(0)
     delta = (
-        old_t.join(new_t, ["id_a", "id_b"], "full")
-        .select(
-            "id_a", "id_b",
-            (F.coalesce("_np", z) - F.coalesce("_op", z)).alias("_dp"),
-            (F.coalesce("_ns", z) - F.coalesce("_os", z)).alias("_ds"),
+        em.groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(~F.col("is_star"), F.col("s")).otherwise(z))
+            .alias("_dp"),
+            F.sum(F.when(F.col("is_star"), F.col("s")).otherwise(z))
+            .alias("_ds"),
         )
         .filter((F.col("_dp") != 0) | (F.col("_ds") != 0))
     )
