@@ -784,3 +784,69 @@ def test_ensemble_prepared_matches_from_raw(spark, tmp_path):
         for r in spark.read.parquet(str(out / "ensemble_flags")).collect()
     }
     assert flags == want
+
+def test_streaming_edge_maintenance_matches_batch_rebuild(spark, tmp_path):
+    """Round-12 streamed edge maintenance: drain a 3-shard document
+    stream through the versioned delta sink and the FINAL count state
+    must equal the batch rebuild (winnow_edge_counts over the whole
+    corpus index) — the maintained-at-ingest contract, end to end
+    through real micro-batches and the per-batch commit protocol."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.dedup import winnow_edge_counts
+    from logsdb_spark.streaming.ingest import run_until_drained
+    from logsdb_spark.streaming.maintenance import (
+        _batch_winnow_index,
+        read_edge_counts,
+        start_edge_maintenance_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src, state = tmp_path / "msrc", tmp_path / "mstate"
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            str(src), mode="append")
+
+    q = start_edge_maintenance_stream(
+        spark, str(src), str(state), max_files_per_trigger=1)
+    run_until_drained(q)
+
+    got = sorted((r.id_a, r.id_b, r.n)
+                 for r in read_edge_counts(spark, str(state)).collect())
+    want = sorted(
+        (r.id_a, r.id_b, r.n)
+        for r in winnow_edge_counts(
+            _batch_winnow_index(docs, k=20, w=8)).collect())
+    assert got == want and want
+    # every batch committed its own version (3 shards, 1 file each)
+    from logsdb_spark.streaming.maintenance import _count_versions
+    assert len(_count_versions(str(state))) == 3
+
+def test_streaming_edge_maintenance_replay_is_idempotent(spark, tmp_path):
+    """Replaying a crashed micro-batch (same batch_id) must leave the
+    state exactly as one application: the version for batch k is
+    recomputed from version k-1, never from its own output."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.streaming.maintenance import (
+        apply_maintenance_batch,
+        read_edge_counts,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "rstate")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    apply_maintenance_batch(spark, b0, 0, state)
+    apply_maintenance_batch(spark, b1, 1, state)
+    once = sorted((r.id_a, r.id_b, r.n)
+                  for r in read_edge_counts(spark, state).collect())
+    assert once
+    # simulated at-least-once replay of the LAST micro-batch
+    apply_maintenance_batch(spark, b1, 1, state)
+    twice = sorted((r.id_a, r.id_b, r.n)
+                   for r in read_edge_counts(spark, state).collect())
+    assert twice == once
