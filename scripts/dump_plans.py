@@ -200,11 +200,42 @@ PICKS = {
     "dedup_edge_maintenance_minhash": (
         "Round-12 MinHash edge maintenance: the shard's banded keys "
         "broadcast as the touched-bucket filter (the corpus key relation "
-        "reduces map-side — no corpus shuffle per shard), two capped "
-        "bucket emits over touched buckets only, one candidate-sized "
+        "reduces map-side — no corpus shuffle per shard), ONE fused "
+        "old/new capped bucket emit over touched buckets (both variants "
+        "signed from a single groupBy row — the two-pass form paid the "
+        "corpus scan and bucket shuffle twice), one candidate-sized "
         "full-outer merge against the stored (n_pair, n_star) counts, "
         "and the deterministic est-prefilter + exact-jaccard verify at "
         "read. Per-shard cost ∝ the shard's banded-key footprint."
+    ),
+    "dedup_edge_maintenance_phash": (
+        "Round-12 Hamming-ball edge maintenance (additive — the "
+        "exact-radius banding has no cap, so no retraction regime): "
+        "exact-dup arrivals attach to stored reps via a broadcast join, "
+        "new reps probe ONLY the balls they land in (shard band keys "
+        "broadcast against the banded projection of the stored rep "
+        "table — the corpus side scans map-side, zero corpus shuffles), "
+        "plus a shard-sized internal ball; CC over stored ∪ delta gated "
+        "at the component level by the keep endpoint's oracle."
+    ),
+    "ann_index_maintenance_ivf": (
+        "Round-12 ANN index maintenance: the shard encodes against the "
+        "FROZEN centroid model (one broadcast row of centroids, "
+        "row-local top-2 cosine scoring in a single codegen pass) and "
+        "unions with the stored inverted-list layout scan — zero "
+        "corpus work per shard; model re-selection is the rare "
+        "versioned refresh event. At 100x the delta measured 15.0 s vs "
+        "the same-model rebuild's 140.2 s (the 1/shard-fraction bound)."
+    ),
+    "dsir_select_topk": (
+        "Round-12 DSIR data selection: one corpus gram pass feeds BOTH "
+        "the 256-bucket distribution fit (B-bounded, map-side "
+        "combinable) and the per-doc (doc, bucket) count agg; the B-row "
+        "log-ratio model broadcasts; weights fold bucket-ordered "
+        "in-row; the final top-k is a dim-scale window over per-doc "
+        "weights (one row per doc — the documented global-window "
+        "exception, with the ranged-ranking pattern as the 100 TB "
+        "fallback)."
     ),
     "tokenizer_bpe_merges": (
         "Distributed BPE training: ONE corpus-sized word-count aggregate "
