@@ -80,16 +80,22 @@ def dsir_logratio(grams: DataFrame,
 def dsir_importance_weights(docs: DataFrame, is_target: Column,
                             n_buckets: int = DSIR_BUCKETS) -> DataFrame:
     """Per-document DSIR importance weight for every NON-target
-    document → (doc_id, weight): weight = Σ_b count_doc[b] · lv[b],
-    the hashed-bigram log-likelihood ratio between the target and
-    raw distributions — high weight means "looks like the target
+    document → (doc_id, weight_e6): Σ_b count_doc[b] · lv[b], the
+    hashed-bigram log-likelihood ratio between the target and raw
+    distributions — high weight means "looks like the target
     domain". The per-doc sum folds over buckets IN BUCKET ORDER
     (array_sort + F.aggregate — the repo's ordered-double-fold rule,
-    mirrored by the oracle's list_sum over a bucket-ordered list),
-    and the weight is rounded to 4 dp at the output edge. Scale: the
-    scoring side is one (doc, bucket) count aggregation + a
-    broadcast join against the B-row model — linear, shuffle only on
-    the count agg's keys."""
+    mirrored by the oracle's list_sum over a bucket-ordered list).
+    The OUTPUT is fixed-point integer micro-units (round(sum·1e6) as
+    BIGINT), not a rounded double: the contributions are 6-dp
+    quantized, so per-doc sums sit ~1e-9 from exact micro-unit
+    integers — a 4-dp ROUND would land exactly ON half boundaries
+    and the two engines' rounding algorithms genuinely disagree
+    there (observed at sf0.001), while nearest-integer of a
+    near-integer double is engine-independent. Scale: the scoring
+    side is one (doc, bucket) count aggregation + a broadcast join
+    against the B-row model — linear, shuffle only on the count
+    agg's keys."""
     grams = _bucketed_grams(docs, is_target, n_buckets)
     lr = dsir_logratio(grams, n_buckets)
     db = (
@@ -109,8 +115,7 @@ def dsir_importance_weights(docs: DataFrame, is_target: Column,
                 F.aggregate(
                     "a", F.lit(0.0),
                     lambda acc, x: acc + x["cv"],
-                ),
-                4,
-            ).alias("weight"),
+                ) * F.lit(1000000.0)
+            ).cast("long").alias("weight_e6"),
         )
     )

@@ -7988,7 +7988,8 @@ _DSIR_BASE_SQL = f"""
     ),
     w AS (
       SELECT doc_id,
-             ROUND(list_sum(list(c * lv ORDER BY bk)), 4) AS weight
+             CAST(ROUND(list_sum(list(c * lv ORDER BY bk)) * 1000000.0)
+                  AS BIGINT) AS weight_e6
       FROM db JOIN lr USING (bk) GROUP BY doc_id
     )"""
 
@@ -7996,7 +7997,7 @@ _DSIR_BASE_SQL = f"""
 @register(
     "dsir_importance_weights",
     oracle=_DSIR_BASE_SQL + """
-    SELECT doc_id, weight FROM w ORDER BY doc_id
+    SELECT doc_id, weight_e6 FROM w ORDER BY doc_id
     """,
 )
 def dsir_importance_weights_q(spark: SparkSession,
@@ -8012,7 +8013,10 @@ def dsir_importance_weights_q(spark: SparkSession,
     log-ratio model → per-doc bucket-ordered fold
     (operators/selection.py). Parity: the md5 portable hash, 6-dp
     rounded log-ratios, and the ordered fold are all re-derived by
-    the oracle; the weight rounds to 4 dp at the edge. Scale: the
+    the oracle; the weight emits as fixed-point integer micro-units
+    (the 6-dp-quantized contributions make 4-dp ROUND half boundaries
+    COMMON — nearest-integer of the near-integer micro-unit double is
+    the engine-independent edge, see operators/selection.py). Scale: the
     fit is one map-side-combinable aggregation to B rows (versioned
     model state, like the PQ codebooks); scoring is linear with one
     (doc, bucket) shuffle and a broadcast join — no UDF anywhere."""
@@ -8027,9 +8031,9 @@ def dsir_importance_weights_q(spark: SparkSession,
 @register(
     "dsir_select_topk",
     oracle=_DSIR_BASE_SQL + """
-    SELECT doc_id, weight, CAST(rn AS INTEGER) AS rank FROM (
-      SELECT doc_id, weight,
-             ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rn
+    SELECT doc_id, weight_e6, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT doc_id, weight_e6,
+             ROW_NUMBER() OVER (ORDER BY weight_e6 DESC, doc_id) AS rn
       FROM w
     ) WHERE rn <= 150
     ORDER BY rank
@@ -8051,9 +8055,9 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _widened(spark, sf_dir, "documents")
     w = dsir_importance_weights(docs, F.col("source") == "src0")
-    win = Window.orderBy(F.col("weight").desc(), F.col("doc_id"))
+    win = Window.orderBy(F.col("weight_e6").desc(), F.col("doc_id"))
     return (
-        w.select("doc_id", "weight",
+        w.select("doc_id", "weight_e6",
                  F.row_number().over(win).alias("rank"))
         .filter(F.col("rank") <= 150)
         .orderBy("rank")

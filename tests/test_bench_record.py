@@ -53,9 +53,11 @@ def test_line_parses_with_typical_timings():
     # dedup_edge_maintenance_winnow joined HEADLINE, 8 -> 11 at the
     # 0.42 s typical width; r12: multimodal_avi_frames_stats +
     # dedup_video_frames_cross + tokenizer_bpe_merges +
-    # dedup_edge_maintenance_minhash, 11 -> 15.)
+    # dedup_edge_maintenance_minhash, 11 -> 15; r12 cont'd:
+        # dedup_edge_maintenance_phash + ann_index_maintenance_ivf +
+        # dsir_select_topk, 15 -> 18.)
     shown = rec["queries"]
-    assert rec.get("omitted", 0) <= 15
+    assert rec.get("omitted", 0) <= 20
     assert len(shown) + rec.get("omitted", 0) == len(bench.HEADLINE)
     assert set(shown) <= set(bench.HEADLINE)
 

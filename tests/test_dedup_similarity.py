@@ -1031,7 +1031,7 @@ def test_dsir_weights_prefer_target_vocabulary(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t, _ in rows], "doc_id long, text string"
     ).withColumn("is_t", F.col("doc_id") < 10)
-    w = {r.doc_id: r.weight
+    w = {r.doc_id: r.weight_e6
          for r in dsir_importance_weights(
              docs, F.col("is_t")).collect()}
     assert set(w) == {10, 11, 12}
