@@ -45,7 +45,7 @@ def _bucketed_grams(docs: DataFrame, is_target: Column,
     )
 
 
-def dsir_logratio(grams: DataFrame,
+def dsir_logratio(counted: DataFrame,
                   n_buckets: int = DSIR_BUCKETS,
                   round_dp: int = 6) -> DataFrame:
     """The fitted DSIR importance model → (bk, lv): per hash bucket
@@ -54,16 +54,18 @@ def dsir_logratio(grams: DataFrame,
 
         lv[b] = round( ln((t_b+1)/(T+B)) - ln((q_b+1)/(Q+B)), 6 )
 
-    computed from ONE B-bounded aggregation over the bucketed grams.
-    Buckets no gram maps to are omitted — nothing can reference them
-    (a document's buckets are by construction present in the fit).
-    The table is B rows (broadcast state); at 100 TB this fit is one
-    map-side-combinable corpus aggregation, and a production pipeline
-    materializes it as versioned model state exactly like the IVF
-    centroids / PQ codebooks."""
-    dist = grams.groupBy("bk").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tc"),
-        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("qc"),
+    computed from ONE B-bounded aggregation over pre-counted
+    (_t, bk, c) rows (the shared one-gram-pass count relation —
+    see dsir_importance_weights). Buckets no gram maps to are
+    omitted — nothing can reference them (a document's buckets are
+    by construction present in the fit). The table is B rows
+    (broadcast state); at 100 TB this fit is one map-side-combinable
+    corpus aggregation, and a production pipeline materializes it as
+    versioned model state exactly like the IVF centroids / PQ
+    codebooks."""
+    dist = counted.groupBy("bk").agg(
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(0)).alias("tc"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(F.col("c"))).alias("qc"),
     )
     tot = dist.agg(F.sum("tc").alias("tt"), F.sum("qc").alias("qt"))
     b = F.lit(float(n_buckets))
@@ -96,13 +98,23 @@ def dsir_importance_weights(docs: DataFrame, is_target: Column,
     side is one (doc, bucket) count aggregation + a broadcast join
     against the B-row model — linear, shuffle only on the count
     agg's keys."""
-    grams = _bucketed_grams(docs, is_target, n_buckets)
-    lr = dsir_logratio(grams, n_buckets)
-    db = (
-        grams.filter(~F.col("_t"))
-        .groupBy("doc_id", "bk")
+    # ONE gram pass: the expensive stage (explode + md5 per gram
+    # occurrence) aggregates to the doc×bucket-bounded count relation,
+    # localCheckpointed once (the BPE-vocab precedent) because BOTH
+    # the distribution fit and the scoring side derive from it —
+    # without the checkpoint each branch of the fit-join re-runs the
+    # gram pass (no cross-branch CSE in Catalyst), which measured
+    # 2 gram passes -> this form's 1 at sf0.1. In production this
+    # frame (or the B-row model itself) is materialized versioned
+    # state, so per-run cost is the scoring side only.
+    db_all = (
+        _bucketed_grams(docs, is_target, n_buckets)
+        .groupBy("doc_id", "_t", "bk")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
+    lr = dsir_logratio(db_all, n_buckets)
+    db = db_all.filter(~F.col("_t")).select("doc_id", "bk", "c")
     contrib = db.join(F.broadcast(lr), "bk").select(
         "doc_id", "bk", (F.col("c") * F.col("lv")).alias("cv")
     )
