@@ -1010,7 +1010,19 @@ def dedup_edge_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines themselves stay benched under their query names
     (dedup_minhash_lsh_indexed, dedup_substring_winnow, the media
     pair benches) and the from-index keep route stays registered as
-    dedup_corpus_keep_fromindex."""
+    dedup_corpus_keep_fromindex.
+
+    ALL FIVE partitions have proven per-shard deltas (round 12, so
+    "maintained at ingest" is an operation, not a premise): wn/vfr
+    via the fused winnow count + star-state deltas
+    (operators/dedup.winnow_edges_apply_delta /
+    winnow_star_state_apply_delta — dedup_edge_maintenance_winnow /
+    _vframe), mh via the banded emission-count delta
+    (lsh_counts_apply_delta — dedup_edge_maintenance_minhash), and
+    iph/afp via the additive Hamming-ball delta
+    (phash_edges_apply_delta — dedup_edge_maintenance_phash /
+    _audio); streaming/maintenance.py runs the wn delta per
+    micro-batch with versioned commits."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         LongType, StringType, StructField, StructType,
