@@ -241,8 +241,10 @@ TRACKED_EXTRAS = [
     # encodes under the frozen 90% codebooks and appends)
     "ann_index_maintenance_pq",
     # round-12: the per-doc weight half of dsir_select_topk (the
-    # selection form is the HEADLINE entry)
+    # selection form is the HEADLINE entry) and the seeded Gumbel
+    # RESAMPLING form (weighted sampling without replacement)
     "dsir_importance_weights",
+    "dsir_resample_gumbel",
 ]
 
 

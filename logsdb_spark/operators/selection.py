@@ -131,3 +131,33 @@ def dsir_importance_weights(docs: DataFrame, is_target: Column,
             ).cast("long").alias("weight_e6"),
         )
     )
+
+
+def dsir_gumbel_keys(weights: DataFrame, seed: str = "dsir-r12",
+                     round_dp: int = 6) -> DataFrame:
+    """Seeded Gumbel sampling keys over the importance weights →
+    (doc_id, weight_e6, key_e6): the Gumbel-top-k trick makes
+    weighted sampling WITHOUT replacement a deterministic sort —
+    key_i = log w_i + Gumbel_i, and the top-k keys are an exact
+    sample with inclusion probability ∝ w_i (Efraimidis–Spirakis via
+    Gumbel, public folklore). The noise is hash-seeded, not wall
+    clock: u_i = (portable_hash64(seed || doc_id) % 2^20 + 0.5) /
+    2^20 (never 0 or 1 by the +0.5), g_i = -ln(-ln(u_i)) — so
+    resampling is reproducible across engines and runs, the same
+    determinism-over-randomness stance as every sampler here (swap
+    the seed string to draw a fresh sample). Parity: both log-ratio
+    weight and Gumbel noise live in fixed-point micro-units
+    (round(g·1e6) — nearest-integer of a transcendental, the lv
+    precedent), so the sampling key is an exact INTEGER sum and the
+    rank order cannot straddle an engine rounding seam."""
+    u = (
+        (portable_hash64(
+            F.concat(F.lit(seed + "|"),
+                     F.col("doc_id").cast("string"))
+        ) % F.lit(1 << 20)) + F.lit(0.5)
+    ) / F.lit(float(1 << 20))
+    g_e6 = F.round(-F.log(-F.log(u)) * F.lit(1000000.0)).cast("long")
+    return weights.select(
+        "doc_id", "weight_e6",
+        (F.col("weight_e6") + g_e6).alias("key_e6"),
+    )

@@ -8062,3 +8062,56 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 150)
         .orderBy("rank")
     )
+
+
+@register(
+    "dsir_resample_gumbel",
+    oracle=_DSIR_BASE_SQL + """
+    ,
+    keyed AS (
+      SELECT doc_id, weight_e6,
+             weight_e6 + CAST(ROUND(-ln(-ln(
+               ((CAST(CAST(('0x' || substr(md5('dsir-r12|' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                 AS BIGINT) % 1048576) + 0.5) / 1048576.0
+             )) * 1000000.0) AS BIGINT) AS key_e6
+      FROM w
+    )
+    SELECT doc_id, weight_e6, key_e6, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT doc_id, weight_e6, key_e6,
+             ROW_NUMBER() OVER (ORDER BY key_e6 DESC, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 150
+    ORDER BY rank
+    """,
+)
+def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR step 2, the RESAMPLING form (the method's actual name):
+    weighted sampling without replacement over the importance
+    weights via deterministic seeded Gumbel keys — inclusion
+    probability ∝ the importance ratio, so the selected subset is a
+    statistical draw from the target-tilted distribution instead of
+    dsir_select_topk's hard argmax cut (which over-concentrates on
+    the single most target-like mode; resampling preserves
+    diversity). key = weight + Gumbel(hash(seed || doc_id)), both in
+    integer micro-units (operators/selection.dsir_gumbel_keys), so
+    the DuckDB oracle replays the draw exactly. Same plan shape as
+    the top-k: per-doc weights + one scan-local key column + the
+    dim-scale ranking window."""
+    from pyspark.sql.window import Window
+
+    from ..operators.selection import (
+        dsir_gumbel_keys,
+        dsir_importance_weights,
+    )
+
+    docs = _widened(spark, sf_dir, "documents")
+    keyed = dsir_gumbel_keys(
+        dsir_importance_weights(docs, F.col("source") == "src0"))
+    win = Window.orderBy(F.col("key_e6").desc(), F.col("doc_id"))
+    return (
+        keyed.select("doc_id", "weight_e6", "key_e6",
+                     F.row_number().over(win).alias("rank"))
+        .filter(F.col("rank") <= 150)
+        .orderBy("rank")
+    )

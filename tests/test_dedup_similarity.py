@@ -1037,3 +1037,30 @@ def test_dsir_weights_prefer_target_vocabulary(spark):
     assert set(w) == {10, 11, 12}
     assert w[10] > w[12] > w[11]
     assert w[10] > 0 and w[11] < 0
+
+
+def test_dsir_gumbel_resample_tilts_toward_target(spark):
+    """The Gumbel draw must (a) be deterministic per seed, (b) differ
+    across seeds, and (c) tilt toward the target distribution: the
+    sampled half's mean importance weight exceeds the pool mean —
+    the inclusion-probability-proportional-to-weight contract,
+    checked without pinning any single draw."""
+    from logsdb_spark.operators.selection import (
+        dsir_gumbel_keys,
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = dsir_importance_weights(docs, F.col("doc_id") % 7 == 0)
+    k1 = dsir_gumbel_keys(w, seed="s1").collect()
+    k1b = dsir_gumbel_keys(w, seed="s1").collect()
+    k2 = dsir_gumbel_keys(w, seed="s2").collect()
+    key1 = {r.doc_id: r.key_e6 for r in k1}
+    assert key1 == {r.doc_id: r.key_e6 for r in k1b}
+    assert key1 != {r.doc_id: r.key_e6 for r in k2}
+
+    n = len(k1)
+    top = sorted(k1, key=lambda r: (-r.key_e6, r.doc_id))[: n // 2]
+    mean_all = sum(r.weight_e6 for r in k1) / n
+    mean_top = sum(r.weight_e6 for r in top) / (n // 2)
+    assert mean_top > mean_all
