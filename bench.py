@@ -245,6 +245,9 @@ TRACKED_EXTRAS = [
     # RESAMPLING form (weighted sampling without replacement)
     "dsir_importance_weights",
     "dsir_resample_gumbel",
+    # round-12: the from-raw DSIR pipeline (the layout-fed selection
+    # is the HEADLINE entry; this keeps the gram-pass cost visible)
+    "dsir_select_topk_inplan",
 ]
 
 

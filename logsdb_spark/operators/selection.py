@@ -107,30 +107,8 @@ def dsir_importance_weights(docs: DataFrame, is_target: Column,
     # 2 gram passes -> this form's 1 at sf0.1. In production this
     # frame (or the B-row model itself) is materialized versioned
     # state, so per-run cost is the scoring side only.
-    db_all = (
-        _bucketed_grams(docs, is_target, n_buckets)
-        .groupBy("doc_id", "_t", "bk")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
-    lr = dsir_logratio(db_all, n_buckets)
-    db = db_all.filter(~F.col("_t")).select("doc_id", "bk", "c")
-    contrib = db.join(F.broadcast(lr), "bk").select(
-        "doc_id", "bk", (F.col("c") * F.col("lv")).alias("cv")
-    )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("bk", "cv"))).alias("a"))
-        .select(
-            "doc_id",
-            F.round(
-                F.aggregate(
-                    "a", F.lit(0.0),
-                    lambda acc, x: acc + x["cv"],
-                ) * F.lit(1000000.0)
-            ).cast("long").alias("weight_e6"),
-        )
-    )
+    db_all = dsir_bucket_counts(docs, is_target, n_buckets).localCheckpoint()
+    return dsir_weights_from_state(db_all, dsir_logratio(db_all, n_buckets))
 
 
 def dsir_gumbel_keys(weights: DataFrame, seed: str = "dsir-r12",
@@ -160,4 +138,44 @@ def dsir_gumbel_keys(weights: DataFrame, seed: str = "dsir-r12",
     return weights.select(
         "doc_id", "weight_e6",
         (F.col("weight_e6") + g_e6).alias("key_e6"),
+    )
+
+
+def dsir_weights_from_state(counted: DataFrame,
+                            lr: DataFrame) -> DataFrame:
+    """The SCORING tail over stored DSIR state → (doc_id, weight_e6):
+    pool rows of the (doc_id, _t, bk, c) count relation joined
+    against the broadcast B-row log-ratio model, folded bucket-
+    ordered, emitted fixed-point (the contract dsir_importance_weights
+    documents). Split out (round 12) so the layout-fed default route
+    and the in-plan pipeline share one scoring definition."""
+    db = counted.filter(~F.col("_t")).select("doc_id", "bk", "c")
+    contrib = db.join(F.broadcast(lr), "bk").select(
+        "doc_id", "bk", (F.col("c") * F.col("lv")).alias("cv")
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("bk", "cv"))).alias("a"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    "a", F.lit(0.0),
+                    lambda acc, x: acc + x["cv"],
+                ) * F.lit(1000000.0)
+            ).cast("long").alias("weight_e6"),
+        )
+    )
+
+
+def dsir_bucket_counts(docs: DataFrame, is_target: Column,
+                       n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """The (doc_id, _t, bk, c) count relation — the ONE-gram-pass
+    aggregate both the fit and the scoring derive from; what
+    operators/silver.dsir_count_layout materializes as stored
+    state."""
+    return (
+        _bucketed_grams(docs, is_target, n_buckets)
+        .groupBy("doc_id", "_t", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -1443,3 +1443,63 @@ def pq_code90_layout(spark: SparkSession, sf_dir: str, m: int = 8,
     ])
     return _blob_layout(spark, sf_dir, f"pqcode90_{m}_{ks}", make, schema,
                         src_table="embeddings")
+
+
+def dsir_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR hashed-gram count relation as a materialized
+    (doc_id, _t, bk, c) parquet (prefix ``dsircnt1``) — the
+    one-gram-pass aggregate (operators/selection.dsir_bucket_counts,
+    target = the ``source = 'src0'`` exemplar slice) that both the
+    distribution fit and the per-doc scoring derive from. This is
+    the state a production selection pipeline keeps columnar next to
+    the text (the md5-per-gram pass is the expensive stage — paid
+    once per documents mtime here, at ingest in production), the
+    DSIR twin of the minhash/winnow fingerprint indexes.
+    Deterministic function of the corpus, so layout-fed routes share
+    the in-plan forms' oracles."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType,
+    )
+
+    def make():
+        from .scale import widen_for_compute
+        from .selection import dsir_bucket_counts
+
+        docs = widen_for_compute(
+            load_table(spark, sf_dir, "documents"), spark,
+            cache_key=(sf_dir, "documents",
+                       _source_mtime(os.path.join(sf_dir,
+                                                  "documents.parquet"))),
+        )
+        return dsir_bucket_counts(docs, F.col("source") == "src0")
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("_t", BooleanType()),
+        StructField("bk", LongType()),
+        StructField("c", LongType()),
+    ])
+    return _blob_layout(spark, sf_dir, "dsircnt1", make, schema)
+
+
+def dsir_model_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted DSIR log-ratio MODEL as a materialized (bk, lv)
+    parquet (prefix ``dsirlr1``): B rows of 6-dp-rounded smoothed
+    log-probability ratios derived from the count layout — versioned
+    model state in the kmeans-centroid / PQ-codebook mold (rounded
+    doubles round-trip parquet bit-exactly, so layout-fed scoring is
+    value-identical to the in-plan fit)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    def make():
+        from .selection import dsir_logratio
+
+        return dsir_logratio(dsir_count_layout(spark, sf_dir))
+
+    schema = StructType([
+        StructField("bk", LongType()),
+        StructField("lv", DoubleType()),
+    ])
+    return _blob_layout(spark, sf_dir, "dsirlr1", make, schema)

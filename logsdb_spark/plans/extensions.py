@@ -8008,10 +8008,14 @@ def dsir_importance_weights_q(spark: SparkSession,
     word-bigram log-likelihood ratio between a TARGET domain sample
     (here the ``source = 'src0'`` slice — the "I want more data like
     this" exemplar a curator provides) and the rest of the corpus.
-    One corpus gram pass → 256-bucket portable-hash features → two
-    B-bounded distribution aggs (add-one smoothed) → broadcast
-    log-ratio model → per-doc bucket-ordered fold
-    (operators/selection.py). Parity: the md5 portable hash, 6-dp
+    LAYOUT-FED default (the dedup_embedding_ann pattern): the
+    one-gram-pass count relation and the fitted B-row log-ratio
+    model are materialized versioned state
+    (operators/silver.dsir_count_layout / dsir_model_layout — the
+    md5-per-gram pass is ingest-time cost), so the per-run plan is
+    a count-layout scan + broadcast model join + bucket-ordered
+    fold; dsir_select_topk_inplan keeps the from-raw pipeline
+    benched (operators/selection.py). Parity: the md5 portable hash, 6-dp
     rounded log-ratios, and the ordered fold are all re-derived by
     the oracle; the weight emits as fixed-point integer micro-units
     (the 6-dp-quantized contributions make 4-dp ROUND half boundaries
@@ -8020,11 +8024,12 @@ def dsir_importance_weights_q(spark: SparkSession,
     fit is one map-side-combinable aggregation to B rows (versioned
     model state, like the PQ codebooks); scoring is linear with one
     (doc, bucket) shuffle and a broadcast join — no UDF anywhere."""
-    from ..operators.selection import dsir_importance_weights
+    from ..operators.selection import dsir_weights_from_state
+    from ..operators.silver import dsir_count_layout, dsir_model_layout
 
-    docs = _widened(spark, sf_dir, "documents")
-    return dsir_importance_weights(
-        docs, F.col("source") == "src0"
+    return dsir_weights_from_state(
+        dsir_count_layout(spark, sf_dir),
+        dsir_model_layout(spark, sf_dir),
     ).orderBy("doc_id")
 
 
@@ -8051,10 +8056,13 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged-ranking pattern o2_total_order_ranged demonstrates."""
     from pyspark.sql.window import Window
 
-    from ..operators.selection import dsir_importance_weights
+    from ..operators.selection import dsir_weights_from_state
+    from ..operators.silver import dsir_count_layout, dsir_model_layout
 
-    docs = _widened(spark, sf_dir, "documents")
-    w = dsir_importance_weights(docs, F.col("source") == "src0")
+    w = dsir_weights_from_state(
+        dsir_count_layout(spark, sf_dir),
+        dsir_model_layout(spark, sf_dir),
+    )
     win = Window.orderBy(F.col("weight_e6").desc(), F.col("doc_id"))
     return (
         w.select("doc_id", "weight_e6",
@@ -8102,16 +8110,47 @@ def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.selection import (
         dsir_gumbel_keys,
-        dsir_importance_weights,
+        dsir_weights_from_state,
     )
+    from ..operators.silver import dsir_count_layout, dsir_model_layout
 
-    docs = _widened(spark, sf_dir, "documents")
-    keyed = dsir_gumbel_keys(
-        dsir_importance_weights(docs, F.col("source") == "src0"))
+    keyed = dsir_gumbel_keys(dsir_weights_from_state(
+        dsir_count_layout(spark, sf_dir),
+        dsir_model_layout(spark, sf_dir),
+    ))
     win = Window.orderBy(F.col("key_e6").desc(), F.col("doc_id"))
     return (
         keyed.select("doc_id", "weight_e6", "key_e6",
                      F.row_number().over(win).alias("rank"))
+        .filter(F.col("rank") <= 150)
+        .orderBy("rank")
+    )
+
+
+@register(
+    "dsir_select_topk_inplan",
+    oracle=REGISTRY["dsir_select_topk"].oracle,
+)
+def dsir_select_topk_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsir_select_topk built FROM RAW TEXT — the full-pipeline
+    baseline kept registered + benched next to the layout-fed
+    default (the dedup_embedding_ann_inplan pattern): gram explode +
+    md5 bucketing + count aggregation + fit + scoring in one plan
+    (the count relation localCheckpointed so fit and scoring share
+    the single gram pass). The default routes read the materialized
+    dsir_count_layout / dsir_model_layout — the expensive gram pass
+    is ingest-time state there, and this form keeps its cost
+    visible per round."""
+    from pyspark.sql.window import Window
+
+    from ..operators.selection import dsir_importance_weights
+
+    docs = _widened(spark, sf_dir, "documents")
+    w = dsir_importance_weights(docs, F.col("source") == "src0")
+    win = Window.orderBy(F.col("weight_e6").desc(), F.col("doc_id"))
+    return (
+        w.select("doc_id", "weight_e6",
+                 F.row_number().over(win).alias("rank"))
         .filter(F.col("rank") <= 150)
         .orderBy("rank")
     )
