@@ -56,15 +56,16 @@ def _batch_winnow_index(batch: DataFrame, k: int, w: int) -> DataFrame:
     )
 
 
-def _count_versions(state_dir: str, before: int | None = None) -> list:
+def _count_versions(state_dir: str, before: int | None = None,
+                    prefix: str = "counts_v") -> list:
     """Committed (has _SUCCESS) count versions, ascending; optionally
     only those < ``before`` (a replaying batch must read its
     predecessor, never its own partial write)."""
     out = []
-    for d in glob.glob(os.path.join(state_dir, "counts_v*")):
+    for d in glob.glob(os.path.join(state_dir, prefix + "*")):
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
             continue
-        v = int(os.path.basename(d)[len("counts_v"):])
+        v = int(os.path.basename(d)[len(prefix):])
         if before is None or v < before:
             out.append(v)
     return sorted(out)
@@ -134,6 +135,95 @@ def start_edge_maintenance_stream(
     return (
         stream.writeStream.foreachBatch(step)
         .option("checkpointLocation", os.path.join(state_dir, "_ckpt/maint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_MH_COUNTS_SCHEMA = "id_a LONG, id_b LONG, n_pair LONG, n_star LONG"
+
+
+def read_mh_counts(spark: SparkSession, state_dir: str,
+                   before: int | None = None) -> DataFrame:
+    """Newest committed version of the maintained MinHash emission
+    counts (the ``mh_counts_v*`` relation; empty frame before the
+    first commit)."""
+    vs = _count_versions(state_dir, before,
+                         prefix="mh_counts_v")
+    if not vs:
+        return spark.createDataFrame([], _MH_COUNTS_SCHEMA)
+    return spark.read.parquet(
+        os.path.join(state_dir, f"mh_counts_v{vs[-1]:09d}"))
+
+
+def _stored_signatures(spark: SparkSession, state_dir: str,
+                       before: int) -> DataFrame:
+    """Signature partitions committed by batches < ``before``."""
+    idx_dir = os.path.join(state_dir, "mh_idx")
+    parts = glob.glob(os.path.join(idx_dir, "batch_id=*"))
+    if not parts:
+        from pyspark.sql.types import (
+            ArrayType, LongType, StructField, StructType,
+        )
+
+        return spark.createDataFrame([], StructType([
+            StructField("doc_id", LongType()),
+            StructField("sig", ArrayType(LongType())),
+        ]))
+    return (
+        spark.read.option("basePath", idx_dir).parquet(idx_dir)
+        .filter(F.col("batch_id") < before)
+        .select("doc_id", "sig")
+    )
+
+
+def apply_mh_maintenance_batch(spark: SparkSession, batch: DataFrame,
+                               batch_id: int, state_dir: str) -> None:
+    """One micro-batch of streamed MINHASH candidate maintenance —
+    the second text signal riding the identical versioned commit
+    protocol (module docstring): the shard signs itself (the same
+    shuffle-free signature derivation the batch index layout uses),
+    lsh_counts_apply_delta folds its touched banded buckets into the
+    stored (n_pair, n_star) relation, and both the new count version
+    and the shard's signature partition land batch-id-keyed."""
+    from ..operators.dedup import (
+        lsh_counts_apply_delta,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    new_sig = minhash_signatures(
+        shingle_sets(batch.dropDuplicates())
+    ).select("doc_id", "sig")
+    old_sig = _stored_signatures(spark, state_dir, batch_id)
+    stored = read_mh_counts(spark, state_dir, before=batch_id)
+    updated = lsh_counts_apply_delta(stored, old_sig, new_sig)
+    updated.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"mh_counts_v{batch_id:09d}"))
+    new_sig.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "mh_idx", f"batch_id={batch_id}"))
+
+
+def start_mh_maintenance_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """File-stream documents and maintain the MinHash candidate-count
+    state under ``state_dir`` batch by batch."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        apply_mh_maintenance_batch(spark, batch, batch_id, state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation",
+                os.path.join(state_dir, "_ckpt/mh_maint"))
         .trigger(availableNow=True)
         .start()
     )

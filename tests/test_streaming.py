@@ -850,3 +850,53 @@ def test_streaming_edge_maintenance_replay_is_idempotent(spark, tmp_path):
     twice = sorted((r.id_a, r.id_b, r.n)
                    for r in read_edge_counts(spark, state).collect())
     assert twice == once
+
+def test_streaming_mh_maintenance_matches_batch_rebuild(spark, tmp_path):
+    """The MinHash candidate state maintained through real
+    micro-batches (same versioned commit protocol as the winnow
+    stream) must equal the batch rebuild — lsh_emission_counts over
+    the whole corpus's signatures — and replaying the last batch must
+    change nothing."""
+    from pyspark.sql import functions as F
+
+    from logsdb_spark.catalog import load_table
+    from logsdb_spark.operators.dedup import (
+        lsh_emission_counts,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from logsdb_spark.streaming.ingest import run_until_drained
+    from logsdb_spark.streaming.maintenance import (
+        apply_mh_maintenance_batch,
+        read_mh_counts,
+        start_mh_maintenance_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src, state = tmp_path / "mhsrc", tmp_path / "mhstate"
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            str(src), mode="append")
+
+    q = start_mh_maintenance_stream(
+        spark, str(src), str(state), max_files_per_trigger=1)
+    run_until_drained(q)
+
+    def rows(df):
+        return sorted((r.id_a, r.id_b, r.n_pair, r.n_star)
+                      for r in df.collect())
+
+    got = rows(read_mh_counts(spark, str(state)))
+    want = rows(lsh_emission_counts(
+        minhash_signatures(shingle_sets(docs)).select("doc_id", "sig")))
+    assert got == want and want
+
+    # replay of the LAST batch id leaves the state unchanged — the
+    # batch's actual content comes from its committed signature
+    # partition (file-stream batch order is an implementation
+    # detail, not something this test should assume)
+    b2 = spark.read.parquet(
+        str(state / "mh_idx" / "batch_id=2")).select("doc_id").distinct()
+    last = docs.join(b2, "doc_id", "left_semi")
+    apply_mh_maintenance_batch(spark, last, 2, str(state))
+    assert rows(read_mh_counts(spark, str(state))) == got
