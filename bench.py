@@ -248,6 +248,9 @@ TRACKED_EXTRAS = [
     # round-12: the from-raw DSIR pipeline (the layout-fed selection
     # is the HEADLINE entry; this keeps the gram-pass cost visible)
     "dsir_select_topk_inplan",
+    # round-12: CCNet head/middle/tail split over the fitted bigram
+    # LM (quality_bigram_lm is the HEADLINE fluency entry)
+    "quality_ccnet_buckets",
 ]
 
 

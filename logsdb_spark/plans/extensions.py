@@ -8154,3 +8154,64 @@ def dsir_select_topk_inplan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 150)
         .orderBy("rank")
     )
+
+
+assert "SELECT d.doc_id," in REGISTRY["quality_bigram_lm"].oracle, (
+    "quality_bigram_lm oracle lost the final-SELECT marker "
+    "quality_ccnet_buckets slices on"
+)
+_CCNET_SQL = (
+    REGISTRY["quality_bigram_lm"].oracle
+    .split("SELECT d.doc_id,")[0].rstrip().rstrip(",") + """,
+    qscore AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(per_doc.sp // per_doc.nb, 0) AS BIGINT)
+               AS avg_p_e9
+      FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+    )
+    SELECT doc_id, avg_p_e9,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM (
+      SELECT doc_id, avg_p_e9,
+             NTILE(3) OVER (ORDER BY avg_p_e9 DESC, doc_id) AS nt
+      FROM qscore
+    )
+    ORDER BY doc_id
+    """
+)
+
+
+@register("quality_ccnet_buckets", oracle=_CCNET_SQL)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (the public CCNet pipeline's
+    head/middle/tail split, with the corpus-fitted bigram LM standing
+    in for its external KenLM): every document labeled by the tertile
+    of its fluency score — 'head' trains first, 'middle' is
+    kept-with-caution, 'tail' is the filter candidate. The score is
+    quality_bigram_lm's fixed-point avg_p_e9 (integers end to end —
+    no float seam can move a bucket boundary), docs with no bigrams
+    score 0, and the tertile is NTILE(3) over the fully-deterministic
+    (score DESC, doc_id) order, so both engines cut identically.
+    Scale note: the tertile window is doc-count-scale (one row per
+    document after the LM join — the documented global-window class);
+    at 100 TB the same cut runs as closed-form ntile over the ranged
+    row_number (the customer_balance_ranking_ranged pattern), or as
+    approx-quantile score thresholds when exact tertile cardinality
+    is not required."""
+    from pyspark.sql.window import Window
+
+    scored = quality_bigram_lm(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(F.col("avg_p_e9"), F.lit(0)).alias("avg_p_e9"),
+    )
+    nt = F.ntile(3).over(
+        Window.orderBy(F.col("avg_p_e9").desc(), F.col("doc_id")))
+    return (
+        scored.select(
+            "doc_id", "avg_p_e9",
+            F.when(nt == 1, "head").when(nt == 2, "middle")
+            .otherwise("tail").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
