@@ -251,6 +251,9 @@ TRACKED_EXTRAS = [
     # round-12: CCNet head/middle/tail split over the fitted bigram
     # LM (quality_bigram_lm is the HEADLINE fluency entry)
     "quality_ccnet_buckets",
+    # round-12: deterministic global corpus shuffle (seeded portable
+    # hash -> ranged total order -> round-robin shards)
+    "corpus_shuffle_ranged",
 ]
 
 

@@ -8215,3 +8215,60 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_shuffle_ranged",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5('shuf-r12|' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+               AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos,
+           CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) % 32
+                AS INTEGER) AS shard
+    FROM keyed
+    ORDER BY pos
+    """,
+)
+def corpus_shuffle_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    assignment step of an LLM data pipeline: every document gets a
+    seeded portable-hash shuffle key, a global 1-based position in
+    that shuffled order, and a round-robin output shard (pos-1 mod 32
+    — interleaved shard files so each training shard is itself an
+    unbiased sample of the corpus). NOT rand(): retries, engine
+    changes, and the oracle must reproduce the identical permutation,
+    so the key is the md5-derived portable hash of a seed||doc_id
+    string (the split_train_val_test stance). The global position is
+    produced by the demonstrated 100 TB total-order plan —
+    range-repartition on the key + per-partition row_number +
+    broadcast prefix-sum offsets (operators/ordering.global_row_number;
+    plan-pinned single-partition-free alongside o2_total_order_ranged)
+    — never a single-partition window over the corpus. At 100 TB the
+    same relation feeds partitionBy(shard) writes: a full shuffled
+    epoch materialized with exactly one range exchange."""
+    from ..functions.text import portable_hash64
+    from ..operators.ordering import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        portable_hash64(
+            F.concat(F.lit("shuf-r12|"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    ranked = global_row_number(
+        keyed, [F.asc("shuffle_key"), F.asc("doc_id")], rn_alias="pos"
+    )
+    return ranked.select(
+        "doc_id",
+        "shuffle_key",
+        "pos",
+        F.pmod(F.col("pos") - F.lit(1), F.lit(32)).cast("int").alias("shard"),
+    ).orderBy("pos")

@@ -300,10 +300,17 @@ def test_total_order_ranged_avoids_single_partition_fact_window(spark):
     Exchange SinglePartition allowed in its plan is the one feeding
     the #partitions-row offset prefix-sum; the events-side window must
     be partitioned (by _pid), never global."""
-    from logsdb_spark.plans.extensions import customer_balance_ranking_ranged
+    from logsdb_spark.plans.extensions import (
+        corpus_shuffle_ranged,
+        customer_balance_ranking_ranged,
+    )
     from logsdb_spark.plans.reference_queries import o2_total_order_ranged
 
-    for fn in (o2_total_order_ranged, customer_balance_ranking_ranged):
+    for fn in (
+        o2_total_order_ranged,
+        customer_balance_ranking_ranged,
+        corpus_shuffle_ranged,
+    ):
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         # Every ranking window must be partition-keyed (_pid). The
@@ -874,3 +881,29 @@ def test_parquet_row_count_and_volume_scaled_verify_width(spark, tmp_path):
         for r in ivf_near_dups_prepared(idx, threshold=0.85).collect()
     )
     assert got == want
+
+
+def test_corpus_shuffle_is_deterministic_permutation(spark):
+    """corpus_shuffle_ranged must emit a bijection doc_id -> pos
+    (positions are exactly 1..N, each doc once), identical across
+    re-runs (seeded hash, not rand()), with round-robin shards
+    balanced to within one document."""
+    from logsdb_spark.plans.extensions import corpus_shuffle_ranged
+
+    a = corpus_shuffle_ranged(spark, SF_DIR).collect()
+    n = len(a)
+    assert sorted(r.pos for r in a) == list(range(1, n + 1))
+    assert len({r.doc_id for r in a}) == n
+    # keys sorted ascending along pos; doc_id breaks ties
+    ordered = sorted(a, key=lambda r: r.pos)
+    assert all(
+        (x.shuffle_key, x.doc_id) < (y.shuffle_key, y.doc_id)
+        for x, y in zip(ordered, ordered[1:])
+    )
+    shard_counts = {}
+    for r in a:
+        assert r.shard == (r.pos - 1) % 32
+        shard_counts[r.shard] = shard_counts.get(r.shard, 0) + 1
+    assert max(shard_counts.values()) - min(shard_counts.values()) <= 1
+    b = corpus_shuffle_ranged(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
