@@ -237,6 +237,16 @@ PICKS = {
         "exception, with the ranged-ranking pattern as the 100 TB "
         "fallback)."
     ),
+    "corpus_shuffle_ranged": (
+        "Round-12 deterministic corpus shuffle: scan-local seeded "
+        "portable-hash key, ONE range exchange on the key, "
+        "per-partition row_number (window keyed by _pid — parallelism "
+        "= #partitions), broadcast prefix-sum offsets; the only "
+        "SinglePartition exchange feeds the #partitions-row offset "
+        "aggregate. At 100 TB the same relation feeds "
+        "partitionBy(shard) writes: one shuffled epoch per range "
+        "exchange."
+    ),
     "tokenizer_bpe_merges": (
         "Distributed BPE training: ONE corpus-sized word-count aggregate "
         "(map-side combinable), then per merge round a vocab-sized "

@@ -266,6 +266,10 @@ CORPUS_QUERIES = [
     # frozen model, row-local broadcast scoring — the cost should be
     # the shard encode + the stored-layout scan union)
     "ann_index_maintenance_ivf",
+    # round-12: deterministic corpus shuffle (timing ratio only —
+    # correctness is the permutation oracle): one range exchange +
+    # _pid-keyed windows, so the ratio should track data volume
+    "corpus_shuffle_ranged",
 ]
 
 
