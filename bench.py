@@ -254,6 +254,9 @@ TRACKED_EXTRAS = [
     # round-12: deterministic global corpus shuffle (seeded portable
     # hash -> ranged total order -> round-robin shards)
     "corpus_shuffle_ranged",
+    # round-12: mT5-style temperature-scaled language mixing weights
+    # (per-lang token agg + two 1-row broadcast normalizers)
+    "mixture_temperature_weights",
 ]
 
 

@@ -8272,3 +8272,66 @@ def corpus_shuffle_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.pmod(F.col("pos") - F.lit(1), F.lit(32)).cast("int").alias("shard"),
     ).orderBy("pos")
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang,
+             CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')))
+                  AS BIGINT) AS total_tokens
+      FROM documents GROUP BY lang
+    ),
+    wts AS (
+      SELECT lang, total_tokens,
+             total_tokens /
+               CAST((SELECT SUM(total_tokens) FROM counts) AS DOUBLE) AS p,
+             POWER(total_tokens /
+               CAST((SELECT SUM(total_tokens) FROM counts) AS DOUBLE),
+               0.3) AS weight
+      FROM counts
+    )
+    SELECT lang, total_tokens, p, weight,
+           weight / (SELECT SUM(weight) FROM wts) AS share
+    FROM wts ORDER BY lang
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights — the mT5/XLM-R
+    mixing rule (public method: sample language i with probability
+    proportional to p_i^alpha, alpha = 0.3): per-lang BPE-token mass ->
+    empirical share p -> tempered weight p^0.3 -> normalized sampling
+    share. Upsamples the tail languages and downsamples the head
+    without ever starving either — the standard knob between
+    proportional (alpha=1) and uniform (alpha=0) mixing; the share
+    column is what a sampler or mixture_token_budget consumes. Plan:
+    one map-side-combinable token aggregate over the corpus, then two
+    1-row broadcast joins for the normalizing totals (the allowed
+    conditionless corpus-x-1-row pattern) — nothing past the first agg
+    touches corpus-sized data, so the 100 TB cost is the token scan.
+    Floats stay raw doubles end to end (no ROUND lattice for a
+    boundary to sit on — the DSIR micro-unit lesson applied in
+    reverse): both engines feed identical integer token counts through
+    identical IEEE division and pow, and the 6-sig-fig gate
+    canonicalization absorbs libm ULP drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(token_count_bpe("text")).cast("bigint").alias("total_tokens")
+    )
+    tot = counts.agg(F.sum("total_tokens").cast("double").alias("_t"))
+    wts = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("total_tokens") / F.col("_t"))
+        .withColumn("weight", F.pow(F.col("p"), F.lit(0.3)))
+        .drop("_t")
+    )
+    tw = wts.agg(F.sum("weight").alias("_tw"))
+    return (
+        wts.crossJoin(F.broadcast(tw))
+        .select(
+            "lang", "total_tokens", "p", "weight",
+            (F.col("weight") / F.col("_tw")).alias("share"),
+        )
+        .orderBy("lang")
+    )

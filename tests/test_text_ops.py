@@ -5,6 +5,7 @@ oracle-differential gate alone would not prove the patterns work.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -132,3 +133,28 @@ def test_bigram_lm_matches_python_and_tracks_perplexity(spark):
     ranked = sorted(ppl, key=lambda d: got[d][2])
     lo, hi = ranked[: len(ranked) // 3], ranked[-len(ranked) // 3:]
     assert sum(ppl[d] for d in hi) / len(hi) < sum(ppl[d] for d in lo) / len(lo)
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark):
+    """Temperature scaling at alpha=0.3 must FLATTEN the language
+    mixture: shares sum to 1, every tail language is upsampled
+    (share > p), every head language is downsampled (share < p),
+    and the ranking by share matches the ranking by raw mass (the
+    tempering is monotone)."""
+    from conftest import SF_DIR
+
+    from logsdb_spark.plans.extensions import mixture_temperature_weights
+
+    rows = mixture_temperature_weights(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        assert r.weight == pytest.approx(r.p ** 0.3, rel=1e-12)
+        if r.p < uniform:
+            assert r.share > r.p, r
+        elif r.p > uniform:
+            assert r.share < r.p, r
+    by_p = sorted(rows, key=lambda r: r.p)
+    by_share = sorted(rows, key=lambda r: r.share)
+    assert [r.lang for r in by_p] == [r.lang for r in by_share]
