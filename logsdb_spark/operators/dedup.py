@@ -2317,13 +2317,24 @@ def phash_edges_apply_delta(stored_edges: DataFrame,
     joins against the rep table and its banded projection (map-side
     corpus scans, zero corpus shuffles) + shard-sized aggregations —
     proportional to the shard and the touched balls, never the
-    corpus pair structure."""
+    corpus pair structure.
+
+    PRECONDITION (append-only shards): ``new_hashes`` doc_ids are
+    expected to be NEW to the store — the batch analogue of the
+    versioned-commit replay protection the streamed winnow/minhash
+    paths get for free. Replaying an already-stored doc stays
+    component-correct (its attach edge re-lands on the same rep;
+    a stored-rep doc's would-be self-loop is filtered below) but
+    duplicates accumulate in the additive edge relation until the
+    read side's distinct — callers replaying at-least-once delivery
+    should dedup the shard against stored membership first, or ride
+    the versioned ingest sink that already guarantees it."""
     newh = (
         new_hashes.filter(F.col(hash_col).isNotNull())
         .select("doc_id", F.col(hash_col).alias("hv"))
     )
     hit = stored_reps.join(F.broadcast(newh), "hv")
-    attach = hit.select(
+    attach = hit.filter(F.col("rep_id") != F.col("doc_id")).select(
         F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
     )
     matched = F.broadcast(hit.select("hv").distinct())

@@ -947,25 +947,38 @@ def ivf_pq_layout(spark: SparkSession, sf_dir: str, m: int = 8,
                   sub: int = 8, ks: int = 16,
                   n_centroids: int = 16) -> DataFrame:
     """The COMPOSED IVF+PQ store as a materialized (vec_id, cell,
-    codes, nrm) parquet (prefix ``ivfpq1_<m>_<ks>_<n_centroids>``) —
+    codes, nrm) parquet (prefix ``ivfpq2_<m>_<ks>_<n_centroids>``) —
     PQ codes stored WITH their inverted-list cell, exactly what a
     deployed billion-scale ANN keeps columnar (codes-next-to-lists;
-    Jégou et al.'s IVFADC memory layout). Built by joining the two
-    already-materialized sources — pq_code_layout (codes + norms) and
-    ivf_quantized_layout (the argmax-cosine cell assignment) — so all
-    three PQ/IVF layouts always derive from the same fit and corpus
-    mtime; both inputs are deterministic, so ann_ivf_pq reading this
-    layout shares the in-plan form's oracle (ann_ivf_pq_lazy proves
-    the equality)."""
+    Jégou et al.'s IVFADC memory layout). Codes + norms come from the
+    materialized pq_code_layout; the cell comes from the TWO-LEVEL
+    quantizer (round 13: operators/similarity.ivf_assign_with_model
+    with coarse_probe=2 — O(sqrt(k)) assignment dots per row, block
+    broadcasts, the same hierarchy every hierarchical-IVF oracle
+    replays via _ivf_2l_assign_sql). Prefix bumped from ``ivfpq1``
+    when the assignment rule changed so stale flat-assigned caches
+    can never satisfy a hierarchical read. Deterministic, so
+    ann_ivf_pq reading this layout shares the in-plan form's oracle
+    (ann_ivf_pq_lazy proves the equality)."""
     from pyspark.sql.types import (
         ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
     )
 
     def make():
-        codes = pq_code_layout(spark, sf_dir, m=m, sub=sub, ks=ks)
-        cells = ivf_quantized_layout(
-            spark, sf_dir, n_centroids=n_centroids
+        from .similarity import _with_norm, ivf_assign_with_model
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = _with_norm(
+            emb.filter(F.col("vec_id") < n_centroids).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"),
+            ),
+            "cent_vec", "cnrm",
+        )
+        cells = ivf_assign_with_model(
+            emb, cents, n_assign=1, coarse_probe=2
         ).select("vec_id", "cell")
+        codes = pq_code_layout(spark, sf_dir, m=m, sub=sub, ks=ks)
         return codes.join(cells, "vec_id").select(
             "vec_id", "cell", "codes", "nrm"
         )
@@ -976,7 +989,7 @@ def ivf_pq_layout(spark: SparkSession, sf_dir: str, m: int = 8,
         StructField("codes", ArrayType(IntegerType())),
         StructField("nrm", DoubleType()),
     ])
-    return _blob_layout(spark, sf_dir, f"ivfpq1_{m}_{ks}_{n_centroids}",
+    return _blob_layout(spark, sf_dir, f"ivfpq2_{m}_{ks}_{n_centroids}",
                         make, schema, src_table="embeddings")
 
 
@@ -1325,7 +1338,9 @@ def ivf_cent90_layout(spark: SparkSession, sf_dir: str,
     versioned MODEL state a production ANN store pins between
     refits; the arriving shard encodes against it
     (operators/similarity.ivf_assign_apply_delta) instead of
-    triggering a re-selection."""
+    triggering a re-selection. The blob prefix is keyed by
+    ``target_cell_rows`` so a non-default budget fits (and caches)
+    its own model rather than silently reading the 64-row one."""
     from pyspark.sql.types import (
         ArrayType, DoubleType, FloatType, LongType, StructField,
         StructType,
@@ -1339,7 +1354,9 @@ def ivf_cent90_layout(spark: SparkSession, sf_dir: str,
         k_row = emb.agg(
             F.greatest(
                 F.lit(4).cast("long"),
-                F.ceil(F.count(F.lit(1)) / F.lit(64.0)).cast("long"),
+                F.ceil(
+                    F.count(F.lit(1)) / F.lit(float(target_cell_rows))
+                ).cast("long"),
             ).alias("_nc")
         )
         return _with_norm(
@@ -1355,15 +1372,20 @@ def ivf_cent90_layout(spark: SparkSession, sf_dir: str,
         StructField("cent_vec", ArrayType(FloatType())),
         StructField("cnrm", DoubleType()),
     ])
-    return _blob_layout(spark, sf_dir, "ivfcent90", make, schema,
-                        src_table="embeddings")
+    return _blob_layout(spark, sf_dir, f"ivfcent90_{target_cell_rows}",
+                        make, schema, src_table="embeddings")
 
 
 def ivf_assign90_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED inverted-list state for the IVF maintenance
-    demonstration (prefix ``ivfassign90``): the 90% corpus encoded
-    under the frozen 90% centroid model (ivf_cent90_layout) — what a
-    production store holds when the 10% shard arrives."""
+    demonstration (prefix ``ivfassign90b``): the 90% corpus encoded
+    under the frozen 90% centroid model (ivf_cent90_layout) via the
+    TWO-LEVEL quantizer (coarse_probe=2, round 13 — per-row encode
+    cost O(sqrt(k)) instead of O(k), per-coarse-cell block broadcast
+    instead of the one-row mega-model) — what a production store
+    holds when the 10% shard arrives. The prefix bumped from
+    ``ivfassign90`` when the assignment rule changed so stale flat
+    caches can never satisfy a hierarchical read."""
     from pyspark.sql.types import (
         ArrayType, DoubleType, FloatType, IntegerType, LongType,
         StructField, StructType,
@@ -1375,7 +1397,8 @@ def ivf_assign90_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % 10 != 0)
         return ivf_assign_with_model(
-            emb, ivf_cent90_layout(spark, sf_dir), n_assign=2)
+            emb, ivf_cent90_layout(spark, sf_dir), n_assign=2,
+            coarse_probe=2)
 
     schema = StructType([
         StructField("vec_id", LongType()),
@@ -1384,7 +1407,7 @@ def ivf_assign90_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("embedding", ArrayType(FloatType())),
         StructField("nrm", DoubleType()),
     ])
-    return _blob_layout(spark, sf_dir, "ivfassign90", make, schema,
+    return _blob_layout(spark, sf_dir, "ivfassign90b", make, schema,
                         src_table="embeddings")
 
 

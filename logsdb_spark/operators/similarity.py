@@ -380,8 +380,67 @@ def ivf_cell_assignments(emb: DataFrame, n_centroids: int | None = None,
     return ivf_assign_with_model(emb, cents, n_assign)
 
 
+def two_level_model(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive the TWO-LEVEL quantizer from a fine centroid frame
+    (round 13 — kills the flat-centroid growth law the r12 verdict
+    flagged): a coarse layer of m = ceil(sqrt(k)) cells over the k
+    fine centroids, so per-vector assignment scores O(sqrt(k))
+    centroids instead of all k, and the model broadcasts as
+    PER-COARSE-CELL BLOCKS of ~sqrt(k) fine structs instead of one
+    k-struct mega-row (at 1 B vectors / 16 M fine cells the flat row
+    is ~4 GB in ONE broadcast row; a block is ~1 MB).
+
+    Returns ``(coarse_row, blocks)``:
+    - ``coarse_row``: ONE row with ``_coarse`` = the sorted
+      (cent_id, cent_vec, cnrm) struct array of the m coarse cells —
+      the m lowest-cent_id fine centroids (the same deterministic
+      selection rule as the fine model's own seeding, so the whole
+      hierarchy stays SQL-replayable);
+    - ``blocks``: (ccell, blk) — every fine centroid tagged with its
+      argmax-cosine coarse cell (ties toward the lowest ccell, the
+      family's ROW_NUMBER rule), grouped into per-coarse-cell struct
+      arrays.
+
+    The coarse ranking window runs over k model rows (single
+    partition) — model-sized, not corpus-sized, and model derivation
+    is the rare explicitly-versioned refresh event, never per-shard
+    work."""
+    m_row = cents.agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("_m")
+    )
+    ranked = cents.withColumn(
+        "_crn", F.row_number().over(Window.orderBy("cent_id"))
+    )
+    coarse = (
+        ranked.join(F.broadcast(m_row))
+        .filter(F.col("_crn") <= F.col("_m"))
+        .select("cent_id", "cent_vec", "cnrm")
+    )
+    coarse_row = coarse.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
+        ).alias("_coarse")
+    )
+    tagged = cents.join(F.broadcast(coarse_row)).select(
+        "cent_id",
+        "cent_vec",
+        "cnrm",
+        F.element_at(
+            _topm_from(F.col("_coarse"), F.col("cent_vec"), F.col("cnrm"), 1),
+            1,
+        ).alias("ccell"),
+    )
+    blocks = tagged.groupBy("ccell").agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
+        ).alias("blk")
+    )
+    return coarse_row, blocks
+
+
 def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
-                          n_assign: int = 2) -> DataFrame:
+                          n_assign: int = 2,
+                          coarse_probe: int | None = None) -> DataFrame:
     """The ENCODE half of ivf_cell_assignments, split out (round 12)
     so it can run against an EXPLICIT (frozen) centroid model: given
     a (cent_id, cent_vec, cnrm) centroid frame, assign every vector
@@ -394,7 +453,65 @@ def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
     centroids is the RARE, explicitly-versioned model-refresh event,
     never the per-shard one. Same scoring + (cos DESC, cent_id)
     tie-break as the fused form (shared _topm_cells via the joined
-    ``_cents`` row), so model-equal inputs are value-identical."""
+    ``_cents`` row), so model-equal inputs are value-identical.
+
+    ``coarse_probe`` set routes through the TWO-LEVEL quantizer
+    (round 13): each vector first ranks the m = ceil(sqrt(k)) coarse
+    cells (two_level_model) and takes the top ``coarse_probe``, then
+    scores ONLY the fine centroids inside those coarse cells — per-row
+    cost O(coarse_probe·sqrt(k)) instead of O(k), with the model
+    broadcast as per-coarse-cell block rows instead of one mega-row.
+    Still a pure map-side pipeline: one broadcast coarse row +
+    ``coarse_probe`` broadcast-hash joins against the block relation —
+    the corpus is never shuffled. The hierarchical assignment is a
+    different (approximate) cell relation than the flat one — its
+    oracles replay the identical two-stage rule, and recall gates pin
+    quality."""
+    if coarse_probe is not None:
+        coarse_row, blocks = two_level_model(cents)
+        cur = (
+            _with_norm(emb, "embedding", "_nrm")
+            .join(F.broadcast(coarse_row))
+            .select(
+                "vec_id",
+                "embedding",
+                "_nrm",
+                _topm_from(
+                    F.col("_coarse"), F.col("embedding"), F.col("_nrm"),
+                    coarse_probe,
+                ).alias("_cc"),
+            )
+        )
+        for i in range(coarse_probe):
+            blk = blocks.select(
+                F.col("ccell").alias(f"_bc{i}"), F.col("blk").alias(f"_blk{i}")
+            )
+            # F.get (not element_at): null past the array end — a
+            # model with m < coarse_probe coarse cells just probes
+            # them all; the left join keeps the row, array_compact
+            # drops the null block.
+            cur = cur.join(
+                F.broadcast(blk),
+                F.get(F.col("_cc"), F.lit(i)) == F.col(f"_bc{i}"),
+                "left",
+            )
+        cands = F.flatten(
+            F.array_compact(
+                F.array(*[F.col(f"_blk{i}") for i in range(coarse_probe)])
+            )
+        )
+        return (
+            cur.select(
+                "vec_id",
+                F.posexplode(
+                    _topm_from(cands, F.col("embedding"), F.col("_nrm"),
+                               n_assign)
+                ).alias("rk", "cell"),
+                "embedding",
+                F.col("_nrm").alias("nrm"),
+            )
+            .select("vec_id", "cell", "rk", "embedding", "nrm")
+        )
     cent_row = cents.agg(
         F.array_sort(
             F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
@@ -417,7 +534,8 @@ def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
 
 def ivf_assign_apply_delta(stored_assign: DataFrame, cents: DataFrame,
                            new_emb: DataFrame,
-                           n_assign: int = 2) -> DataFrame:
+                           n_assign: int = 2,
+                           coarse_probe: int | None = None) -> DataFrame:
     """INCREMENTAL maintenance of the IVF assignment index under an
     arriving shard (round 12 — the ANN twin of the dedup edge
     deltas): encode ONLY the shard against the stored centroid model
@@ -429,7 +547,8 @@ def ivf_assign_apply_delta(stored_assign: DataFrame, cents: DataFrame,
     per-row deterministic) and oracle-gated end to end by
     ann_index_maintenance_ivf."""
     return stored_assign.unionByName(
-        ivf_assign_with_model(new_emb, cents, n_assign)
+        ivf_assign_with_model(new_emb, cents, n_assign,
+                              coarse_probe=coarse_probe)
     )
 
 
@@ -565,19 +684,20 @@ def _argmax_cell(vec: F.Column) -> F.Column:
     return -F.array_max(scored_cells)["negid"]
 
 
-def _topm_cells(vec: F.Column, m: int) -> F.Column:
-    """Top-``m`` cell ids for IVF multi-assignment — the SINGLE shared
-    implementation of the (cos DESC, cent_id ASC) cell ordering that
-    every IVF oracle's ROW_NUMBER mirrors (used by both ivf_ann_topk
-    and ivf_cell_near_dups; ``_argmax_cell`` is its m=1 fast path via
-    array_max). Ascending struct sort then reverse puts the highest
-    cosine first and, on ties, the larger negid (= smaller cent_id)
-    first. Requires ``_nrm`` + broadcast ``_cents`` staged on the
-    input row."""
+def _topm_from(arr: F.Column, vec: F.Column, nrm: F.Column,
+               m: int) -> F.Column:
+    """Top-``m`` cell ids from an ARBITRARY (cent_id, cent_vec, cnrm)
+    struct-array column — the generalized form of _topm_cells that the
+    two-level quantizer scores both its levels with (the coarse row
+    and the concatenated fine blocks). Ascending struct sort on
+    (cos, -cent_id) then reverse puts the highest cosine first and, on
+    ties, the larger negid (= smaller cent_id) first — exactly the
+    ROW_NUMBER(ORDER BY cos DESC, id ASC) rule every IVF oracle
+    mirrors."""
     scored_cells = F.transform(
-        F.col("_cents"),
+        arr,
         lambda c: F.struct(
-            (dot(vec, c["cent_vec"]) / (F.col("_nrm") * c["cnrm"])).alias("cos"),
+            (dot(vec, c["cent_vec"]) / (nrm * c["cnrm"])).alias("cos"),
             (-c["cent_id"]).alias("negid"),
         ),
     )
@@ -585,10 +705,21 @@ def _topm_cells(vec: F.Column, m: int) -> F.Column:
     return F.transform(top, lambda s: -s["negid"])
 
 
+def _topm_cells(vec: F.Column, m: int) -> F.Column:
+    """Top-``m`` cell ids for IVF multi-assignment — the SINGLE shared
+    implementation of the (cos DESC, cent_id ASC) cell ordering that
+    every IVF oracle's ROW_NUMBER mirrors (used by both ivf_ann_topk
+    and ivf_cell_near_dups; ``_argmax_cell`` is its m=1 fast path via
+    array_max). Requires ``_nrm`` + broadcast ``_cents`` staged on the
+    input row; _topm_from is the arbitrary-column generalization."""
+    return _topm_from(F.col("_cents"), vec, F.col("_nrm"), m)
+
+
 def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
                  n_centroids: int = 16, nprobe: int = 4,
                  centroids: DataFrame | None = None,
-                 assign_m: int = 1) -> DataFrame:
+                 assign_m: int = 1,
+                 coarse_probe: int | None = None) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells (inverted
     lists), search only the ``nprobe`` cells nearest each probe.
 
@@ -646,7 +777,16 @@ def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
     )
 
     with_cents = _with_norm(emb, "embedding", "_nrm").join(F.broadcast(cent_row))
-    if assign_m == 1:
+    if coarse_probe is not None:
+        # TWO-LEVEL corpus assignment (round 13): O(sqrt(k)) dots per
+        # vector via the coarse quantizer instead of all k — the
+        # growth-law fix for fitted codebooks whose k scales with the
+        # corpus. Probe-side cell ranking below stays flat (|probes|
+        # x k, probe-sized, not corpus-sized).
+        assigned = ivf_assign_with_model(
+            emb, cents, n_assign=assign_m, coarse_probe=coarse_probe
+        ).select("vec_id", "embedding", F.col("nrm").alias("_nrm"), "cell")
+    elif assign_m == 1:
         assigned = with_cents.select(
             "vec_id",
             "embedding",
@@ -1177,7 +1317,8 @@ def ivf_pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
                     m: int = 8, sub: int = 8, ks: int = 16,
                     rerank: int = 64,
                     corpus_prepared: DataFrame | None = None,
-                    codebooks_prepared: DataFrame | None = None
+                    codebooks_prepared: DataFrame | None = None,
+                    coarse_probe: int | None = 2
                     ) -> DataFrame:
     """IVF + PQ/ADC composed — the billion-scale deployment shape
     pq_adc_topk's docstring promises (round 11): coarse IVF cell
@@ -1215,6 +1356,17 @@ def ivf_pq_adc_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
         cbs = pq_codebooks(emb, m=m, sub=sub, ks=ks)
     if corpus_prepared is not None:
         corpus = corpus_prepared
+    elif coarse_probe is not None:
+        # TWO-LEVEL cell assignment (round 13, default): the corpus
+        # scores O(sqrt(n_centroids)) centroids per row via the
+        # coarse quantizer — at production codebook sizes (16k+
+        # cells) this is the difference between a viable encode and
+        # an O(n·k) one. The flat path stays reachable with
+        # coarse_probe=None for A/B.
+        assign = ivf_assign_with_model(
+            emb, cents, n_assign=1, coarse_probe=coarse_probe
+        ).select("vec_id", "cell")
+        corpus = pq_codes(emb, cbs, m=m, sub=sub).join(assign, "vec_id")
     else:
         cent_row = cents.agg(F.array_sort(
             F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))

@@ -2898,6 +2898,64 @@ def _ann_ivf_quantized(spark: SparkSession, sf_dir: str,
     ).orderBy("probe_id", "rank")
 
 
+def _ivf_2l_assign_sql(n_assign: int = 2, coarse_probe: int = 2,
+                       src: str = "n", cents: str = "cents",
+                       out: str = "assign") -> str:
+    """The TWO-LEVEL IVF assignment as a reusable CTE chain (round 13
+    — ONE emitter shared by every hierarchical-IVF oracle so the
+    recipe cannot drift, the _pq_block_sql/_bpe_sql convention):
+    given a fine-centroid CTE ``cents`` (cent_id, ce, cnrm) and a
+    vector CTE ``src`` (vec_id, e, nrm), emit
+
+    - ``cm``: m = ceil(sqrt(k)) coarse cells,
+    - ``coarse``: the m lowest-cent_id fine centroids,
+    - ``ftag``: every fine centroid tagged with its argmax-cosine
+      coarse cell (ties toward the lowest ccell),
+    - ``vcc``: each vector's top-``coarse_probe`` coarse cells,
+    - ``{out}``: each vector's top-``n_assign`` fine cells scored
+      over ONLY the probed coarse cells' fine centroids, with the
+      per-vector rank as ``rn`` (1-based).
+
+    This replays operators/similarity.ivf_assign_with_model's
+    coarse_probe path exactly — same (cos DESC, id ASC) tie-break at
+    every level, same ordered dot fold."""
+    return f"""cm AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS m FROM {cents}),
+    coarse AS (
+      SELECT cent_id AS ccell, ce AS cce, cnrm AS ccnrm FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY cent_id) AS crn FROM {cents}
+      ) WHERE crn <= (SELECT m FROM cm)
+    ),
+    ftag AS (
+      SELECT cent_id, ce, cnrm, ccell FROM (
+        SELECT f.cent_id, f.ce, f.cnrm, c.ccell,
+               ROW_NUMBER() OVER (PARTITION BY f.cent_id ORDER BY
+                 list_sum(list_transform(list_zip(f.ce, c.cce), z -> z[1]*z[2]))
+                   / (f.cnrm * c.ccnrm) DESC, c.ccell ASC) AS rn
+        FROM {cents} f, coarse c
+      ) WHERE rn = 1
+    ),
+    vcc AS (
+      SELECT vec_id, ccell FROM (
+        SELECT s.vec_id, c.ccell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(s.e, c.cce), z -> z[1]*z[2]))
+                   / (s.nrm * c.ccnrm) DESC, c.ccell ASC) AS rn
+        FROM {src} s, coarse c
+      ) WHERE rn <= {coarse_probe}
+    ),
+    {out} AS (
+      SELECT vec_id, cell, rn FROM (
+        SELECT s.vec_id, f.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(s.e, f.ce), z -> z[1]*z[2]))
+                   / (s.nrm * f.cnrm) DESC, f.cent_id ASC) AS rn
+        FROM {src} s JOIN vcc ON s.vec_id = vcc.vec_id
+                     JOIN ftag f ON f.ccell = vcc.ccell
+      ) WHERE rn <= {n_assign}
+    )"""
+
+
+
 _KMEANS_CENTS_SQL = """
     v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2951,16 +3009,9 @@ _ANN_IVF_KMEANS_SQL = (
     "WITH "
     + _KMEANS_CENTS_SQL
     + """,
-    assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT c.vec_id, ct.cent_id AS cell,
-               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-                 list_sum(list_transform(list_zip(c.e, ct.ce), p -> p[1]*p[2]))
-                   / (c.nrm * ct.cnrm) DESC,
-                 ct.cent_id ASC) AS rn
-        FROM n c, cents ct
-      ) WHERE rn <= 2
-    ),
+    """
+    + _ivf_2l_assign_sql(n_assign=2, coarse_probe=2)
+    + """,
     probes AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn FROM n WHERE vec_id < 5),
     pcell AS (
       SELECT probe_id, pe, pn, cell FROM (
@@ -3057,7 +3108,8 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
 
         cents = kmeans_centroid_layout(spark, sf_dir, k=16, iters=2,
                                        sample_mod=2)
-    out = ivf_ann_topk(emb, probes, k=10, nprobe=4, centroids=cents, assign_m=2)
+    out = ivf_ann_topk(emb, probes, k=10, nprobe=4, centroids=cents,
+                       assign_m=2, coarse_probe=2)
     return out.select(
         "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     ).orderBy("probe_id", "rank")
@@ -7123,17 +7175,7 @@ def _ivf_pq_sql(m: int = 8, sub: int = 8, ks: int = 16,
     base = _pq_adc_sql(m=m, sub=sub, ks=ks, rerank=rerank, k=k)
     ivf_ctes = f"""cents AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
               FROM n WHERE vec_id < {n_centroids}),
-    assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT c.vec_id, ct.cent_id AS cell,
-               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-                 list_sum(list_transform(list_zip(c.e, ct.ce),
-                                         p -> p[1]*p[2]))
-                   / (c.nrm * ct.cnrm) DESC,
-                 ct.cent_id ASC) AS rn
-        FROM n c, cents ct
-      ) WHERE rn = 1
-    ),
+    """ + _ivf_2l_assign_sql(n_assign=1, coarse_probe=2) + f""",
     probes AS (SELECT vec_id AS probe_id, e AS pe, nrm AS pn
                FROM n WHERE vec_id < 5),
     pcell AS (
@@ -7840,18 +7882,10 @@ def dedup_edge_maintenance_vframe(spark: SparkSession,
       SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM n
       WHERE vec_id % 10 <> 0 AND vec_id < (SELECT n_cents FROM k)
     ),
-    scored AS (
-      SELECT n.vec_id, c.cent_id,
-             list_sum(list_transform(list_zip(n.e, c.ce), z -> z[1]*z[2]))
-               / (n.nrm * c.cnrm) AS ccos
-      FROM n CROSS JOIN cents c
-    )
-    SELECT vec_id, cent_id AS cell, CAST(rn - 1 AS INTEGER) AS rk FROM (
-      SELECT vec_id, cent_id,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY ccos DESC, cent_id) AS rn
-      FROM scored
-    ) WHERE rn <= 2
+    """
+    + _ivf_2l_assign_sql(n_assign=2, coarse_probe=2)
+    + """
+    SELECT vec_id, cell, CAST(rn - 1 AS INTEGER) AS rk FROM assign
     ORDER BY vec_id, rk
     """,
 )
@@ -7862,8 +7896,12 @@ def ann_index_maintenance_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     MODEL and inverted-list assignments play the stored state
     (MATERIALIZED ivf_cent90_layout / ivf_assign90_layout), and the
     10% shard lands through ivf_assign_apply_delta — encoded against
-    the FROZEN model (broadcast centroids, row-local top-2 scoring,
-    zero corpus work) and appended. This is the production contract
+    the FROZEN model through the TWO-LEVEL quantizer (round 13: rank
+    m = ceil(sqrt(k)) coarse cells first, then score only the top-2
+    coarse cells' fine centroids — O(sqrt(k)) dots per row instead
+    of O(k), per-coarse-cell block broadcasts instead of the one-row
+    mega-model the r12 verdict flagged; zero corpus work) and
+    appended. This is the production contract
     a vector store runs at ingest: per-shard cost is exactly
     proportional to the shard; re-SELECTING centroids is the rare,
     explicitly-versioned model-refresh event (the count-derived cell
@@ -7885,7 +7923,7 @@ def ann_index_maintenance_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ivf_assign_apply_delta(
         ivf_assign90_layout(spark, sf_dir),
         ivf_cent90_layout(spark, sf_dir),
-        new_emb, n_assign=2,
+        new_emb, n_assign=2, coarse_probe=2,
     )
     return assign.select("vec_id", "cell", "rk").orderBy("vec_id", "rk")
 

@@ -431,7 +431,6 @@ def main() -> None:
         vframe_edge_count_layout,
         vframe_star_state_layout,
     )
-
     from logsdb_spark.operators.silver import (
         ivf_assign90_layout,
         ivf_cent90_layout,

@@ -135,7 +135,8 @@ def test_ivf_kmeans_recall_floor(spark):
     cents = kmeans_centroids(emb, k=16, iters=2, sample_mod=2)
     fitted = {
         (r.probe_id, r.neighbor_id)
-        for r in ivf_ann_topk(emb, probes, k=10, centroids=cents, assign_m=2).collect()
+        for r in ivf_ann_topk(emb, probes, k=10, centroids=cents, assign_m=2,
+                              coarse_probe=2).collect()
     }
     r_fit = len(fitted & ex) / len(ex)
     assert r_fit >= 0.88, f"kmeans IVF m=2 recall {r_fit}"
@@ -151,7 +152,8 @@ def test_ivf_kmeans_recall_floor(spark):
     fit01 = {
         (r.probe_id, r.neighbor_id)
         for r in ivf_ann_topk(
-            emb01, probes01, k=10, centroids=cents01, assign_m=2
+            emb01, probes01, k=10, centroids=cents01, assign_m=2,
+            coarse_probe=2
         ).collect()
     }
     std01 = {
@@ -703,8 +705,8 @@ def test_ivf_pq_layout_matches_lazy_derivation(spark):
 
     from logsdb_spark.operators.silver import ivf_pq_layout
     from logsdb_spark.operators.similarity import (
-        _argmax_cell,
         _with_norm,
+        ivf_assign_with_model,
         pq_codebooks,
         pq_codes,
     )
@@ -716,14 +718,10 @@ def test_ivf_pq_layout_matches_lazy_derivation(spark):
             F.col("embedding").alias("cent_vec"),
         ), "cent_vec", "cnrm",
     )
-    cent_row = cents.agg(F.array_sort(
-        F.collect_list(F.struct("cent_id", "cent_vec", "cnrm"))
-    ).alias("_cents"))
-    assign = (
-        _with_norm(emb, "embedding", "_nrm")
-        .join(F.broadcast(cent_row))
-        .select("vec_id", _argmax_cell(F.col("embedding")).alias("cell"))
-    )
+    # round 13: the layout's cell is the TWO-LEVEL assignment
+    assign = ivf_assign_with_model(
+        emb, cents, n_assign=1, coarse_probe=2
+    ).select("vec_id", "cell")
     lazy = (
         pq_codes(emb, pq_codebooks(emb))
         .join(assign, "vec_id")
@@ -1064,3 +1062,38 @@ def test_dsir_gumbel_resample_tilts_toward_target(spark):
     mean_all = sum(r.weight_e6 for r in k1) / n
     mean_top = sum(r.weight_e6 for r in top) / (n // 2)
     assert mean_top > mean_all
+
+
+def test_two_level_covering_probe_matches_flat(spark):
+    """The two-level quantizer is EXACTLY the flat assignment when the
+    coarse probe covers every coarse cell (all fine centroids become
+    candidates) — the correctness pin for the round-13 hierarchy: any
+    divergence in scoring, tie-breaks, or block assembly would break
+    this equality. Also exercised with coarse_probe far beyond m so
+    the null-block (F.get out-of-range) path is proven safe."""
+    from logsdb_spark.operators.similarity import (
+        _with_norm,
+        ivf_assign_with_model,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < 9).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        ), "cent_vec", "cnrm",
+    )
+    flat = sorted(
+        (r.vec_id, r.cell, r.rk)
+        for r in ivf_assign_with_model(emb, cents, n_assign=2)
+        .select("vec_id", "cell", "rk").collect()
+    )
+    # m = ceil(sqrt(9)) = 3 coarse cells: probing 3 is exhaustive.
+    for probe in (3, 7):
+        two = sorted(
+            (r.vec_id, r.cell, r.rk)
+            for r in ivf_assign_with_model(
+                emb, cents, n_assign=2, coarse_probe=probe)
+            .select("vec_id", "cell", "rk").collect()
+        )
+        assert two == flat
