@@ -2001,6 +2001,17 @@ def winnow_edges_apply_delta(stored_counts: DataFrame,
     footprint, never the corpus. Consumers apply the >= 2 decision
     at read (winnow_pairs_from_counts); parity with the full rebuild
     is oracle-gated end to end by dedup_edge_maintenance_winnow."""
+    return winnow_counts_merge_delta(
+        stored_counts, winnow_count_delta(old_ex, new_ex)
+    )
+
+
+def winnow_count_delta(old_ex: DataFrame, new_ex: DataFrame) -> DataFrame:
+    """The SIGNED per-pair count delta (id_a, id_b, dn) of
+    winnow_edges_apply_delta, exposed separately (round 13) so a
+    partitioned state store can derive the TOUCHED key-bucket set
+    from the delta alone and read/rewrite only those partitions of
+    the stored relation (streaming/maintenance.py)."""
     # BROADCAST the touched-fingerprint keys: the existing index is
     # corpus-sized and must reduce to the touched buckets map-side —
     # a hash join on fp would shuffle the whole corpus index per
@@ -2018,12 +2029,21 @@ def winnow_edges_apply_delta(stored_counts: DataFrame,
                      .withColumn("is_new", F.lit(True)))
     )
     em = _capped_bucket_emit_delta(tagged)
-    delta = (
+    return (
         em.filter(~F.col("is_star"))
         .groupBy("id_a", "id_b")
         .agg(F.sum("s").alias("dn"))
         .filter(F.col("dn") != 0)
     )
+
+
+def winnow_counts_merge_delta(stored_counts: DataFrame,
+                              delta: DataFrame) -> DataFrame:
+    """Merge a signed (id_a, id_b, dn) delta into the stored count
+    relation — the outer-merge half of winnow_edges_apply_delta. When
+    the store is partitioned by pair-key bucket, ``stored_counts``
+    here is only the TOUCHED partitions (every delta row's bucket is
+    touched by construction, so untouched partitions cannot change)."""
     return (
         stored_counts.join(delta, ["id_a", "id_b"], "full")
         .select(
@@ -2109,6 +2129,16 @@ def lsh_counts_apply_delta(stored_counts: DataFrame,
     crossing the 512 cap retracts its clique and gains stars, one
     shrinking back retracts stars and regains pairs. Per-shard cost
     ∝ the shard's banded-key footprint."""
+    return lsh_counts_merge_delta(
+        stored_counts, lsh_count_delta(old_signed, new_signed, max_bucket)
+    )
+
+
+def lsh_count_delta(old_signed: DataFrame, new_signed: DataFrame,
+                    max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """The SIGNED per-pair emission delta (id_a, id_b, _dp, _ds) of
+    lsh_counts_apply_delta, exposed separately (round 13) for the
+    partitioned state store — same rationale as winnow_count_delta."""
     touched = F.broadcast(
         _banded_keys(new_signed, "doc_id")
         .select("band_idx", "band_hash").distinct()
@@ -2128,7 +2158,7 @@ def lsh_counts_apply_delta(stored_counts: DataFrame,
     em = _capped_bucket_emit_delta(tagged, cap=max_bucket,
                                    key_cols=("band_idx", "band_hash"))
     z = F.lit(0)
-    delta = (
+    return (
         em.groupBy("id_a", "id_b")
         .agg(
             F.sum(F.when(~F.col("is_star"), F.col("s")).otherwise(z))
@@ -2138,6 +2168,14 @@ def lsh_counts_apply_delta(stored_counts: DataFrame,
         )
         .filter((F.col("_dp") != 0) | (F.col("_ds") != 0))
     )
+
+
+def lsh_counts_merge_delta(stored_counts: DataFrame,
+                           delta: DataFrame) -> DataFrame:
+    """Merge a signed (_dp, _ds) delta into the stored (n_pair,
+    n_star) relation — the outer-merge half of lsh_counts_apply_delta
+    (partitioned-store contract as winnow_counts_merge_delta)."""
+    z = F.lit(0)
     return (
         stored_counts.join(delta, ["id_a", "id_b"], "full")
         .select(

@@ -1,35 +1,61 @@
-"""Streaming EDGE-STATE maintenance (round 12) — the delta operators
-wired into the ingest path, making the edge layout's "maintained at
-ingest" contract literal: each arriving micro-batch of documents
-fingerprints itself (the batched Arrow winnow kernel), applies the
-winnow pair-count delta against the stored state
-(operators/dedup.winnow_edges_apply_delta — touched buckets only),
-and commits a NEW VERSION of the count relation plus its own
-partition of the growing inverted index.
+"""Streaming EDGE-STATE maintenance (round 12; partitioned store
+round 13) — the delta operators wired into the ingest path, making
+the edge layout's "maintained at ingest" contract literal: each
+arriving micro-batch of documents fingerprints itself (the batched
+Arrow winnow kernel), derives the SIGNED count delta against the
+stored state (operators/dedup.winnow_count_delta — touched
+fingerprint buckets only), and commits ONLY the touched key-bucket
+partitions of the count relation plus its own partition of the
+growing inverted index.
+
+Partitioned MVCC (round 13 — the r12 verdict's "state-sized rewrite"
+fix): the count relation is hash-partitioned into ``nb`` key buckets
+(kb = pmod(xxhash64(id_a, id_b), nb)). A batch's version directory
+``v{batch_id:09d}`` holds kb=... subdirectories for ONLY the buckets
+its delta touched, plus a ``_TOUCHED`` manifest (the commit point —
+written after the data job, listing the touched buckets and whether
+the version is a FULL snapshot). Readers resolve each bucket to the
+NEWEST committed version whose manifest claims it, walking back at
+most to the newest full snapshot; a touched bucket with no data
+directory means the bucket became empty (total retraction), never a
+fall-through to stale rows. Every ``compact_every`` batches the
+maintained state is rewritten as a full snapshot, which bounds the
+reader's version walk and enables GC (``gc_store`` retains the last
+``keep_full`` snapshots and everything newer — a grace window for
+in-flight readers pinned to the previous snapshot).
+
+Per-batch state I/O is therefore O(touched partitions), not
+O(|count relation|): the full-outer merge's stored side enumerates
+only the touched buckets' paths (path-level pruning — stronger than
+a pushed filter), and the write rewrites only those partitions.
+Untouched buckets cannot change (every delta row's bucket is touched
+by construction), so skipping them is exact, not approximate.
 
 Exactly-once contract (the same at-least-once-replay reality every
 foreachBatch sink here handles): all writes are keyed by batch_id —
-the index partition is a per-batch overwrite, and the counts land in
-a fresh ``counts_v{batch_id}`` directory computed from
-``counts_v{latest < batch_id}``, so replaying a crashed micro-batch
-recomputes and overwrites ITS version from its unchanged predecessor
-instead of double-applying the delta. Readers take the newest version
-bearing a _SUCCESS marker, so a partially-written version is never
-visible. This is a minimal MVCC pattern (the txn.py commit-log
-stance); a production store would garbage-collect old versions.
+the index partition is a per-batch overwrite, and a version is
+computed from committed versions ``< batch_id``, so replaying a
+crashed micro-batch recomputes and overwrites ITS version from its
+unchanged predecessors instead of double-applying the delta. A
+version without its manifest is invisible; the manifest lands last.
+
+Filesystem access goes through the Hadoop FileSystem API
+(``spark._jvm``), not driver-local glob/os.path — the protocol works
+on any Hadoop-supported store (HDFS, S3A, local). Per read it costs
+at most (versions-since-snapshot + touched-bucket) metadata calls.
 
 Scale: per micro-batch the work is the shard's Arrow fingerprint
 kernel + the fused touched-bucket delta (one corpus-index scan
 map-side reduced by the broadcast touched set, one bucket shuffle
-bounded by the shard footprint) + a dup-sized full-outer merge —
-never a corpus rebuild. Parity with the batch rebuild is pinned by
+bounded by the shard footprint) + a touched-partition outer merge —
+never a corpus rebuild, never a state-sized rewrite outside the
+periodic snapshot. Parity with the batch rebuild is pinned by
 tests/test_streaming.py (final streamed state == winnow_edge_counts
 over the whole corpus, and == the one-shot delta pipeline)."""
 
 from __future__ import annotations
 
-import glob
-import os
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,8 +64,241 @@ from pyspark.sql.streaming import StreamingQuery
 from .dedup import DOCS_SCHEMA
 
 _COUNTS_SCHEMA = "id_a LONG, id_b LONG, n LONG"
+_MH_COUNTS_SCHEMA = "id_a LONG, id_b LONG, n_pair LONG, n_star LONG"
 _INDEX_SCHEMA = "doc_id LONG, fp LONG"
 
+DEFAULT_NB = 64
+DEFAULT_COMPACT_EVERY = 16
+DEFAULT_KEEP_FULL = 2
+
+
+# ---------------------------------------------------------------------------
+# Hadoop FileSystem helpers (portable across HDFS/S3A/local)
+# ---------------------------------------------------------------------------
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _fs_list(spark: SparkSession, path: str) -> list:
+    """Child names of ``path`` (empty when the dir doesn't exist)."""
+    fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath = _fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+# ---------------------------------------------------------------------------
+# Partitioned versioned count store
+# ---------------------------------------------------------------------------
+
+def _kb_col(nb: int) -> F.Column:
+    """Deterministic pair-key bucket — the store's partition key."""
+    return F.pmod(F.xxhash64("id_a", "id_b"), F.lit(nb)).cast("int")
+
+
+def _vdir(root: str, v: int) -> str:
+    return f"{root}/v{v:09d}"
+
+
+def _store_versions(spark: SparkSession, root: str,
+                    before: int | None = None) -> list:
+    """Committed (manifest present) versions ascending, as
+    (version, manifest) pairs; optionally only those < ``before`` (a
+    replaying batch must read its predecessors, never its own partial
+    write)."""
+    out = []
+    for name in _fs_list(spark, root):
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if before is not None and v >= before:
+            continue
+        mpath = f"{root}/{name}/_TOUCHED"
+        if not _fs_exists(spark, mpath):
+            continue
+        out.append((v, json.loads(_read_text(spark, mpath))))
+    return sorted(out)
+
+
+def _read_store(spark: SparkSession, root: str, schema: str,
+                before: int | None = None) -> DataFrame:
+    """The CURRENT maintained relation: per bucket, the newest
+    committed version claiming it (walking back at most to the newest
+    full snapshot); a claimed bucket without a data directory is
+    empty by contract."""
+    cols = [c.split()[0] for c in schema.split(",")]
+    vs = _store_versions(spark, root, before)
+    if not vs:
+        return spark.createDataFrame([], schema)
+    sel: dict = {}
+    for v, man in reversed(vs):
+        for kb in man["kbs"]:
+            sel.setdefault(kb, v)
+        if man.get("full"):
+            break
+    by_v: dict = {}
+    for kb, v in sel.items():
+        by_v.setdefault(v, []).append(kb)
+    parts = []
+    for v, kbs in by_v.items():
+        vdir = _vdir(root, v)
+        paths = [f"{vdir}/kb={kb}" for kb in sorted(kbs)
+                 if _fs_exists(spark, f"{vdir}/kb={kb}")]
+        if paths:
+            parts.append(
+                spark.read.option("basePath", vdir).parquet(*paths)
+                .select(*cols)
+            )
+    if not parts:
+        return spark.createDataFrame([], schema)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _read_store_buckets(spark: SparkSession, root: str, schema: str,
+                        kbs: list, before: int | None = None) -> DataFrame:
+    """_read_store restricted to the given buckets — the stored side
+    of a touched-partition merge. Only the touched buckets' paths are
+    ever enumerated or read."""
+    cols = [c.split()[0] for c in schema.split(",")]
+    want = set(kbs)
+    vs = _store_versions(spark, root, before)
+    if not vs or not want:
+        return spark.createDataFrame([], schema)
+    sel: dict = {}
+    for v, man in reversed(vs):
+        for kb in man["kbs"]:
+            if kb in want:
+                sel.setdefault(kb, v)
+        if man.get("full"):
+            break
+    by_v: dict = {}
+    for kb, v in sel.items():
+        by_v.setdefault(v, []).append(kb)
+    parts = []
+    for v, vkbs in by_v.items():
+        vdir = _vdir(root, v)
+        paths = [f"{vdir}/kb={kb}" for kb in sorted(vkbs)
+                 if _fs_exists(spark, f"{vdir}/kb={kb}")]
+        if paths:
+            parts.append(
+                spark.read.option("basePath", vdir).parquet(*paths)
+                .select(*cols)
+            )
+    if not parts:
+        return spark.createDataFrame([], schema)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _commit_store_version(spark: SparkSession, root: str, df: DataFrame,
+                          batch_id: int, touched_kbs: list,
+                          full: bool) -> None:
+    """Write ``df`` (which must carry the ``kb`` column) as version
+    ``batch_id`` and publish its manifest — the manifest landing last
+    is the commit point."""
+    vdir = _vdir(root, batch_id)
+    df.write.mode("overwrite").partitionBy("kb").parquet(vdir)
+    _write_text(spark, f"{vdir}/_TOUCHED",
+                json.dumps({"kbs": sorted(touched_kbs), "full": full}))
+
+
+def gc_store(spark: SparkSession, root: str,
+             keep_full: int = DEFAULT_KEEP_FULL) -> list:
+    """Garbage-collect store versions strictly older than the
+    ``keep_full``-th newest full snapshot (readers resolve against
+    the newest snapshot, so retaining an extra one is a grace window
+    for readers pinned mid-walk). Returns the deleted version ids.
+    Never deletes anything until ``keep_full`` snapshots exist, so a
+    reader can always resolve every bucket."""
+    vs = _store_versions(spark, root)
+    fulls = [v for v, man in vs if man.get("full")]
+    if len(fulls) < keep_full:
+        return []
+    horizon = fulls[-keep_full]
+    doomed = [v for v, _ in vs if v < horizon]
+    for v in doomed:
+        _fs_delete(spark, _vdir(root, v))
+    return doomed
+
+
+def _apply_count_delta(spark: SparkSession, root: str, schema: str,
+                       delta: DataFrame, merge_fn, batch_id: int,
+                       nb: int, compact_every: int,
+                       keep_full: int) -> None:
+    """One batch of the partitioned store protocol: derive touched
+    buckets from the (cached) delta, merge against ONLY those
+    buckets' stored rows, commit the touched partitions — or, on a
+    snapshot batch, merge against the full state and commit a full
+    version, then GC."""
+    full = compact_every > 0 and batch_id % compact_every == 0
+    delta = delta.persist()
+    try:
+        if full:
+            stored = _read_store(spark, root, schema, before=batch_id)
+            merged = merge_fn(stored, delta)
+            touched = list(range(nb))
+        else:
+            touched = [
+                r[0] for r in delta.select(_kb_col(nb).alias("kb"))
+                .distinct().collect()
+            ]
+            stored = _read_store_buckets(spark, root, schema, touched,
+                                         before=batch_id)
+            merged = merge_fn(stored, delta)
+        _commit_store_version(
+            spark, root, merged.withColumn("kb", _kb_col(nb)),
+            batch_id, touched, full,
+        )
+    finally:
+        delta.unpersist()
+    if full:
+        gc_store(spark, root, keep_full)
+
+
+# ---------------------------------------------------------------------------
+# Winnow signal
+# ---------------------------------------------------------------------------
 
 def _batch_winnow_index(batch: DataFrame, k: int, w: int) -> DataFrame:
     """The arriving shard's exploded (doc_id, fp) winnow index — the
@@ -56,39 +315,20 @@ def _batch_winnow_index(batch: DataFrame, k: int, w: int) -> DataFrame:
     )
 
 
-def _count_versions(state_dir: str, before: int | None = None,
-                    prefix: str = "counts_v") -> list:
-    """Committed (has _SUCCESS) count versions, ascending; optionally
-    only those < ``before`` (a replaying batch must read its
-    predecessor, never its own partial write)."""
-    out = []
-    for d in glob.glob(os.path.join(state_dir, prefix + "*")):
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
-            continue
-        v = int(os.path.basename(d)[len(prefix):])
-        if before is None or v < before:
-            out.append(v)
-    return sorted(out)
-
-
 def read_edge_counts(spark: SparkSession, state_dir: str,
                      before: int | None = None) -> DataFrame:
-    """The newest COMMITTED version of the maintained count relation
-    (empty frame when no version exists yet)."""
-    vs = _count_versions(state_dir, before)
-    if not vs:
-        return spark.createDataFrame([], _COUNTS_SCHEMA)
-    return spark.read.parquet(
-        os.path.join(state_dir, f"counts_v{vs[-1]:09d}"))
+    """The current committed view of the maintained winnow count
+    relation (empty frame before the first commit)."""
+    return _read_store(spark, f"{state_dir}/counts", _COUNTS_SCHEMA,
+                       before)
 
 
 def _stored_index(spark: SparkSession, state_dir: str,
                   before: int) -> DataFrame:
     """Index partitions committed by batches < ``before`` (the corpus
-    as of this batch's predecessor)."""
-    idx_dir = os.path.join(state_dir, "winnow_idx")
-    parts = glob.glob(os.path.join(idx_dir, "batch_id=*"))
-    if not parts:
+    as of this batch's predecessors)."""
+    idx_dir = f"{state_dir}/winnow_idx"
+    if not _fs_list(spark, idx_dir):
         return spark.createDataFrame([], _INDEX_SCHEMA)
     return (
         spark.read.option("basePath", idx_dir).parquet(idx_dir)
@@ -99,19 +339,27 @@ def _stored_index(spark: SparkSession, state_dir: str,
 
 def apply_maintenance_batch(spark: SparkSession, batch: DataFrame,
                             batch_id: int, state_dir: str,
-                            k: int = 20, w: int = 8) -> None:
-    """One micro-batch of streamed edge maintenance — versioned and
-    replay-idempotent (module docstring has the commit protocol)."""
-    from ..operators.dedup import winnow_edges_apply_delta
+                            k: int = 20, w: int = 8,
+                            nb: int = DEFAULT_NB,
+                            compact_every: int = DEFAULT_COMPACT_EVERY,
+                            keep_full: int = DEFAULT_KEEP_FULL) -> None:
+    """One micro-batch of streamed edge maintenance — versioned,
+    replay-idempotent, and touched-partition-only (module docstring
+    has the commit protocol)."""
+    from ..operators.dedup import (
+        winnow_count_delta,
+        winnow_counts_merge_delta,
+    )
 
     new_ex = _batch_winnow_index(batch, k, w)
     old_ex = _stored_index(spark, state_dir, batch_id)
-    stored = read_edge_counts(spark, state_dir, before=batch_id)
-    updated = winnow_edges_apply_delta(stored, old_ex, new_ex)
-    updated.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"counts_v{batch_id:09d}"))
+    delta = winnow_count_delta(old_ex, new_ex)
+    _apply_count_delta(
+        spark, f"{state_dir}/counts", _COUNTS_SCHEMA, delta,
+        winnow_counts_merge_delta, batch_id, nb, compact_every, keep_full,
+    )
     new_ex.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "winnow_idx", f"batch_id={batch_id}"))
+        f"{state_dir}/winnow_idx/batch_id={batch_id}")
 
 
 def start_edge_maintenance_stream(
@@ -134,34 +382,29 @@ def start_edge_maintenance_stream(
 
     return (
         stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", os.path.join(state_dir, "_ckpt/maint"))
+        .option("checkpointLocation", f"{state_dir}/_ckpt/maint")
         .trigger(availableNow=True)
         .start()
     )
 
 
-_MH_COUNTS_SCHEMA = "id_a LONG, id_b LONG, n_pair LONG, n_star LONG"
-
+# ---------------------------------------------------------------------------
+# MinHash signal
+# ---------------------------------------------------------------------------
 
 def read_mh_counts(spark: SparkSession, state_dir: str,
                    before: int | None = None) -> DataFrame:
-    """Newest committed version of the maintained MinHash emission
-    counts (the ``mh_counts_v*`` relation; empty frame before the
-    first commit)."""
-    vs = _count_versions(state_dir, before,
-                         prefix="mh_counts_v")
-    if not vs:
-        return spark.createDataFrame([], _MH_COUNTS_SCHEMA)
-    return spark.read.parquet(
-        os.path.join(state_dir, f"mh_counts_v{vs[-1]:09d}"))
+    """The current committed view of the maintained MinHash emission
+    counts (empty frame before the first commit)."""
+    return _read_store(spark, f"{state_dir}/mh_counts", _MH_COUNTS_SCHEMA,
+                       before)
 
 
 def _stored_signatures(spark: SparkSession, state_dir: str,
                        before: int) -> DataFrame:
     """Signature partitions committed by batches < ``before``."""
-    idx_dir = os.path.join(state_dir, "mh_idx")
-    parts = glob.glob(os.path.join(idx_dir, "batch_id=*"))
-    if not parts:
+    idx_dir = f"{state_dir}/mh_idx"
+    if not _fs_list(spark, idx_dir):
         from pyspark.sql.types import (
             ArrayType, LongType, StructField, StructType,
         )
@@ -178,16 +421,21 @@ def _stored_signatures(spark: SparkSession, state_dir: str,
 
 
 def apply_mh_maintenance_batch(spark: SparkSession, batch: DataFrame,
-                               batch_id: int, state_dir: str) -> None:
+                               batch_id: int, state_dir: str,
+                               nb: int = DEFAULT_NB,
+                               compact_every: int = DEFAULT_COMPACT_EVERY,
+                               keep_full: int = DEFAULT_KEEP_FULL) -> None:
     """One micro-batch of streamed MINHASH candidate maintenance —
-    the second text signal riding the identical versioned commit
-    protocol (module docstring): the shard signs itself (the same
-    shuffle-free signature derivation the batch index layout uses),
-    lsh_counts_apply_delta folds its touched banded buckets into the
-    stored (n_pair, n_star) relation, and both the new count version
-    and the shard's signature partition land batch-id-keyed."""
+    the second text signal riding the identical partitioned commit
+    protocol: the shard signs itself (the same shuffle-free signature
+    derivation the batch index layout uses), lsh_count_delta folds
+    its touched banded buckets into a signed delta, and ONLY the
+    touched key-bucket partitions of the stored (n_pair, n_star)
+    relation are merged and committed, batch-id-keyed, alongside the
+    shard's signature partition."""
     from ..operators.dedup import (
-        lsh_counts_apply_delta,
+        lsh_count_delta,
+        lsh_counts_merge_delta,
         minhash_signatures,
         shingle_sets,
     )
@@ -196,12 +444,13 @@ def apply_mh_maintenance_batch(spark: SparkSession, batch: DataFrame,
         shingle_sets(batch.dropDuplicates())
     ).select("doc_id", "sig")
     old_sig = _stored_signatures(spark, state_dir, batch_id)
-    stored = read_mh_counts(spark, state_dir, before=batch_id)
-    updated = lsh_counts_apply_delta(stored, old_sig, new_sig)
-    updated.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"mh_counts_v{batch_id:09d}"))
+    delta = lsh_count_delta(old_sig, new_sig)
+    _apply_count_delta(
+        spark, f"{state_dir}/mh_counts", _MH_COUNTS_SCHEMA, delta,
+        lsh_counts_merge_delta, batch_id, nb, compact_every, keep_full,
+    )
     new_sig.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "mh_idx", f"batch_id={batch_id}"))
+        f"{state_dir}/mh_idx/batch_id={batch_id}")
 
 
 def start_mh_maintenance_stream(
@@ -222,8 +471,7 @@ def start_mh_maintenance_stream(
 
     return (
         stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation",
-                os.path.join(state_dir, "_ckpt/mh_maint"))
+        .option("checkpointLocation", f"{state_dir}/_ckpt/mh_maint")
         .trigger(availableNow=True)
         .start()
     )
