@@ -820,8 +820,8 @@ def test_streaming_edge_maintenance_matches_batch_rebuild(spark, tmp_path):
             _batch_winnow_index(docs, k=20, w=8)).collect())
     assert got == want and want
     # every batch committed its own version (3 shards, 1 file each)
-    from logsdb_spark.streaming.maintenance import _count_versions
-    assert len(_count_versions(str(state))) == 3
+    from logsdb_spark.streaming.maintenance import _store_versions
+    assert len(_store_versions(spark, str(state / "counts"))) == 3
 
 def test_streaming_edge_maintenance_replay_is_idempotent(spark, tmp_path):
     """Replaying a crashed micro-batch (same batch_id) must leave the
