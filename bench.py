@@ -484,6 +484,17 @@ def warm_up(spark, sf_dir: str) -> None:
     from logsdb_spark.operators.silver import cross_video_blob_layout
 
     cross_video_blob_layout(spark, sf_dir).limit(1).count()
+    # round-13: the two-level IVF quantizer hierarchies — model state
+    # stored next to the centroid layouts (ann_ivf_kmeans and the ANN
+    # maintenance shard encode read them instead of re-deriving the
+    # hierarchy in-plan per query)
+    from logsdb_spark.operators.silver import (
+        cent90_two_level_layout, kmeans_two_level_layout,
+    )
+
+    for frame in (*kmeans_two_level_layout(spark, sf_dir),
+                  *cent90_two_level_layout(spark, sf_dir)):
+        frame.limit(1).count()
 
 
 def streaming_bench(spark, sf_dir: str) -> dict:

@@ -1526,3 +1526,84 @@ def dsir_model_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("lv", DoubleType()),
     ])
     return _blob_layout(spark, sf_dir, "dsirlr1", make, schema)
+
+
+def _two_level_layout(spark: SparkSession, sf_dir: str, cents_fn,
+                      prefix: str, vec_elem) -> tuple[DataFrame, DataFrame]:
+    """The TWO-LEVEL IVF quantizer hierarchy as materialized parquet
+    (round 13 optimization): ``(coarse_row, blocks)`` exactly as
+    operators/similarity.two_level_model derives them from a fine
+    centroid frame — the coarse cell row (ONE row, the sorted
+    m = ceil(sqrt(k)) coarse struct array) under ``<prefix>c`` and the
+    per-coarse-cell fine blocks under ``<prefix>b``. The hierarchy is
+    pure MODEL state (a deterministic function of the stored
+    centroids), so production stores it next to the centroid layout
+    instead of re-deriving it inside every encode plan; the layout is
+    one execution of two_level_model written to parquet
+    (longs/doubles/floats round-trip bit-exactly), so layout-fed
+    assignment is value-identical to the in-plan derivation and every
+    consumer keeps its oracle (guide §1.2 step 1 — the in-plan
+    derivation cost every model broadcast re-paid: a model-sized
+    window + two aggregations + their jobs, per query action).
+    ``vec_elem`` pins the stored cent_vec element type to the source
+    model's (float for raw-embedding centroids, double for fitted
+    means)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from .similarity import two_level_model
+
+    cent_t = StructType([
+        StructField("cent_id", LongType()),
+        StructField("cent_vec", ArrayType(vec_elem)),
+        StructField("cnrm", DoubleType()),
+    ])
+    coarse_schema = StructType([
+        StructField("_coarse", ArrayType(cent_t)),
+    ])
+    blocks_schema = StructType([
+        StructField("ccell", LongType()),
+        StructField("blk", ArrayType(cent_t)),
+    ])
+    coarse = _blob_layout(spark, sf_dir, f"{prefix}c",
+                          lambda: two_level_model(cents_fn())[0],
+                          coarse_schema, src_table="embeddings")
+    blocks = _blob_layout(spark, sf_dir, f"{prefix}b",
+                          lambda: two_level_model(cents_fn())[1],
+                          blocks_schema, src_table="embeddings")
+    return coarse, blocks
+
+
+def kmeans_two_level_layout(spark: SparkSession, sf_dir: str, k: int = 16,
+                            iters: int = 2, sample_mod: int = 2,
+                            round_dp: int = 6,
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Two-level hierarchy over the fitted k-means codebook
+    (kmeans_centroid_layout) — the stored model ann_ivf_kmeans
+    assigns under (prefix ``tl1kmc_…``, keyed like the codebook)."""
+    from pyspark.sql.types import DoubleType
+
+    return _two_level_layout(
+        spark, sf_dir,
+        lambda: kmeans_centroid_layout(spark, sf_dir, k=k, iters=iters,
+                                       sample_mod=sample_mod,
+                                       round_dp=round_dp),
+        f"tl1kmc_{k}_{iters}_{sample_mod}_{round_dp}", DoubleType(),
+    )
+
+
+def cent90_two_level_layout(spark: SparkSession, sf_dir: str,
+                            target_cell_rows: int = 64,
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Two-level hierarchy over the frozen 90%-corpus centroid model
+    (ivf_cent90_layout) — the stored model the ANN index maintenance
+    shard encodes under (prefix ``tl1c90_…``)."""
+    from pyspark.sql.types import FloatType
+
+    return _two_level_layout(
+        spark, sf_dir,
+        lambda: ivf_cent90_layout(spark, sf_dir,
+                                  target_cell_rows=target_cell_rows),
+        f"tl1c90_{target_cell_rows}", FloatType(),
+    )

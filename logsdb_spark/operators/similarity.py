@@ -440,7 +440,9 @@ def two_level_model(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
                           n_assign: int = 2,
-                          coarse_probe: int | None = None) -> DataFrame:
+                          coarse_probe: int | None = None,
+                          two_level: tuple[DataFrame, DataFrame] | None = None,
+                          ) -> DataFrame:
     """The ENCODE half of ivf_cell_assignments, split out (round 12)
     so it can run against an EXPLICIT (frozen) centroid model: given
     a (cent_id, cent_vec, cnrm) centroid frame, assign every vector
@@ -466,9 +468,20 @@ def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
     the corpus is never shuffled. The hierarchical assignment is a
     different (approximate) cell relation than the flat one — its
     oracles replay the identical two-stage rule, and recall gates pin
-    quality."""
+    quality.
+
+    ``two_level`` lets the caller hand in a PREBUILT
+    (coarse_row, blocks) pair — the materialized two-level model
+    layout (operators/silver.two_level_model_layout), round 13: the
+    hierarchy is pure model state, so production stores it next to
+    the centroids instead of re-deriving it per query. Value-identical
+    to the in-plan derivation (the layout IS one execution of
+    two_level_model); at bench scale it removes the window + two
+    aggregation jobs embedded in every model broadcast build
+    (guide §1.2 step 1 — fewer jobs, same plan tail)."""
     if coarse_probe is not None:
-        coarse_row, blocks = two_level_model(cents)
+        coarse_row, blocks = (two_level if two_level is not None
+                              else two_level_model(cents))
         cur = (
             _with_norm(emb, "embedding", "_nrm")
             .join(F.broadcast(coarse_row))
@@ -535,7 +548,9 @@ def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
 def ivf_assign_apply_delta(stored_assign: DataFrame, cents: DataFrame,
                            new_emb: DataFrame,
                            n_assign: int = 2,
-                           coarse_probe: int | None = None) -> DataFrame:
+                           coarse_probe: int | None = None,
+                           two_level: tuple[DataFrame, DataFrame] | None = None,
+                           ) -> DataFrame:
     """INCREMENTAL maintenance of the IVF assignment index under an
     arriving shard (round 12 — the ANN twin of the dedup edge
     deltas): encode ONLY the shard against the stored centroid model
@@ -548,7 +563,8 @@ def ivf_assign_apply_delta(stored_assign: DataFrame, cents: DataFrame,
     ann_index_maintenance_ivf."""
     return stored_assign.unionByName(
         ivf_assign_with_model(new_emb, cents, n_assign,
-                              coarse_probe=coarse_probe)
+                              coarse_probe=coarse_probe,
+                              two_level=two_level)
     )
 
 
@@ -719,7 +735,9 @@ def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
                  n_centroids: int = 16, nprobe: int = 4,
                  centroids: DataFrame | None = None,
                  assign_m: int = 1,
-                 coarse_probe: int | None = None) -> DataFrame:
+                 coarse_probe: int | None = None,
+                 two_level: tuple[DataFrame, DataFrame] | None = None,
+                 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells (inverted
     lists), search only the ``nprobe`` cells nearest each probe.
 
@@ -784,7 +802,8 @@ def ivf_ann_topk(emb: DataFrame, probes: DataFrame, k: int = 10,
         # corpus. Probe-side cell ranking below stays flat (|probes|
         # x k, probe-sized, not corpus-sized).
         assigned = ivf_assign_with_model(
-            emb, cents, n_assign=assign_m, coarse_probe=coarse_probe
+            emb, cents, n_assign=assign_m, coarse_probe=coarse_probe,
+            two_level=two_level,
         ).select("vec_id", "embedding", F.col("nrm").alias("_nrm"), "cell")
     elif assign_m == 1:
         assigned = with_cents.select(

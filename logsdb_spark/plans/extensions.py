@@ -3103,13 +3103,23 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
     )
     if lazy_fit:
         cents = kmeans_centroids(emb, k=16, iters=2, sample_mod=2)
+        two_level = None
     else:
-        from ..operators.silver import kmeans_centroid_layout
+        from ..operators.silver import (
+            kmeans_centroid_layout,
+            kmeans_two_level_layout,
+        )
 
         cents = kmeans_centroid_layout(spark, sf_dir, k=16, iters=2,
                                        sample_mod=2)
+        # Round 13: the two-level hierarchy is MODEL state like the
+        # codebook itself — the default route reads both from layouts
+        # (value-identical to the in-plan derivation the _lazy form
+        # keeps benched; see silver._two_level_layout).
+        two_level = kmeans_two_level_layout(spark, sf_dir, k=16, iters=2,
+                                            sample_mod=2)
     out = ivf_ann_topk(emb, probes, k=10, nprobe=4, centroids=cents,
-                       assign_m=2, coarse_probe=2)
+                       assign_m=2, coarse_probe=2, two_level=two_level)
     return out.select(
         "probe_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
     ).orderBy("probe_id", "rank")
@@ -7913,6 +7923,7 @@ def ann_index_maintenance_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a hash match proves delta == rebuild-under-model end to
     end."""
     from ..operators.silver import (
+        cent90_two_level_layout,
         ivf_assign90_layout,
         ivf_cent90_layout,
     )
@@ -7924,6 +7935,10 @@ def ann_index_maintenance_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign90_layout(spark, sf_dir),
         ivf_cent90_layout(spark, sf_dir),
         new_emb, n_assign=2, coarse_probe=2,
+        # Round 13: the stored model's hierarchy comes from the layout
+        # (model state next to the centroids), not a per-query in-plan
+        # derivation — see silver._two_level_layout.
+        two_level=cent90_two_level_layout(spark, sf_dir),
     )
     return assign.select("vec_id", "cell", "rk").orderBy("vec_id", "rk")
 

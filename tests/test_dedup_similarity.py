@@ -1097,3 +1097,31 @@ def test_two_level_covering_probe_matches_flat(spark):
             .select("vec_id", "cell", "rk").collect()
         )
         assert two == flat
+
+
+def test_two_level_layout_matches_inplan(spark):
+    """The MATERIALIZED two-level hierarchy (round-13 optimization:
+    silver._two_level_layout, model state stored next to the
+    centroids) yields assignments IDENTICAL to deriving the hierarchy
+    in-plan — the equality that lets the layout-fed consumers
+    (ann_ivf_kmeans, ann_index_maintenance_ivf) keep their oracles."""
+    from logsdb_spark.operators.silver import (
+        cent90_two_level_layout,
+        ivf_cent90_layout,
+    )
+    from logsdb_spark.operators.similarity import ivf_assign_with_model
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") % 10 == 0)
+    cents = ivf_cent90_layout(spark, SF_DIR)
+
+    def rows(two_level):
+        return sorted(
+            (r.vec_id, r.cell, r.rk)
+            for r in ivf_assign_with_model(
+                emb, cents, n_assign=2, coarse_probe=2,
+                two_level=two_level)
+            .select("vec_id", "cell", "rk").collect()
+        )
+
+    assert rows(cent90_two_level_layout(spark, SF_DIR)) == rows(None)
