@@ -479,6 +479,28 @@ def warm_up(spark, sf_dir: str) -> None:
 
     dedup_edge_layout(spark, sf_dir).limit(1).count()
     winnow_edge_count_layout(spark, sf_dir).limit(1).count()
+    # round-13: the REMAINING maintenance-state layouts (stored counts,
+    # 90%-side edges/reps/assignments) — the same ingest-time state
+    # contract as winnow_edge_count_layout above, which was the only
+    # one of the family warm_up touched; the min-over-reps estimator
+    # already strips the first-rep build, but materializing them here
+    # removes that build from rep-1 noise entirely
+    from logsdb_spark.operators.silver import (
+        ivf_assign90_layout, ivf_cent90_layout, media_edge90_layout,
+        media_rep90_layout, minhash_emission_count_layout,
+        vframe_edge_count_layout, vframe_star_state_layout,
+        winnow_star_state_layout,
+    )
+
+    minhash_emission_count_layout(spark, sf_dir).limit(1).count()
+    winnow_star_state_layout(spark, sf_dir).limit(1).count()
+    vframe_edge_count_layout(spark, sf_dir).limit(1).count()
+    vframe_star_state_layout(spark, sf_dir).limit(1).count()
+    for kind in ("phash", "afp"):
+        media_edge90_layout(spark, sf_dir, kind).limit(1).count()
+        media_rep90_layout(spark, sf_dir, kind).limit(1).count()
+    ivf_cent90_layout(spark, sf_dir).limit(1).count()
+    ivf_assign90_layout(spark, sf_dir).limit(1).count()
     # round-12: the cross-container video corpus (MJPEG AVI + GIF twin
     # halves — the stored input of the AVI decode + cross dedup benches)
     from logsdb_spark.operators.silver import cross_video_blob_layout

@@ -1388,8 +1388,19 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
     stage and never shuffle. (The component-edge path no longer rides
     this relation — _bucket_component_stars fuses verify + CC in one
     Arrow kernel per bucket — so only the pair QUERY, whose output
-    contract is the actual pair set, pays the quadratic emit.)"""
-    buckets = _hamming_buckets(hashes, max_hamming, id_col, hash_col)
+    contract is the actual pair set, pays the quadratic emit.)
+
+    The bucket table is PERSISTED (round 13, guide §4.1/§2.3): the
+    small-bucket branch and BOTH sides of the big-bucket self-join
+    reference it, and Spark does not share common subtrees across
+    union/join branches — so a from-raw caller (image_dhash /
+    audio_fingerprint over blobs) was running its DECODE KERNEL three
+    times per query (three MapInPandas nodes over the same scan in
+    the captured plan). One cache fill runs the decode + the one
+    band-key shuffle once; the branches then read bucket rows
+    ((id, hash) members — KBs per thousand docs) from cache."""
+    buckets = _hamming_buckets(hashes, max_hamming, id_col,
+                               hash_col).persist()
     in_row_bucket = 256
 
     def verified(cand: DataFrame) -> DataFrame:
@@ -2000,18 +2011,37 @@ def winnow_edges_apply_delta(stored_counts: DataFrame,
     stored counts — proportional to the shard's fingerprint
     footprint, never the corpus. Consumers apply the >= 2 decision
     at read (winnow_pairs_from_counts); parity with the full rebuild
-    is oracle-gated end to end by dedup_edge_maintenance_winnow."""
-    return winnow_counts_merge_delta(
-        stored_counts, winnow_count_delta(old_ex, new_ex)
+    is oracle-gated end to end by dedup_edge_maintenance_winnow.
+
+    FUSED merge (round 13, guide §2.4): the signed per-bucket
+    emissions flow STRAIGHT into the stored-count merge as raw
+    (id_a, id_b, ±1) contribution rows — one union + one grouped sum
+    computes n' = n + Σs per pair, value-identical to aggregating
+    the delta first and outer-joining it (sum is associative), but
+    with ONE pair-key shuffle for the delta instead of two and no
+    SortMergeJoin (interleaved A/B: 2.43 → 2.09 s min). The
+    partitioned state store still uses the explicit two-step form
+    (winnow_count_delta → winnow_counts_merge_delta) because it needs
+    the delta RELATION itself to derive touched partitions."""
+    em = _winnow_emission_rows(old_ex, new_ex)
+    return (
+        stored_counts.select("id_a", "id_b", "n")
+        .unionByName(
+            em.filter(~F.col("is_star"))
+            .select("id_a", "id_b", F.col("s").cast("long").alias("n"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
     )
 
 
-def winnow_count_delta(old_ex: DataFrame, new_ex: DataFrame) -> DataFrame:
-    """The SIGNED per-pair count delta (id_a, id_b, dn) of
-    winnow_edges_apply_delta, exposed separately (round 13) so a
-    partitioned state store can derive the TOUCHED key-bucket set
-    from the delta alone and read/rewrite only those partitions of
-    the stored relation (streaming/maintenance.py)."""
+def _winnow_emission_rows(old_ex: DataFrame, new_ex: DataFrame) -> DataFrame:
+    """The signed touched-bucket emission rows (id_a, id_b, is_star,
+    s) both winnow delta consumers share — the fused batch merge
+    (winnow_edges_apply_delta) aggregates them together with the
+    stored counts in one pass; the partitioned-store path aggregates
+    them alone first (winnow_count_delta)."""
     # BROADCAST the touched-fingerprint keys: the existing index is
     # corpus-sized and must reduce to the touched buckets map-side —
     # a hash join on fp would shuffle the whole corpus index per
@@ -2028,7 +2058,16 @@ def winnow_count_delta(old_ex: DataFrame, new_ex: DataFrame) -> DataFrame:
         .unionByName(new_ex.select("doc_id", "fp")
                      .withColumn("is_new", F.lit(True)))
     )
-    em = _capped_bucket_emit_delta(tagged)
+    return _capped_bucket_emit_delta(tagged)
+
+
+def winnow_count_delta(old_ex: DataFrame, new_ex: DataFrame) -> DataFrame:
+    """The SIGNED per-pair count delta (id_a, id_b, dn) of
+    winnow_edges_apply_delta, exposed separately (round 13) so a
+    partitioned state store can derive the TOUCHED key-bucket set
+    from the delta alone and read/rewrite only those partitions of
+    the stored relation (streaming/maintenance.py)."""
+    em = _winnow_emission_rows(old_ex, new_ex)
     return (
         em.filter(~F.col("is_star"))
         .groupBy("id_a", "id_b")
@@ -2043,14 +2082,22 @@ def winnow_counts_merge_delta(stored_counts: DataFrame,
     relation — the outer-merge half of winnow_edges_apply_delta. When
     the store is partitioned by pair-key bucket, ``stored_counts``
     here is only the TOUCHED partitions (every delta row's bucket is
-    touched by construction, so untouched partitions cannot change)."""
+    touched by construction, so untouched partitions cannot change).
+
+    Implemented as UNION + one hash aggregate, not a full-outer join
+    (round 13, guide §2.4): ``coalesce(n,0) + coalesce(dn,0)`` over a
+    full-outer merge IS ``sum`` over the unioned contribution rows —
+    value-identical for every key present in either side — and the
+    aggregate form drops the join's second Exchange, both Sort legs,
+    and the SortMergeJoin itself (one Exchange + HashAggregate
+    instead), with map-side partial aggregation shrinking what the
+    one shuffle carries. Same bytes-class at 100 TB, strictly fewer
+    stages."""
     return (
-        stored_counts.join(delta, ["id_a", "id_b"], "full")
-        .select(
-            "id_a", "id_b",
-            (F.coalesce(F.col("n"), F.lit(0))
-             + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
-        )
+        stored_counts.select("id_a", "id_b", "n")
+        .unionByName(delta.select("id_a", "id_b", F.col("dn").alias("n")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n").alias("n"))
         .filter(F.col("n") > 0)
     )
 
@@ -2128,17 +2175,35 @@ def lsh_counts_apply_delta(stored_counts: DataFrame,
     by never entering. Handles every non-monotone case: a bucket
     crossing the 512 cap retracts its clique and gains stars, one
     shrinking back retracts stars and regains pairs. Per-shard cost
-    ∝ the shard's banded-key footprint."""
-    return lsh_counts_merge_delta(
-        stored_counts, lsh_count_delta(old_signed, new_signed, max_bucket)
+    ∝ the shard's banded-key footprint.
+
+    FUSED merge (round 13): raw signed emissions union with the
+    stored counts into ONE grouped sum — same associative-merge
+    rewrite (and evidence) as winnow_edges_apply_delta; the
+    partitioned store keeps the two-step lsh_count_delta →
+    lsh_counts_merge_delta form."""
+    em = _lsh_emission_rows(old_signed, new_signed, max_bucket)
+    z = F.lit(0).cast("long")
+    s = F.col("s").cast("long")
+    return (
+        stored_counts.select("id_a", "id_b", "n_pair", "n_star")
+        .unionByName(em.select(
+            "id_a", "id_b",
+            F.when(~F.col("is_star"), s).otherwise(z).alias("n_pair"),
+            F.when(F.col("is_star"), s).otherwise(z).alias("n_star"),
+        ))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n_pair").alias("n_pair"), F.sum("n_star").alias("n_star"))
+        .filter((F.col("n_pair") > 0) | (F.col("n_star") > 0))
     )
 
 
-def lsh_count_delta(old_signed: DataFrame, new_signed: DataFrame,
-                    max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
-    """The SIGNED per-pair emission delta (id_a, id_b, _dp, _ds) of
-    lsh_counts_apply_delta, exposed separately (round 13) for the
-    partitioned state store — same rationale as winnow_count_delta."""
+def _lsh_emission_rows(old_signed: DataFrame, new_signed: DataFrame,
+                       max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """The signed touched-bucket emission rows (id_a, id_b, is_star,
+    s) both LSH delta consumers share — fused batch merge
+    (lsh_counts_apply_delta) vs explicit delta (lsh_count_delta),
+    mirroring _winnow_emission_rows."""
     touched = F.broadcast(
         _banded_keys(new_signed, "doc_id")
         .select("band_idx", "band_hash").distinct()
@@ -2155,8 +2220,16 @@ def lsh_count_delta(old_signed: DataFrame, new_signed: DataFrame,
         .unionByName(_banded_keys(new_signed, "doc_id").select(*keep)
                      .withColumn("is_new", F.lit(True)))
     )
-    em = _capped_bucket_emit_delta(tagged, cap=max_bucket,
-                                   key_cols=("band_idx", "band_hash"))
+    return _capped_bucket_emit_delta(tagged, cap=max_bucket,
+                                     key_cols=("band_idx", "band_hash"))
+
+
+def lsh_count_delta(old_signed: DataFrame, new_signed: DataFrame,
+                    max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """The SIGNED per-pair emission delta (id_a, id_b, _dp, _ds) of
+    lsh_counts_apply_delta, exposed separately (round 13) for the
+    partitioned state store — same rationale as winnow_count_delta."""
+    em = _lsh_emission_rows(old_signed, new_signed, max_bucket)
     z = F.lit(0)
     return (
         em.groupBy("id_a", "id_b")
@@ -2174,15 +2247,17 @@ def lsh_counts_merge_delta(stored_counts: DataFrame,
                            delta: DataFrame) -> DataFrame:
     """Merge a signed (_dp, _ds) delta into the stored (n_pair,
     n_star) relation — the outer-merge half of lsh_counts_apply_delta
-    (partitioned-store contract as winnow_counts_merge_delta)."""
-    z = F.lit(0)
+    (partitioned-store contract as winnow_counts_merge_delta, and the
+    same round-13 UNION + hash-aggregate form: per-key coalesce-sums
+    over a full outer join ARE sums over unioned contribution rows,
+    so the join's extra Exchange/Sorts collapse into one aggregate)."""
     return (
-        stored_counts.join(delta, ["id_a", "id_b"], "full")
-        .select(
+        stored_counts.select("id_a", "id_b", "n_pair", "n_star")
+        .unionByName(delta.select(
             "id_a", "id_b",
-            (F.coalesce("n_pair", z) + F.coalesce("_dp", z)).alias("n_pair"),
-            (F.coalesce("n_star", z) + F.coalesce("_ds", z)).alias("n_star"),
-        )
+            F.col("_dp").alias("n_pair"), F.col("_ds").alias("n_star")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n_pair").alias("n_pair"), F.sum("n_star").alias("n_star"))
         .filter((F.col("n_pair") > 0) | (F.col("n_star") > 0))
     )
 
@@ -2239,17 +2314,16 @@ def winnow_star_state_apply_delta(stored: DataFrame,
     one shard-footprint-sized full-outer join; no corpus rescan, and
     a bucket crossing the cap in either direction is just c' moving
     past the threshold at read time."""
-    shard = winnow_star_state(new_ex).select(
-        "fp", F.col("c").alias("_cn"), F.col("rep").alias("_rn")
-    )
+    # UNION + aggregate, not a full-outer join (round 13): both state
+    # columns are associative merges (sum / min), so the join form's
+    # coalesce-sum and least() per key equal one grouped aggregate
+    # over the unioned rows — fewer stages, same relation (see
+    # winnow_counts_merge_delta).
     return (
-        stored.join(shard, "fp", "full")
-        .select(
-            "fp",
-            (F.coalesce("c", F.lit(0)) + F.coalesce("_cn", F.lit(0)))
-            .alias("c"),
-            F.least("rep", "_rn").alias("rep"),
-        )
+        stored.select("fp", "c", "rep")
+        .unionByName(winnow_star_state(new_ex))
+        .groupBy("fp")
+        .agg(F.sum("c").alias("c"), F.min("rep").alias("rep"))
     )
 
 
@@ -2297,14 +2371,18 @@ def phash_reps_apply_delta(stored_reps: DataFrame,
     doc id undercuts it (components are unchanged either way and the
     old rep's star edges stay valid); this table is the canonical
     min for read-side consumers that want the true representative."""
+    # UNION + min aggregate, not a full-outer join (round 13): the rep
+    # merge is associative, so least() over the outer join equals one
+    # grouped min over unioned rows — see winnow_counts_merge_delta.
     sh = (
         new_hashes.filter(F.col(hash_col).isNotNull())
-        .groupBy(F.col(hash_col).alias("hv"))
-        .agg(F.min("doc_id").alias("_rn"))
+        .select(F.col(hash_col).alias("hv"), F.col("doc_id").alias("rep_id"))
     )
     return (
-        stored_reps.join(sh, "hv", "full")
-        .select("hv", F.least("rep_id", "_rn").alias("rep_id"))
+        stored_reps.select("hv", "rep_id")
+        .unionByName(sh)
+        .groupBy("hv")
+        .agg(F.min("rep_id").alias("rep_id"))
     )
 
 
@@ -2367,9 +2445,20 @@ def phash_edges_apply_delta(stored_edges: DataFrame,
     read side's distinct — callers replaying at-least-once delivery
     should dedup the shard against stored membership first, or ride
     the versioned ingest sink that already guarantees it."""
+    # PERSIST the two shard-sized frames every downstream branch
+    # re-derives (round 13, guide §2.4/§5): ``newh`` feeds the attach
+    # build, the anti-join, and (via nreps) both banded probes, and
+    # each of the ~5 BroadcastExchange builds below is a separate job
+    # that would otherwise re-execute the shard scan subtree from the
+    # source — measured 1.84 s (noop) to emit 209 delta edges at
+    # bench scale, dominated by exactly that re-execution. Both
+    # frames are shard-sized by construction (the delta premise), so
+    # the cache is KBs; this is intra-query reuse, same pattern as
+    # minhash_near_dups' shingle persist.
     newh = (
         new_hashes.filter(F.col(hash_col).isNotNull())
         .select("doc_id", F.col(hash_col).alias("hv"))
+        .persist()
     )
     hit = stored_reps.join(F.broadcast(newh), "hv")
     attach = hit.filter(F.col("rep_id") != F.col("doc_id")).select(
@@ -2377,7 +2466,10 @@ def phash_edges_apply_delta(stored_edges: DataFrame,
     )
     matched = F.broadcast(hit.select("hv").distinct())
     unmatched = newh.join(matched, "hv", "left_anti")
-    nreps = unmatched.groupBy("hv").agg(F.min("doc_id").alias("rep_id"))
+    nreps = (
+        unmatched.groupBy("hv").agg(F.min("doc_id").alias("rep_id"))
+        .persist()
+    )
     nstar = (
         unmatched.join(F.broadcast(nreps), "hv")
         .filter(F.col("doc_id") != F.col("rep_id"))

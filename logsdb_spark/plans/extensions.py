@@ -7690,9 +7690,15 @@ def dedup_edge_maintenance_phash(spark: SparkSession,
         media_rep90_layout,
     )
 
-    idx = _widened_layout(
-        spark, sf_dir, media_evidence_layout(spark, sf_dir), "mevidx"
-    ).filter(F.col("kind") == "phash")
+    # Round 13: the evidence INDEX is read plain, not widened — the
+    # widen helper spreads per-row COMPUTE (blob decodes); this query
+    # only filters/projects hashes, so the round-robin repartition was
+    # a pure extra Exchange re-paid by every shard-subtree re-execution
+    # (guide §2.4; interleaved A/B in scripts/phash_widen_ab_r13.py:
+    # 2.11 → 1.88 s min, parity asserted on all 2500 rows).
+    idx = media_evidence_layout(spark, sf_dir).filter(
+        F.col("kind") == "phash"
+    )
     new_hashes = (
         idx.filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", F.col("hv").alias("phash"))
@@ -7766,9 +7772,11 @@ def dedup_edge_maintenance_audio(spark: SparkSession,
         media_rep90_layout,
     )
 
-    idx = _widened_layout(
-        spark, sf_dir, media_evidence_layout(spark, sf_dir), "mevidx"
-    ).filter(F.col("kind") == "afp")
+    # Round 13: plain index read — same rationale and A/B evidence as
+    # dedup_edge_maintenance_phash above (no per-row compute to widen).
+    idx = media_evidence_layout(spark, sf_dir).filter(
+        F.col("kind") == "afp"
+    )
     new_hashes = (
         idx.filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", F.col("hv").alias("afp"))
@@ -7851,10 +7859,10 @@ def dedup_edge_maintenance_vframe(spark: SparkSession,
         vframe_star_state_layout,
     )
 
+    # Round 13: plain index read — same rationale and A/B evidence as
+    # dedup_edge_maintenance_phash above (no per-row compute to widen).
     idx = (
-        _widened_layout(
-            spark, sf_dir, media_evidence_layout(spark, sf_dir), "mevidx"
-        )
+        media_evidence_layout(spark, sf_dir)
         .filter(F.col("kind") == "vframe")
         .select("doc_id", F.col("hv").alias("fp"))
     )

@@ -1125,3 +1125,117 @@ def test_two_level_layout_matches_inplan(spark):
         )
 
     assert rows(cent90_two_level_layout(spark, SF_DIR)) == rows(None)
+
+
+def test_fused_count_merges_match_two_step(spark):
+    """Round-13 optimization pin: the FUSED union+aggregate merges
+    (winnow_edges_apply_delta / lsh_counts_apply_delta merging raw
+    signed emissions, winnow_star_state_apply_delta /
+    phash_reps_apply_delta merging via grouped sum/min) produce
+    relations IDENTICAL to the explicit two-step / full-outer-join
+    forms they replaced — the associative-merge equivalence the
+    rewrite rests on, checked on the real sf0.001 index state."""
+    from logsdb_spark.operators.dedup import (
+        lsh_count_delta,
+        lsh_counts_apply_delta,
+        phash_reps_apply_delta,
+        winnow_count_delta,
+        winnow_edges_apply_delta,
+        winnow_star_state,
+        winnow_star_state_apply_delta,
+    )
+    from logsdb_spark.operators.silver import (
+        minhash_emission_count_layout,
+        minhash_index_layout,
+        winnow_edge_count_layout,
+        winnow_fp_layout,
+    )
+
+    # winnow: fused vs explicit delta + outer-join merge
+    idx = winnow_fp_layout(spark, SF_DIR)
+    old_ex = idx.filter(F.col("doc_id") % 10 != 0)
+    new_ex = idx.filter(F.col("doc_id") % 10 == 0)
+    stored = winnow_edge_count_layout(spark, SF_DIR)
+    fused = sorted(
+        tuple(r) for r in
+        winnow_edges_apply_delta(stored, old_ex, new_ex).collect()
+    )
+    delta = winnow_count_delta(old_ex, new_ex)
+    joined = sorted(
+        tuple(r) for r in
+        stored.join(delta, ["id_a", "id_b"], "full")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce(F.col("n"), F.lit(0))
+             + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    assert fused == joined and len(fused) > 0
+
+    # lsh: fused vs explicit delta + outer-join merge
+    midx = minhash_index_layout(spark, SF_DIR)
+    old_sig = midx.filter(F.col("doc_id") % 10 != 0).select("doc_id", "sig")
+    new_sig = midx.filter(F.col("doc_id") % 10 == 0).select("doc_id", "sig")
+    mstored = minhash_emission_count_layout(spark, SF_DIR)
+    mfused = sorted(
+        tuple(r) for r in
+        lsh_counts_apply_delta(mstored, old_sig, new_sig).collect()
+    )
+    mdelta = lsh_count_delta(old_sig, new_sig)
+    z = F.lit(0)
+    mjoined = sorted(
+        tuple(r) for r in
+        mstored.join(mdelta, ["id_a", "id_b"], "full")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce("n_pair", z) + F.coalesce("_dp", z)).alias("n_pair"),
+            (F.coalesce("n_star", z) + F.coalesce("_ds", z)).alias("n_star"),
+        )
+        .filter((F.col("n_pair") > 0) | (F.col("n_star") > 0))
+        .collect()
+    )
+    assert mfused == mjoined and len(mfused) > 0
+
+    # star state: union+agg vs full-outer least/sum
+    st = winnow_star_state(old_ex)
+    sfused = sorted(
+        tuple(r) for r in
+        winnow_star_state_apply_delta(st, new_ex).collect()
+    )
+    sh = winnow_star_state(new_ex).select(
+        "fp", F.col("c").alias("_cn"), F.col("rep").alias("_rn"))
+    sjoined = sorted(
+        tuple(r) for r in
+        st.join(sh, "fp", "full")
+        .select(
+            "fp",
+            (F.coalesce("c", F.lit(0)) + F.coalesce("_cn", F.lit(0)))
+            .alias("c"),
+            F.least("rep", "_rn").alias("rep"),
+        )
+        .collect()
+    )
+    assert sfused == sjoined and len(sfused) > 0
+
+    # rep table: union+min vs full-outer least
+    reps = (
+        old_ex.groupBy(F.col("fp").alias("hv"))
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+    newh = new_ex.select("doc_id", F.col("fp").alias("phash"))
+    rfused = sorted(
+        tuple(r) for r in phash_reps_apply_delta(reps, newh).collect()
+    )
+    rsh = (
+        newh.groupBy(F.col("phash").alias("hv"))
+        .agg(F.min("doc_id").alias("_rn"))
+    )
+    rjoined = sorted(
+        tuple(r) for r in
+        reps.join(rsh, "hv", "full")
+        .select("hv", F.least("rep_id", "_rn").alias("rep_id"))
+        .collect()
+    )
+    assert rfused == rjoined and len(rfused) > 0
