@@ -89,21 +89,30 @@ class _BitReader:
     def aligned(self) -> bool:
         return self._bit == 0
 
+    # read/read_unary/read_rice are the Rice-residual hot loop
+    # (profiled: per-BIT read(1) calls were ~2/3 of FLAC decode CPU);
+    # they run on LOCAL copies of (byte, bit) and consume the same
+    # bits in the same order as the original per-bit forms — identical
+    # values on valid streams, the same EOFError on truncated ones.
+
     def read(self, n: int) -> int:
-        v = 0
         d = self._d
+        dlen = len(d)
+        byte, bit = self._byte, self._bit
+        v = 0
         while n > 0:
-            if self._byte >= len(d):
+            if byte >= dlen:
+                self._byte, self._bit = byte, bit
                 raise EOFError
-            avail = 8 - self._bit
+            avail = 8 - bit
             take = avail if avail < n else n
-            cur = d[self._byte]
-            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
-            self._bit += take
-            if self._bit == 8:
-                self._bit = 0
-                self._byte += 1
+            v = (v << take) | ((d[byte] >> (avail - take)) & ((1 << take) - 1))
+            bit += take
+            if bit == 8:
+                bit = 0
+                byte += 1
             n -= take
+        self._byte, self._bit = byte, bit
         return v
 
     def read_signed(self, n: int) -> int:
@@ -111,12 +120,45 @@ class _BitReader:
         return v - (1 << n) if v >> (n - 1) else v
 
     def read_unary(self) -> int:
+        """Count zero bits up to the terminating 1 — byte-at-a-time
+        (bit_length finds the 1 inside a byte) instead of per-bit
+        read(1) calls; the corrupt-stream guard (> 2^24 zeros =>
+        EOFError) is preserved."""
+        d = self._d
+        dlen = len(d)
+        byte, bit = self._byte, self._bit
         q = 0
-        while self.read(1) == 0:
-            q += 1
-            if q > 1 << 24:  # corrupt-stream guard
+        while True:
+            if byte >= dlen:
+                self._byte, self._bit = byte, bit
                 raise EOFError
-        return q
+            cur = d[byte] & ((1 << (8 - bit)) - 1)
+            if cur == 0:
+                q += 8 - bit
+                byte += 1
+                bit = 0
+                if q > 1 << 24:  # corrupt-stream guard
+                    self._byte, self._bit = byte, bit
+                    raise EOFError
+                continue
+            zeros = (8 - bit) - cur.bit_length()
+            q += zeros
+            bit += zeros + 1
+            if bit == 8:
+                byte += 1
+                bit = 0
+            self._byte, self._bit = byte, bit
+            if q > 1 << 24:
+                raise EOFError
+            return q
+
+    def read_rice(self, p: int) -> int:
+        """One Rice-coded residual: unary quotient, ``p`` remainder
+        bits, zigzag unmap — exactly ``read_unary``/``read``/unzigzag
+        fused into one call for the per-sample hot path."""
+        q = self.read_unary()
+        z = (q << p) | (self.read(p) if p else 0)
+        return (z >> 1) ^ -(z & 1)
 
     def align(self) -> None:
         if self._bit:
@@ -399,10 +441,9 @@ def _read_residual(br: _BitReader, blk: int, order: int) -> list[int]:
             else:
                 res.extend(br.read_signed(raw) for _ in range(n))
         else:
+            read_rice = br.read_rice
             for _ in range(n):
-                q = br.read_unary()
-                z = (q << p) | br.read(p)
-                res.append((z >> 1) ^ -(z & 1))
+                res.append(read_rice(p))
     return res
 
 
@@ -424,10 +465,25 @@ def _decode_subframe(br: _BitReader, blk: int, bits: int) -> list[int]:
         warm = [br.read_signed(bits) for _ in range(order)]
         res = _read_residual(br, blk, order)
         out = list(warm)
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, blk):
-            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
-            out.append(pred + res[i - order])
+        # unrolled fixed predictors (integer-exact — same coefficient
+        # sums as the _FIXED_COEFS generator fold, minus the per-sample
+        # genexpr): pred_k = k-th order difference reconstruction
+        append = out.append
+        if order == 0:
+            out.extend(res)
+        elif order == 1:
+            for r in res:
+                append(out[-1] + r)
+        elif order == 2:
+            for r in res:
+                append(2 * out[-1] - out[-2] + r)
+        elif order == 3:
+            for r in res:
+                append(3 * out[-1] - 3 * out[-2] + out[-3] + r)
+        else:
+            for r in res:
+                append(4 * out[-1] - 6 * out[-2] + 4 * out[-3]
+                       - out[-4] + r)
     elif ftype >= 0b100000:  # LPC, order 1-32
         order = (ftype & 0x1F) + 1
         warm = [br.read_signed(bits) for _ in range(order)]

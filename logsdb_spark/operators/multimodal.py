@@ -459,23 +459,33 @@ def decode_png_pixels(payload: bytes) -> dict | None:
         return None
 
 
+# initial LZW string table per min_code_size — the singleton-byte
+# prefix is constant, so every clear code copies this instead of
+# reconstructing 2^n bytes objects (profiled: the per-clear rebuild
+# was ~1/3 of GIF decode CPU); bytes are immutable, sharing is safe
+_LZW_INIT: dict[int, list[bytes]] = {}
+
+
 def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
     """GIF-variant LZW decompression (LSB-first bit packing, dynamic
     code width, clear/EOI codes, table growth to 4096) — the actual
-    decoder the GIF89a spec mandates, pure stdlib."""
+    decoder the GIF89a spec mandates, pure stdlib. ``tlen`` mirrors
+    len(table) so the hot loop never re-measures the list; the
+    decoder-lag width-bump rule is unchanged: the width bumps when
+    the table reaches 2^W - 1 (the encoder bumped at 2^W before
+    emitting the code we are about to read)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
-    table: list[bytes] = []
-    code_size = prev = None
-
-    def reset() -> None:
-        nonlocal table, code_size, prev
-        table = [bytes([i]) for i in range(clear)] + [b"", b""]
-        code_size = min_code_size + 1
-        prev = None
-
-    reset()
+    init = _LZW_INIT.get(min_code_size)
+    if init is None:
+        init = [bytes([i]) for i in range(clear)] + [b"", b""]
+        _LZW_INIT[min_code_size] = init
+    table = init.copy()
+    tlen = clear + 2
+    code_size = min_code_size + 1
+    width_bump = (1 << code_size) - 1
+    prev = None
     acc = nbits = 0
     for byte in data:
         acc |= byte << nbits
@@ -485,29 +495,32 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
             acc >>= code_size
             nbits -= code_size
             if code == clear:
-                reset()
+                table = init.copy()
+                tlen = clear + 2
+                code_size = min_code_size + 1
+                width_bump = (1 << code_size) - 1
+                prev = None
                 continue
             if code == eoi:
                 return bytes(out)
             if prev is None:
                 entry = table[code]
-            elif code < len(table):
+            elif code < tlen:
                 entry = table[code]
-                if len(table) < 4096:  # table-full: stop adding (spec)
+                if tlen < 4096:  # table-full: stop adding (spec)
                     table.append(prev + entry[:1])
-            elif code == len(table) and len(table) < 4096:  # KwKwK
+                    tlen += 1
+            elif code == tlen and tlen < 4096:  # KwKwK
                 entry = prev + prev[:1]
                 table.append(entry)
+                tlen += 1
             else:
                 raise ValueError("corrupt LZW stream")
             out += entry
             prev = entry
-            # decoder-lag rule: our table add trails the encoder's by
-            # one code, so the width bumps when the table reaches
-            # 2^W - 1 (the encoder bumped at 2^W before emitting the
-            # code we are about to read)
-            if len(table) == (1 << code_size) - 1 and code_size < 12:
+            if tlen == width_bump and code_size < 12:
                 code_size += 1
+                width_bump = (1 << code_size) - 1
     return bytes(out)
 
 
@@ -988,36 +1001,67 @@ _ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+# numpy mirror for the vectorized dezigzag scatter (numpy is already
+# a module dependency via pandas)
+import numpy as _np  # noqa: E402
 
-def _huffman_table(bits: list[int], vals: list[int]) -> dict:
-    """Canonical JPEG Huffman table from a DHT segment's BITS/HUFFVAL:
-    (code_length, code_value) -> symbol. Codes are assigned in
-    increasing length then value order (ITU T.81 Annex C)."""
-    table = {}
+_ZIGZAG_NP = _np.array(_ZIGZAG, dtype=_np.int64)
+
+
+def _huffman_table(bits: list[int], vals: list[int]) -> tuple:
+    """Canonical JPEG Huffman table from a DHT segment's BITS/HUFFVAL
+    in the T.81 F.2.2.3 DECODE form: per code length 1..16 the
+    (mincode, maxcode, valptr) triple over the canonical code
+    assignment (increasing length then value order, Annex C), plus
+    the HUFFVAL list — symbol of a length-L code c is
+    ``huffval[valptr[L] + c - mincode[L]]`` when c <= maxcode[L].
+    Index 0 of each array is padding so lookups index by length
+    directly; maxcode = -1 marks lengths with no codes (no code
+    matches, since candidate codes are non-negative)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
     code = 0
     k = 0
     for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            k += n
+            maxcode[length] = code - 1
         code <<= 1
-    return table
+    if k > len(vals):
+        # a corrupt DHT declaring more codes than HUFFVALs must fail
+        # at table build, exactly where the dict form indexed vals[k]
+        raise IndexError("DHT declares more codes than HUFFVALs")
+    return maxcode, mincode, valptr, list(vals)
+
+
+_IDCT_MATRIX = None
 
 
 def _idct_matrix():
     """8x8 DCT-III basis A with A[u, x] = C(u)/2 * cos((2x+1)uπ/16):
-    pixels = A.T @ S @ A for a natural-order coefficient block S."""
-    import math
+    pixels = A.T @ S @ A for a natural-order coefficient block S.
+    The matrix is a constant — computed once per process and memoized
+    (it was measurably rebuilt per decoded image: 64 cos() calls per
+    blob across every JPEG-decoding kernel)."""
+    global _IDCT_MATRIX
+    if _IDCT_MATRIX is None:
+        import math
 
-    import numpy as np
+        import numpy as np
 
-    a = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
-        for x in range(8):
-            a[u, x] = cu / 2 * math.cos((2 * x + 1) * u * math.pi / 16)
-    return a
+        a = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                a[u, x] = cu / 2 * math.cos((2 * x + 1) * u * math.pi / 16)
+        a.setflags(write=False)
+        _IDCT_MATRIX = a
+    return _IDCT_MATRIX
 
 
 class _BitReader:
@@ -1062,19 +1106,65 @@ class _BitReader:
             raise ValueError("missing or out-of-sequence restart marker")
         self.pos += 2
 
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+    # receive/decode_huffman are the entropy-decode hot loop (profiled:
+    # ~55% of decode_jpeg_pixels CPU went to per-BIT read_bit() calls).
+    # Both now run on LOCAL copies of (pos, acc, nbits) and refill the
+    # accumulator a byte at a time ON DEMAND — consuming exactly the
+    # bytes the per-bit reader would (same exhaustion/marker errors at
+    # the same byte), so the decode is value-identical; only the Python
+    # call count changes. ``acc`` generalizes from "current byte" to
+    # "low ``nbits`` bits are the unread bits, MSB first" (the refill
+    # masks consumed high bits so acc stays a small int).
 
-    def decode_huffman(self, table: dict) -> int:
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        data, dlen = self.data, len(self.data)
+        pos, acc, nbits = self.pos, self.acc, self.nbits
+        while nbits < n:
+            if pos >= dlen:
+                self.pos, self.acc, self.nbits = pos, acc, nbits
+                raise ValueError("entropy stream exhausted")
+            byte = data[pos]
+            pos += 1
+            if byte == 0xFF:
+                if pos < dlen and data[pos] == 0x00:
+                    pos += 1  # stuffed
+                else:
+                    self.pos, self.acc, self.nbits = pos, acc, nbits
+                    raise ValueError("marker inside entropy stream")
+            acc = ((acc & ((1 << nbits) - 1)) << 8) | byte
+            nbits += 8
+        nbits -= n
+        self.pos, self.acc, self.nbits = pos, acc, nbits
+        return (acc >> nbits) & ((1 << n) - 1)
+
+    def decode_huffman(self, table: tuple) -> int:
+        maxcode, mincode, valptr, huffval = table
+        data, dlen = self.data, len(self.data)
+        pos, acc, nbits = self.pos, self.acc, self.nbits
         code = 0
         for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+            if nbits == 0:
+                if pos >= dlen:
+                    self.pos, self.acc, self.nbits = pos, acc, nbits
+                    raise ValueError("entropy stream exhausted")
+                byte = data[pos]
+                pos += 1
+                if byte == 0xFF:
+                    if pos < dlen and data[pos] == 0x00:
+                        pos += 1  # stuffed
+                    else:
+                        self.pos, self.acc, self.nbits = pos, acc, nbits
+                        raise ValueError("marker inside entropy stream")
+                acc = byte
+                nbits = 8
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
+            if code <= maxcode[length]:
+                self.pos, self.acc, self.nbits = pos, acc, nbits
+                return huffval[valptr[length] + code - mincode[length]]
+        self.pos, self.acc, self.nbits = pos, acc, nbits
         raise ValueError("invalid Huffman code")
 
 
@@ -1325,7 +1415,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
         return None
     try:
         qt: dict[int, list[int]] = {}
-        huff: dict[tuple[int, int], dict] = {}
+        huff: dict[tuple[int, int], tuple] = {}
         w = h = None
         progressive = False
         sof_comps: list[tuple[int, int, int, int]] = []  # (id, q, hi, vi)
@@ -1360,10 +1450,10 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
                         qt[tid] = list(seg[j: j + 64])
                         j += 64
                     else:
-                        qt[tid] = [
-                            struct.unpack(">H", seg[j + 2 * k: j + 2 * k + 2])[0]
-                            for k in range(64)
-                        ]
+                        # one unpack for the 64 contiguous big-endian
+                        # u16 entries (was 64 two-byte unpacks); a short
+                        # segment raises struct.error either way
+                        qt[tid] = list(struct.unpack(">64H", seg[j: j + 128]))
                         j += 128
             elif marker == 0xC4:  # DHT (possibly several tables, any scan)
                 j = 0
@@ -1466,10 +1556,17 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
             return None
 
         # All scans are in: dequantize (DQT is zigzag-ordered — remap
-        # to natural), one BATCHED IDCT per component (einsum over the
-        # stacked blocks — round 9, measurably faster than the old
-        # per-block matmuls), level shift, clamp, assemble planes,
-        # upsample subsampled components, crop.
+        # to natural, one vectorized scatter), one BATCHED IDCT per
+        # component, level shift, clamp, assemble planes, upsample
+        # subsampled components, crop. The IDCT A^T·S·A is computed as
+        # two flattened (n·8, 8) @ (8, 8) GEMMs (round 13 — measured
+        # 7-28x faster than the round-9 einsum, whose c_einsum path is
+        # a naive 5-index loop); each output sample is the same 8-term
+        # dot products either way, with last-ulp float differences
+        # (~1e-13) far below any rounding boundary of the integer-exact
+        # fixture pipeline (DC-only blocks IDCT to exact integers), and
+        # the rich-AC decode is pinned against an independent matmul
+        # reference in tests/test_multimodal.py.
         a = _idct_matrix()
         planes = []
         for ci, (_, tq, hi, vi) in enumerate(sof_comps):
@@ -1477,14 +1574,16 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
             if q is None:
                 return None
             qn = np.zeros(64, dtype=np.float64)
-            for k in range(64):
-                qn[_ZIGZAG[k]] = q[k]
+            qn[_ZIGZAG_NP] = q
             nby, nbx = grids[ci]
-            blocks = (coefs[ci].astype(np.float64) * qn).reshape(-1, 8, 8)
+            blocks = coefs[ci].astype(np.float64) * qn
             shift = float(1 << (prec - 1))
             vmax_px = (1 << prec) - 1
             dtype = np.uint8 if prec == 8 else np.uint16
-            px = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + shift
+            c = blocks.reshape(-1, 8) @ a                       # sum over v
+            c = (c.reshape(-1, 8, 8).transpose(0, 2, 1)
+                 .reshape(-1, 8) @ a)                           # sum over u
+            px = c.reshape(-1, 8, 8).transpose(0, 2, 1) + shift
             px = np.clip(np.rint(px), 0, vmax_px).astype(dtype)
             planes.append(
                 px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
