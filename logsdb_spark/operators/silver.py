@@ -1529,7 +1529,8 @@ def dsir_model_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _two_level_layout(spark: SparkSession, sf_dir: str, cents_fn,
-                      prefix: str, vec_elem) -> tuple[DataFrame, DataFrame]:
+                      prefix: str, vec_elem
+                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The TWO-LEVEL IVF quantizer hierarchy as materialized parquet
     (round 13 optimization): ``(coarse_row, blocks)`` exactly as
     operators/similarity.two_level_model derives them from a fine
@@ -1549,10 +1550,10 @@ def _two_level_layout(spark: SparkSession, sf_dir: str, cents_fn,
     model's (float for raw-embedding centroids, double for fitted
     means)."""
     from pyspark.sql.types import (
-        ArrayType, DoubleType, LongType, StructField, StructType,
+        ArrayType, DoubleType, LongType, MapType, StructField, StructType,
     )
 
-    from .similarity import two_level_model
+    from .similarity import two_level_folded_row, two_level_model
 
     cent_t = StructType([
         StructField("cent_id", LongType()),
@@ -1566,19 +1567,32 @@ def _two_level_layout(spark: SparkSession, sf_dir: str, cents_fn,
         StructField("ccell", LongType()),
         StructField("blk", ArrayType(cent_t)),
     ])
+    folded_schema = StructType([
+        StructField("_coarse", ArrayType(cent_t)),
+        StructField("_blkmap", MapType(LongType(), ArrayType(cent_t))),
+    ])
     coarse = _blob_layout(spark, sf_dir, f"{prefix}c",
                           lambda: two_level_model(cents_fn())[0],
                           coarse_schema, src_table="embeddings")
     blocks = _blob_layout(spark, sf_dir, f"{prefix}b",
                           lambda: two_level_model(cents_fn())[1],
                           blocks_schema, src_table="embeddings")
-    return coarse, blocks
+    # Round 14: the folded ONE-ROW model (coarse array + ccell→blk
+    # map) stored too, so the folded encode's broadcast build is a
+    # single tiny parquet scan (two_level_folded_row is a pure
+    # reshaping of the two frames above — value-identity pinned by
+    # test_two_level_layout_matches_inplan through the consumers).
+    folded = _blob_layout(spark, sf_dir, f"{prefix}m",
+                          lambda: two_level_folded_row(
+                              *two_level_model(cents_fn())),
+                          folded_schema, src_table="embeddings")
+    return coarse, blocks, folded
 
 
 def kmeans_two_level_layout(spark: SparkSession, sf_dir: str, k: int = 16,
                             iters: int = 2, sample_mod: int = 2,
                             round_dp: int = 6,
-                            ) -> tuple[DataFrame, DataFrame]:
+                            ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-level hierarchy over the fitted k-means codebook
     (kmeans_centroid_layout) — the stored model ann_ivf_kmeans
     assigns under (prefix ``tl1kmc_…``, keyed like the codebook)."""
@@ -1595,7 +1609,7 @@ def kmeans_two_level_layout(spark: SparkSession, sf_dir: str, k: int = 16,
 
 def cent90_two_level_layout(spark: SparkSession, sf_dir: str,
                             target_cell_rows: int = 64,
-                            ) -> tuple[DataFrame, DataFrame]:
+                            ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-level hierarchy over the frozen 90%-corpus centroid model
     (ivf_cent90_layout) — the stored model the ANN index maintenance
     shard encodes under (prefix ``tl1c90_…``)."""

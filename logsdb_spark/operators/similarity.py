@@ -438,10 +438,30 @@ def two_level_model(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
     return coarse_row, blocks
 
 
+def two_level_folded_row(coarse_row: DataFrame,
+                         blocks: DataFrame) -> DataFrame:
+    """The ONE-ROW folded model — (_coarse, _blkmap) — the folded
+    encode (ivf_assign_with_model fold_blocks=True) broadcasts:
+    the coarse struct array joined with the block relation collapsed
+    into a ccell→blk map (round 14). Pure reshaping of the two
+    two_level_model frames, so a layout of this row is value-identical
+    to folding in-plan (silver._two_level_layout stores it as the
+    ``<prefix>m`` file, making the broadcast build a single tiny
+    parquet scan instead of two scans + an aggregate + a join)."""
+    return coarse_row.join(
+        blocks.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("ccell", "blk"))
+            ).alias("_blkmap")
+        )
+    )
+
+
 def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
                           n_assign: int = 2,
                           coarse_probe: int | None = None,
                           two_level: tuple[DataFrame, DataFrame] | None = None,
+                          fold_blocks: bool = True,
                           ) -> DataFrame:
     """The ENCODE half of ivf_cell_assignments, split out (round 12)
     so it can run against an EXPLICIT (frozen) centroid model: given
@@ -461,18 +481,35 @@ def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
     (round 13): each vector first ranks the m = ceil(sqrt(k)) coarse
     cells (two_level_model) and takes the top ``coarse_probe``, then
     scores ONLY the fine centroids inside those coarse cells — per-row
-    cost O(coarse_probe·sqrt(k)) instead of O(k), with the model
-    broadcast as per-coarse-cell block rows instead of one mega-row.
-    Still a pure map-side pipeline: one broadcast coarse row +
-    ``coarse_probe`` broadcast-hash joins against the block relation —
-    the corpus is never shuffled. The hierarchical assignment is a
+    cost O(coarse_probe·sqrt(k)) instead of O(k). Still a pure
+    map-side pipeline: the corpus is never shuffled. Round 14 collapsed
+    the r13 shape (one broadcast coarse row + ``coarse_probe``
+    SEQUENTIAL broadcast-hash joins against the block relation — the
+    r13 verdict's measured encode-constant regression) into ONE
+    broadcast of a single model row carrying the coarse array plus the
+    blocks as a ccell→blk map: per row, one HOF coarse ranking, one
+    map lookup per probed cell, one HOF fine ranking — no join probes
+    at all. The candidate SET and its order are exactly the r13
+    join form's (the map lookup returns the same per-ccell block the
+    equi-join matched, in the same probe order; a missing/overflowed
+    ccell yields NULL → array_compact, exactly like the old left
+    join), so the assignment rule and every oracle are unchanged.
+    Scale note: the folded model row carries all k fine structs in one
+    broadcast row — the same total bytes as the flat path's mega-row;
+    for models too large for a single broadcast row (≳ 100M cells) set
+    ``fold_blocks=False`` to keep the r13 per-block join form, whose
+    broadcast rows stay MB-sized. The hierarchical assignment is a
     different (approximate) cell relation than the flat one — its
     oracles replay the identical two-stage rule, and recall gates pin
     quality.
 
     ``two_level`` lets the caller hand in a PREBUILT
-    (coarse_row, blocks) pair — the materialized two-level model
-    layout (operators/silver.two_level_model_layout), round 13: the
+    (coarse_row, blocks) pair — or, round 14, a
+    (coarse_row, blocks, folded_row) triple whose third frame is the
+    materialized one-row folded model (two_level_folded_row), which
+    the folded encode broadcasts directly — the materialized
+    two-level model layout (operators/silver._two_level_layout),
+    round 13: the
     hierarchy is pure model state, so production stores it next to
     the centroids instead of re-deriving it per query. Value-identical
     to the in-plan derivation (the layout IS one execution of
@@ -480,8 +517,54 @@ def ivf_assign_with_model(emb: DataFrame, cents: DataFrame,
     aggregation jobs embedded in every model broadcast build
     (guide §1.2 step 1 — fewer jobs, same plan tail)."""
     if coarse_probe is not None:
-        coarse_row, blocks = (two_level if two_level is not None
-                              else two_level_model(cents))
+        if two_level is not None and len(two_level) > 2 and fold_blocks:
+            # The PREFOLDED one-row model layout (round 14): skip the
+            # in-plan fold entirely — the broadcast build is one tiny
+            # parquet scan.
+            coarse_row = blocks = None
+            model_row = two_level[2]
+        else:
+            coarse_row, blocks = (two_level[:2] if two_level is not None
+                                  else two_level_model(cents))
+            model_row = None
+        if fold_blocks:
+            # ONE broadcast build, zero join probes per row (round 14,
+            # guide §3.1/§4): the coarse row and the block relation
+            # fold into a single model row — (_coarse, _blkmap) — and
+            # the per-row candidate set is a map lookup per probed
+            # coarse cell. try_element_at (not element_at): NULL for a
+            # ccell with no block (a duplicate-centroid coarse cell
+            # that lost its own fine member to an earlier tie — the
+            # case the old left join left null), compacted away.
+            if model_row is None:
+                model_row = two_level_folded_row(coarse_row, blocks)
+            cur = (
+                _with_norm(emb, "embedding", "_nrm")
+                .join(F.broadcast(model_row))
+            )
+            cands = F.flatten(
+                F.array_compact(
+                    F.transform(
+                        _topm_from(
+                            F.col("_coarse"), F.col("embedding"),
+                            F.col("_nrm"), coarse_probe,
+                        ),
+                        lambda c: F.try_element_at(F.col("_blkmap"), c),
+                    )
+                )
+            )
+            return (
+                cur.select(
+                    "vec_id",
+                    F.posexplode(
+                        _topm_from(cands, F.col("embedding"), F.col("_nrm"),
+                                   n_assign)
+                    ).alias("rk", "cell"),
+                    "embedding",
+                    F.col("_nrm").alias("nrm"),
+                )
+                .select("vec_id", "cell", "rk", "embedding", "nrm")
+            )
         cur = (
             _with_norm(emb, "embedding", "_nrm")
             .join(F.broadcast(coarse_row))

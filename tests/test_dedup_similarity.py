@@ -1099,6 +1099,39 @@ def test_two_level_covering_probe_matches_flat(spark):
         assert two == flat
 
 
+def test_two_level_folded_lookup_matches_block_joins(spark):
+    """Round-14 optimization pin: the FOLDED two-level encode (ONE
+    broadcast model row — coarse array + ccell→blk map — and a per-row
+    map lookup) assigns IDENTICALLY to the r13 per-block
+    broadcast-join form it replaced, including the m < coarse_probe
+    overflow case (probe far beyond the coarse cell count) where the
+    old form's F.get/left-join produced null blocks."""
+    from logsdb_spark.operators.similarity import (
+        _with_norm,
+        ivf_assign_with_model,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _with_norm(
+        emb.filter(F.col("vec_id") < 9).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        ), "cent_vec", "cnrm",
+    )
+
+    def rows(fold, probe):
+        return sorted(
+            (r.vec_id, r.cell, r.rk)
+            for r in ivf_assign_with_model(
+                emb, cents, n_assign=2, coarse_probe=probe,
+                fold_blocks=fold)
+            .select("vec_id", "cell", "rk").collect()
+        )
+
+    for probe in (2, 7):
+        assert rows(True, probe) == rows(False, probe)
+
+
 def test_two_level_layout_matches_inplan(spark):
     """The MATERIALIZED two-level hierarchy (round-13 optimization:
     silver._two_level_layout, model state stored next to the
