@@ -11,9 +11,12 @@ Per-query time is the MIN over $SPARK_GRAFT_BENCH_REPS (default 2)
 back-to-back executions — the steady-state estimator that strips
 host-contention transients without crediting unperformed work. The
 stdout line is kept under LINE_BUDGET (1,900 B) because the capture
-window is ~2,000 chars; full-precision timings, per-rep spread, the
-streaming ingest/probe throughput, and the estimator metadata go to
-the scripts/bench_extras.json sidecar the line cites
+window is ~2,000 chars; since the full registry's names alone exceed
+that, a DETERMINISTIC name-keyed subset is elided from the line
+(ELIDE_FIRST — the same set every run, so round-over-round per-query
+diffs never see phantom drops). Full-precision timings for EVERY
+query, per-rep spread, the streaming ingest/probe throughput, and the
+estimator metadata go to the scripts/bench_extras.json sidecar
 (SPARK_GRAFT_STREAMING=0 skips the streaming measurement).
 """
 
@@ -852,51 +855,99 @@ def main() -> None:
 # Hard budget for the emitted line: the capture window is ~2,000
 # chars of stdout tail; 1,900 leaves headroom for a trailing newline
 # and any stray log line. tests/test_bench_record.py pins this
-# against the full registry with pessimistic 5-char timings.
+# against the full registry with pessimistic timing widths.
 LINE_BUDGET = 1900
+
+# Entries elided from the stdout line (ALWAYS recorded in the
+# scripts/bench_extras.json sidecar), in elision order. Round 14: the
+# old ladder elided the FASTEST queries, so line membership flapped
+# with each run's timings and the round-over-round PERF diff misread
+# the flapping as dropped/new queries (r13: q13 reported "dropped",
+# two long-benched queries "new"). Membership is now a deterministic
+# function of the registered NAMES alone — identical across runs, core
+# counts, and rounds. The seed list is exactly the 16 entries the r13
+# driver line happened to elide, so the r14 line shows the same
+# 60-query set as r13's and the PERF diff is clean; entries added to
+# HEADLINE later that no longer fit must be APPENDED here rather than
+# displacing an established entry.
+ELIDE_FIRST = [
+    "a1_top_event_types",
+    "a3_top_users",
+    "a5_first_seen_dedup",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "asof_join_purchase_view",
+    "range_join_error_clicks",
+    "text_quality_stats",
+    "o2_total_order_ranged",
+    "funnel_daily_conversion",
+    "text_pii_redact",
+    "daily_ohlc_bars",
+    "grouping_sets_revenue",
+    "salted_top_users",
+    "dq_expectations_events",
+    "a1_top_event_types_monolithic",
+]
+
+
+def _fmt_val(v: float) -> float:
+    """Line value format, bounded at 4 chars for v < 100 s: 2 decimals
+    under 10 s (every historical headline timing), 1 decimal under
+    100 s, integer beyond. Full precision always in the sidecar."""
+    if v < 10:
+        return round(v, 2)
+    if v < 100:
+        return round(v, 1)
+    return round(v)
 
 
 def render_record(total: float, timings: dict[str, float], sf: float,
                   reps: int) -> str:
-    """One JSON line under LINE_BUDGET bytes, guaranteed parseable.
+    """One JSON line under LINE_BUDGET bytes, guaranteed parseable,
+    with DETERMINISTIC membership (round 14).
 
-    Degrade ladder (full detail is always in scripts/bench_extras.json):
-      1. all queries, 2-decimal values, compact separators;
-      2. drop the "reps" key (the sidecar carries it);
-      3. drop the "extras" pointer (the sidecar path is pinned in this
-         module's docstring and README either way);
-      4. if still over budget, drop the FASTEST queries from the line
-         one at a time (they stay in the sidecar), recording how many
-         were elided under "omitted".
-    """
-    def line_for(qs: dict[str, float], omitted: int, rung: int) -> str:
+    Shown set = registered names minus the shortest prefix of the
+    elision queue that makes the line fit with PESSIMISTIC widths
+    (4-char values, 9-char total) — a pure function of the names, so
+    two runs of the same registry always print the same queries and
+    PERF's round-over-round per-query diff never sees phantom
+    drops/additions. The queue is ELIDE_FIRST, then any names beyond
+    it in reverse registration order (newest first). reps / extras
+    pointer / elision count live in the sidecar only
+    (scripts/bench_extras.json, path pinned here and in README)."""
+    def line_for(names, pessimistic: bool) -> str:
         rec = {
             "metric": "headline_queries_total",
-            "value": round(total, 2),
+            # pessimistic width 6 chars: a real total beyond 999.99 s
+            # would be a catastrophic run (the backstop below still
+            # emits a valid line there by eliding further)
+            "value": 999.99 if pessimistic else round(total, 2),
             "unit": "sec",
             "sf": sf,
-            "queries": {k: round(v, 2) for k, v in qs.items()},
+            "queries": {
+                k: 9.99 if pessimistic else _fmt_val(timings[k])
+                for k in names
+            },
         }
-        if rung < 1:
-            rec["reps"] = reps
-        if rung < 2:
-            rec["extras"] = "scripts/bench_extras.json"
-        if omitted:
-            rec["omitted"] = omitted
         return json.dumps(rec, separators=(",", ":"))
 
-    shown = dict(timings)
-    omitted = 0
-    rung = 0
-    line = line_for(shown, omitted, rung)
-    while len(line) >= LINE_BUDGET and rung < 2:
-        rung += 1
-        line = line_for(shown, omitted, rung)
-    by_speed = sorted(timings, key=lambda k: (timings[k], k))
-    while len(line) >= LINE_BUDGET and shown:
-        shown.pop(by_speed[omitted])
-        omitted += 1
-        line = line_for(shown, omitted, rung)
+    queue = [n for n in ELIDE_FIRST if n in timings]
+    rest = [n for n in timings if n not in ELIDE_FIRST]
+    queue += list(reversed(rest))
+    shown = list(timings)
+    drop = 0
+    # membership from pessimistic widths only — timing-independent
+    while drop < len(queue) and len(
+            line_for(shown, True)) >= LINE_BUDGET:
+        shown.remove(queue[drop])
+        drop += 1
+    line = line_for(shown, False)
+    # backstop for freak >=100 s values widening past the pessimistic
+    # 4-char assumption: keep eliding down the same deterministic queue
+    while len(line) >= LINE_BUDGET and drop < len(queue):
+        shown.remove(queue[drop])
+        drop += 1
+        line = line_for(shown, False)
     assert len(line) < LINE_BUDGET, (
         f"bench record {len(line)}B exceeds {LINE_BUDGET}B even empty")
     return line

@@ -62,6 +62,34 @@ SHINGLE_WORDS = 2
 DEFAULT_MAX_BUCKET = 512
 
 
+def _persist_released_on_gc(df: DataFrame) -> DataFrame:
+    """persist() with an EXPLICIT lifecycle (round 14, guide §5 — the
+    r13 verdict's unpersist-discipline item): the cache entry is
+    released when the Python DataFrame is garbage-collected, i.e. as
+    soon as the query that built it drops its frames after the action.
+    Spark's CacheManager otherwise retains every persisted plan until
+    an explicit unpersist — across a long-lived session running many
+    query invocations those intra-query caches accumulate without
+    bound (each invocation builds fresh frames, so a stale entry can
+    never be re-hit; it is pure leak). The finalizer captures only the
+    py4j DataFrame handle (not the Python wrapper, which must stay
+    collectable) and unpersists non-blocking; a dead session/JVM makes
+    it a no-op."""
+    import weakref
+
+    df.persist()
+    jdf = df._jdf
+
+    def _release(j=jdf):
+        try:
+            j.unpersist(False)
+        except Exception:
+            pass  # session/JVM already gone — nothing left to leak
+
+    weakref.finalize(df, _release)
+    return df
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: group by normalized-text fingerprint; keep min id.
     One hash-partitioned shuffle on a 32-char key; at 100 TB, combine
@@ -319,8 +347,8 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     boilerplate band value out of the box; the cap is sized to never
     bind on the gated corpora so the brute-force oracle parity is
     unchanged there (margin pinned in tests)."""
-    shingled = shingle_sets(docs, text_col).persist()
-    signed = minhash_signatures(shingled).persist()
+    shingled = _persist_released_on_gc(shingle_sets(docs, text_col))
+    signed = _persist_released_on_gc(minhash_signatures(shingled))
     cands = estimate_jaccard(
         lsh_candidate_pairs(signed, max_bucket=max_bucket), signed
     ).filter(F.col("est_jac") >= threshold - 0.2)
@@ -383,7 +411,7 @@ def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
     corpus side's signatures would be precomputed and stored columnar
     alongside the documents, making this a pure scan+probe."""
     c_sh = shingle_sets(corpus, text_col)
-    n_sh = shingle_sets(new_docs, text_col).persist()
+    n_sh = _persist_released_on_gc(shingle_sets(new_docs, text_col))
     # two separate corpus branches on purpose: carrying the (large)
     # signature expression tree into the shingle-verify branch as one
     # combined frame measurably deepens the optimized expression tree
@@ -460,7 +488,7 @@ def minhash_cross_pairs_prepared(c_idx: DataFrame, new_docs: DataFrame,
     value-identical to the from-raw form (pinned by
     tests/test_streaming.py); per batch the corpus side is a pure
     scan+probe — no shingling, hashing, or signature folds."""
-    n_sh = shingle_sets(new_docs, text_col).persist()
+    n_sh = _persist_released_on_gc(shingle_sets(new_docs, text_col))
     n_sig = minhash_signatures(n_sh, engine="arrow")
     return _minhash_cross_verify(c_idx, c_idx, n_sig, n_sh, threshold)
 
@@ -1070,8 +1098,9 @@ def char_ngram_near_dups_lsh(docs: DataFrame, text_col: str = "text",
     the scan stage, the only corpus-keyed shuffle is the (band,
     band_hash) bucket groupBy, and the exact verify touches candidate
     pairs only."""
-    shingled = hashed_char_shingles(docs, text_col, n).persist()
-    signed = minhash_signatures(shingled, n_perm=N_PERM_CHAR).persist()
+    shingled = _persist_released_on_gc(hashed_char_shingles(docs, text_col, n))
+    signed = _persist_released_on_gc(
+        minhash_signatures(shingled, n_perm=N_PERM_CHAR))
     cands = estimate_jaccard(
         lsh_candidate_pairs(
             signed, n_bands=N_BANDS_CHAR, rows_per_band=ROWS_PER_BAND_CHAR,
@@ -1175,7 +1204,8 @@ def containment_near_dups(docs: DataFrame, text_col: str = "text",
         F.array_distinct(
             F.transform("shingles", lambda g: F.xxhash64(g))
         ).alias("shingles"),
-    ).persist()
+    )
+    sh = _persist_released_on_gc(sh)
     ex = sh.select("doc_id", F.size("shingles").alias("sz"),
                    F.explode("shingles").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -1399,8 +1429,8 @@ def _banded_verified_pairs(hashes: DataFrame, max_hamming: int,
     the captured plan). One cache fill runs the decode + the one
     band-key shuffle once; the branches then read bucket rows
     ((id, hash) members — KBs per thousand docs) from cache."""
-    buckets = _hamming_buckets(hashes, max_hamming, id_col,
-                               hash_col).persist()
+    buckets = _persist_released_on_gc(
+        _hamming_buckets(hashes, max_hamming, id_col, hash_col))
     in_row_bucket = 256
 
     def verified(cand: DataFrame) -> DataFrame:
@@ -2455,10 +2485,9 @@ def phash_edges_apply_delta(stored_edges: DataFrame,
     # frames are shard-sized by construction (the delta premise), so
     # the cache is KBs; this is intra-query reuse, same pattern as
     # minhash_near_dups' shingle persist.
-    newh = (
+    newh = _persist_released_on_gc(
         new_hashes.filter(F.col(hash_col).isNotNull())
         .select("doc_id", F.col(hash_col).alias("hv"))
-        .persist()
     )
     hit = stored_reps.join(F.broadcast(newh), "hv")
     attach = hit.filter(F.col("rep_id") != F.col("doc_id")).select(
@@ -2466,9 +2495,8 @@ def phash_edges_apply_delta(stored_edges: DataFrame,
     )
     matched = F.broadcast(hit.select("hv").distinct())
     unmatched = newh.join(matched, "hv", "left_anti")
-    nreps = (
+    nreps = _persist_released_on_gc(
         unmatched.groupBy("hv").agg(F.min("doc_id").alias("rep_id"))
-        .persist()
     )
     nstar = (
         unmatched.join(F.broadcast(nreps), "hv")

@@ -123,7 +123,10 @@ class _BitReader:
         """Count zero bits up to the terminating 1 — byte-at-a-time
         (bit_length finds the 1 inside a byte) instead of per-bit
         read(1) calls; the corrupt-stream guard (> 2^24 zeros =>
-        EOFError) is preserved."""
+        EOFError) is preserved at BYTE granularity: it fires within 8
+        bits (plus the already-consumed terminator) of the old per-bit
+        cutoff, which only moves where inside a corrupt stream the
+        decode aborts — decodable streams never reach the guard."""
         d = self._d
         dlen = len(d)
         byte, bit = self._byte, self._bit

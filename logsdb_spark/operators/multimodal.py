@@ -1001,11 +1001,19 @@ _ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-# numpy mirror for the vectorized dezigzag scatter (numpy is already
-# a module dependency via pandas)
-import numpy as _np  # noqa: E402
+_ZIGZAG_NP = None  # numpy mirror, built lazily by _zigzag_np()
 
-_ZIGZAG_NP = _np.array(_ZIGZAG, dtype=_np.int64)
+
+def _zigzag_np():
+    """numpy mirror of _ZIGZAG for the vectorized dezigzag scatter —
+    memoized on first use (like _idct_matrix) so importing the module
+    stays numpy-free per the file's lazy-import convention."""
+    global _ZIGZAG_NP
+    if _ZIGZAG_NP is None:
+        import numpy as np
+
+        _ZIGZAG_NP = np.array(_ZIGZAG, dtype=np.int64)
+    return _ZIGZAG_NP
 
 
 def _huffman_table(bits: list[int], vals: list[int]) -> tuple:
@@ -1574,7 +1582,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict | None:
             if q is None:
                 return None
             qn = np.zeros(64, dtype=np.float64)
-            qn[_ZIGZAG_NP] = q
+            qn[_zigzag_np()] = q
             nby, nbx = grids[ci]
             blocks = coefs[ci].astype(np.float64) * qn
             shift = float(1 << (prec - 1))

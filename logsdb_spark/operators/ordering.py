@@ -44,7 +44,10 @@ def global_row_number(
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    tagged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    from .dedup import _persist_released_on_gc
+
+    tagged = _persist_released_on_gc(
+        ranged.withColumn("_pid", F.spark_partition_id()))
     counts = tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # Exclusive prefix sum over the (tiny, #partitions-row) counts —
     # the only single-partition window in the plan, and it is bounded

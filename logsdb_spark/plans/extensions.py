@@ -6719,6 +6719,7 @@ def dedup_media_ensemble_keep_inplan(spark: SparkSession,
     functions of the blobs, so the two forms are value-identical
     (parity also pinned by test_media_evidence_index_parity)."""
     from ..operators.dedup import (
+        _persist_released_on_gc,
         connected_components,
         phash_component_edges,
         winnow_component_edges,
@@ -6749,12 +6750,13 @@ def dedup_media_ensemble_keep_inplan(spark: SparkSession,
     vex = (
         video_frame_hashes(anim, stride=2)
         .select("doc_id", F.col("fhash").alias("fp"))
-        .distinct()
         # persisted: guards the multi-frame LZW decode (the dominant
         # constant the r10 media probe measured at 100x) against
-        # re-evaluation across plan branches.
-        .persist()
+        # re-evaluation across plan branches (released on GC — r14
+        # unpersist discipline).
+        .distinct()
     )
+    vex = _persist_released_on_gc(vex)
     vpairs = winnow_component_edges(vex)
     pairs = (
         iedges.unionByName(aedges)

@@ -112,7 +112,9 @@ def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("vi") / F.lit(10000.0)).alias("sv"),
         )
     )
-    c = c.persist()
+    from ..operators.dedup import _persist_released_on_gc
+
+    c = _persist_released_on_gc(c)
     grid = _daily_grid(c)
     return (
         grid.join(c, ["day", "event_type"], "left")
@@ -181,7 +183,9 @@ def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("av")
         )
     )
-    a = a.persist()
+    from ..operators.dedup import _persist_released_on_gc
+
+    a = _persist_released_on_gc(a)
     grid = _daily_grid(a)
     w = (
         Window.partitionBy("event_type")
@@ -340,7 +344,10 @@ def anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = silver_events(spark, sf_dir)
     c = ev.groupBy(
         F.col("event_date").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n")).persist()
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from ..operators.dedup import _persist_released_on_gc
+
+    c = _persist_released_on_gc(c)
     d = _daily_grid(c).join(c, ["day", "event_type"], "left").select(
         "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")
     )
