@@ -2132,6 +2132,32 @@ def winnow_counts_merge_delta(stored_counts: DataFrame,
     )
 
 
+def winnow_counts_merge_outer(stored_counts: DataFrame,
+                              delta: DataFrame) -> DataFrame:
+    """Merge a signed (id_a, id_b, dn) delta into the stored count
+    relation as a FULL OUTER JOIN with coalesce-sums — the BUCKETED-
+    STORE form (round 14, guide §6): when ``stored_counts`` is read
+    from a table bucketed+sorted by (id_a, id_b)
+    (silver._bucketed_state_layout), the join plans with NO Exchange
+    and no re-sort on the stored side — only the shard-sized delta is
+    shuffled, so per-batch merge cost stops scaling with the stored
+    relation. Value-identical to winnow_counts_merge_delta (the
+    union+aggregate form the unbucketed partitioned store keeps):
+    per-key coalesce-sum over a full outer join IS the grouped sum
+    over unioned contribution rows — the same associative-merge
+    equivalence, applied in the direction the bucketed layout
+    rewards. Pinned by test_fused_count_merges_match_two_step."""
+    merged = stored_counts.select("id_a", "id_b", "n").join(
+        delta.select("id_a", "id_b", "dn"), ["id_a", "id_b"], "full_outer"
+    )
+    return merged.select(
+        "id_a",
+        "id_b",
+        (F.coalesce(F.col("n"), F.lit(0))
+         + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+    ).filter(F.col("n") > 0)
+
+
 def winnow_pairs_from_counts(counts: DataFrame,
                              min_shared: int = 2) -> DataFrame:
     """The read-side decision over the stored count relation: pairs
@@ -2290,6 +2316,30 @@ def lsh_counts_merge_delta(stored_counts: DataFrame,
         .agg(F.sum("n_pair").alias("n_pair"), F.sum("n_star").alias("n_star"))
         .filter((F.col("n_pair") > 0) | (F.col("n_star") > 0))
     )
+
+
+def lsh_counts_merge_outer(stored_counts: DataFrame,
+                           delta: DataFrame) -> DataFrame:
+    """winnow_counts_merge_outer's shape on the two-column MinHash
+    emission state: full-outer coalesce-sum merge of a signed
+    (_dp, _ds) delta into the stored (n_pair, n_star) relation — the
+    bucketed-store form (round 14, guide §6; no Exchange on a stored
+    side bucketed by (id_a, id_b)). Value-identical to
+    lsh_counts_merge_delta by the same associative-merge equivalence;
+    pinned by test_fused_count_merges_match_two_step."""
+    merged = stored_counts.select("id_a", "id_b", "n_pair", "n_star").join(
+        delta.select("id_a", "id_b", "_dp", "_ds"),
+        ["id_a", "id_b"], "full_outer",
+    )
+    z = F.lit(0)
+    return merged.select(
+        "id_a",
+        "id_b",
+        (F.coalesce(F.col("n_pair"), z)
+         + F.coalesce(F.col("_dp"), z)).alias("n_pair"),
+        (F.coalesce(F.col("n_star"), z)
+         + F.coalesce(F.col("_ds"), z)).alias("n_star"),
+    ).filter((F.col("n_pair") > 0) | (F.col("n_star") > 0))
 
 
 def minhash_pairs_from_counts(counts: DataFrame, index: DataFrame,

@@ -31,18 +31,21 @@ from pyspark.sql import functions as F
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int = 32,
     path: str | None = None,
 ) -> None:
-    """Persist ``df`` hash-bucketed and sorted by ``key``. Bucket count
-    should be sized so one bucket of the LARGEST co-bucketed table fits
-    a task comfortably (at 100 TB lineitem and 32 GB target splits,
-    that's thousands of buckets — the catalog cost is trivial)."""
+    """Persist ``df`` hash-bucketed and sorted by ``key`` (a column
+    name or list of names — composite keys bucket on the tuple hash).
+    Bucket count should be sized so one bucket of the LARGEST
+    co-bucketed table fits a task comfortably (at 100 TB lineitem and
+    32 GB target splits, that's thousands of buckets — the catalog
+    cost is trivial)."""
+    keys = [key] if isinstance(key, str) else list(key)
     writer = (
         df.write.mode("overwrite")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
         .format("parquet")
     )
     if path is not None:

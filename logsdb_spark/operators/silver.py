@@ -1126,6 +1126,76 @@ def flac_blob_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blob_layout(spark, sf_dir, "flac1", make, schema)
 
 
+def _bucketed_state_layout(spark: SparkSession, sf_dir: str, prefix: str,
+                           make_df, schema, keys: tuple[str, ...],
+                           n_buckets: int = 32,
+                           src_table: str = "documents") -> DataFrame:
+    """A maintained-state relation materialized as a BUCKETED+SORTED
+    session table (round 14, guide §6 — the r13 verdict's stored-
+    counts item): hash-bucketed and sorted by ``keys`` so the per-
+    batch maintenance merge (stored FULL OUTER JOIN shard delta on
+    ``keys``) reads the stored side pre-partitioned — the Exchange
+    that previously reshuffled the ENTIRE stored relation per batch
+    disappears; only the shard-sized delta is shuffled (into
+    ``n_buckets`` partitions to match). The frame is repartitioned by
+    the bucket keys before the write so each bucket is ONE file and
+    the scan also reports the sort order (no re-sort leg).
+
+    Same materialization contract as bucketed_orderkey_tables: parquet
+    written at most once per (dataset, source mtime) into a tmp dir +
+    atomic rename; a fresh session that finds the layout on disk only
+    REGISTERS the external CLUSTERED BY DDL (metadata only); stale-
+    mtime layouts are evicted from disk, not just the catalog.
+
+    ``n_buckets`` must be >= the session's shuffle width for the
+    anchor to hold: when both merge children satisfy the join's
+    clustering, the planner keeps the child with MORE partitions
+    exchange-free and reshuffles the other — a store bucketed below
+    the shuffle width loses that contest to the delta aggregate and
+    gets reshuffled itself (measured: 8 buckets vs 32 shuffle
+    partitions re-exchanged the store; 32 buckets plan exchange-free
+    on the stored leg at both 8- and 32-wide sessions). The default
+    (32) covers the bench sessions; at 100 TB size it so one bucket
+    fits a task (thousands of buckets — the same rule write_bucketed
+    documents), which also keeps it far above any session width. The
+    bucket count is part of the layout dir name, so a changed
+    parameter writes a fresh layout."""
+    from .scale import write_bucketed
+
+    _pin_session_confs(spark)
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    mtime = _source_mtime(os.path.join(sf_dir, f"{src_table}.parquet"))
+    name = f"{prefix}{n_buckets}_{digest}_{mtime}"
+    loc = os.path.join(_SILVER_ROOT, name)
+    if not os.path.isdir(loc):
+        _ensure_silver_root()
+        tmp_name = f"{name}_tmp{os.getpid()}"
+        tmp_loc = f"{loc}.tmp.{os.getpid()}"
+        df = make_df().repartition(n_buckets, *[F.col(k) for k in keys])
+        write_bucketed(df, tmp_name, list(keys), n_buckets, path=tmp_loc)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        try:
+            os.rename(tmp_loc, loc)
+        except OSError:
+            shutil.rmtree(tmp_loc, ignore_errors=True)
+    if not spark.catalog.tableExists(name):
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        key_list = ", ".join(keys)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet "
+            f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+    for d in os.listdir(_SILVER_ROOT):
+        if (d.startswith(f"{prefix}{n_buckets}_{digest}_") and d != name
+                and ".tmp." not in d):
+            spark.sql(f"DROP TABLE IF EXISTS {d}")
+            shutil.rmtree(os.path.join(_SILVER_ROOT, d), ignore_errors=True)
+    return spark.table(name)
+
+
 def minhash_emission_count_layout(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """The STORED MinHash candidate-emission state for the round-12
@@ -1155,7 +1225,9 @@ def minhash_emission_count_layout(spark: SparkSession,
         StructField("n_pair", LongType()),
         StructField("n_star", LongType()),
     ])
-    return _blob_layout(spark, sf_dir, "mhedge90", make, schema)
+    # Round 14: bucketed by the pair key — see winnow_edge_count_layout.
+    return _bucketed_state_layout(spark, sf_dir, "mhedge90k", make,
+                                  schema, keys=("id_a", "id_b"))
 
 
 def winnow_star_state_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,7 +1285,12 @@ def winnow_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("id_b", LongType()),
         StructField("n", LongType()),
     ])
-    return _blob_layout(spark, sf_dir, "wnedge90", make, schema)
+    # Round 14: stored as a BUCKETED table keyed (id_a, id_b) so the
+    # per-shard merge never reshuffles the stored relation (guide §6;
+    # prefix bumped wnedge90 -> wnedge90k so stale plain layouts are
+    # never read as bucketed).
+    return _bucketed_state_layout(spark, sf_dir, "wnedge90k", make,
+                                  schema, keys=("id_a", "id_b"))
 
 
 def media_edge90_layout(spark: SparkSession, sf_dir: str,
@@ -1299,7 +1376,9 @@ def vframe_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("id_b", LongType()),
         StructField("n", LongType()),
     ])
-    return _blob_layout(spark, sf_dir, "vfredge90", make, schema)
+    # Round 14: bucketed by the pair key — see winnow_edge_count_layout.
+    return _bucketed_state_layout(spark, sf_dir, "vfredge90k", make,
+                                  schema, keys=("id_a", "id_b"))
 
 
 def vframe_star_state_layout(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7372,7 +7372,8 @@ def dedup_edge_maintenance_winnow(spark: SparkSession,
     capped at 32 docs), never the corpus; the stored-counts merge is
     a dup-sized full-outer join."""
     from ..operators.dedup import (
-        winnow_edges_apply_delta,
+        winnow_count_delta,
+        winnow_counts_merge_outer,
         winnow_pairs_from_counts,
     )
     from ..operators.silver import (
@@ -7384,7 +7385,14 @@ def dedup_edge_maintenance_winnow(spark: SparkSession,
     old_ex = idx.filter(F.col("doc_id") % 10 != 0)
     new_ex = idx.filter(F.col("doc_id") % 10 == 0)
     stored = winnow_edge_count_layout(spark, sf_dir)
-    updated = winnow_edges_apply_delta(stored, old_ex, new_ex)
+    # Round 14 (guide §6): the stored counts are a BUCKETED table, so
+    # the two-step delta + full-outer merge reads the stored relation
+    # exchange-free — only the shard-sized signed delta shuffles. The
+    # fused union+aggregate form (winnow_edges_apply_delta) remains
+    # the unbucketed-store route; value identity is pinned by
+    # test_fused_count_merges_match_two_step.
+    updated = winnow_counts_merge_outer(
+        stored, winnow_count_delta(old_ex, new_ex))
     return winnow_pairs_from_counts(updated).orderBy("id_a", "id_b")
 
 
@@ -7511,7 +7519,8 @@ def dedup_edge_maintenance_minhash(spark: SparkSession,
     corpus; the stored-counts merge is a candidate-sized full-outer
     join."""
     from ..operators.dedup import (
-        lsh_counts_apply_delta,
+        lsh_count_delta,
+        lsh_counts_merge_outer,
         minhash_pairs_from_counts,
     )
     from ..operators.silver import (
@@ -7523,7 +7532,9 @@ def dedup_edge_maintenance_minhash(spark: SparkSession,
     old_sig = idx.filter(F.col("doc_id") % 10 != 0).select("doc_id", "sig")
     new_sig = idx.filter(F.col("doc_id") % 10 == 0).select("doc_id", "sig")
     stored = minhash_emission_count_layout(spark, sf_dir)
-    updated = lsh_counts_apply_delta(stored, old_sig, new_sig)
+    # Bucketed-store merge — see dedup_edge_maintenance_winnow.
+    updated = lsh_counts_merge_outer(
+        stored, lsh_count_delta(old_sig, new_sig))
     return minhash_pairs_from_counts(updated, idx, threshold=0.6).orderBy(
         "id_a", "id_b"
     )
@@ -7850,7 +7861,8 @@ def dedup_edge_maintenance_vframe(spark: SparkSession,
     vfh/vpairs/vstars CTEs — a hash match proves both deltas equal
     the rebuild end to end, cap crossings included."""
     from ..operators.dedup import (
-        winnow_edges_apply_delta,
+        winnow_count_delta,
+        winnow_counts_merge_outer,
         winnow_pairs_from_counts,
         winnow_star_state_apply_delta,
         winnow_stars_from_state,
@@ -7870,8 +7882,10 @@ def dedup_edge_maintenance_vframe(spark: SparkSession,
     )
     old_ex = idx.filter(F.col("doc_id") % 10 != 0)
     new_ex = idx.filter(F.col("doc_id") % 10 == 0)
-    counts = winnow_edges_apply_delta(
-        vframe_edge_count_layout(spark, sf_dir), old_ex, new_ex
+    # Bucketed-store merge — see dedup_edge_maintenance_winnow.
+    counts = winnow_counts_merge_outer(
+        vframe_edge_count_layout(spark, sf_dir),
+        winnow_count_delta(old_ex, new_ex),
     )
     state = winnow_star_state_apply_delta(
         vframe_star_state_layout(spark, sf_dir), new_ex

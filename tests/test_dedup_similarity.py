@@ -1167,12 +1167,17 @@ def test_fused_count_merges_match_two_step(spark):
     phash_reps_apply_delta merging via grouped sum/min) produce
     relations IDENTICAL to the explicit two-step / full-outer-join
     forms they replaced — the associative-merge equivalence the
-    rewrite rests on, checked on the real sf0.001 index state."""
+    rewrite rests on, checked on the real sf0.001 index state. The
+    full-outer forms are the shipped BUCKETED-store merges
+    (winnow_counts_merge_outer / lsh_counts_merge_outer, round 14) —
+    this pin covers both directions of the equivalence."""
     from logsdb_spark.operators.dedup import (
         lsh_count_delta,
         lsh_counts_apply_delta,
+        lsh_counts_merge_outer,
         phash_reps_apply_delta,
         winnow_count_delta,
+        winnow_counts_merge_outer,
         winnow_edges_apply_delta,
         winnow_star_state,
         winnow_star_state_apply_delta,
@@ -1196,14 +1201,7 @@ def test_fused_count_merges_match_two_step(spark):
     delta = winnow_count_delta(old_ex, new_ex)
     joined = sorted(
         tuple(r) for r in
-        stored.join(delta, ["id_a", "id_b"], "full")
-        .select(
-            "id_a", "id_b",
-            (F.coalesce(F.col("n"), F.lit(0))
-             + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
-        )
-        .filter(F.col("n") > 0)
-        .collect()
+        winnow_counts_merge_outer(stored, delta).collect()
     )
     assert fused == joined and len(fused) > 0
 
@@ -1217,17 +1215,9 @@ def test_fused_count_merges_match_two_step(spark):
         lsh_counts_apply_delta(mstored, old_sig, new_sig).collect()
     )
     mdelta = lsh_count_delta(old_sig, new_sig)
-    z = F.lit(0)
     mjoined = sorted(
         tuple(r) for r in
-        mstored.join(mdelta, ["id_a", "id_b"], "full")
-        .select(
-            "id_a", "id_b",
-            (F.coalesce("n_pair", z) + F.coalesce("_dp", z)).alias("n_pair"),
-            (F.coalesce("n_star", z) + F.coalesce("_ds", z)).alias("n_star"),
-        )
-        .filter((F.col("n_pair") > 0) | (F.col("n_star") > 0))
-        .collect()
+        lsh_counts_merge_outer(mstored, mdelta).collect()
     )
     assert mfused == mjoined and len(mfused) > 0
 
