@@ -127,7 +127,7 @@ def _perm_consts(p: int) -> tuple[int, int]:
 
 def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM,
                        keep_shingles: bool = False,
-                       engine: str = "jvm") -> DataFrame:
+                       engine: str = "arrow") -> DataFrame:
     """MinHash signature per doc with ZERO shuffle: hash each shingle
     once (projected column → computed once, reused by all perms), then
     one ``array_min(transform(...))`` per permutation — the whole
@@ -142,16 +142,20 @@ def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM,
 
     ``engine`` picks where the permute-and-min runs; values are
     INTEGER-IDENTICAL either way (parity-pinned), the choice is pure
-    physics, measured both ways in round 10:
-    - "jvm" (default): interpreted HOF fold, right for corpus-wide
-      scans whose many splits saturate the cores (100x probe: 10.3 s
-      JVM vs 13.6 s arrow — Arrow-shipping the hash arrays costs more
-      than the fold saves; same trade dot_arrow documents).
-    - "arrow": the numpy kernel (functions/minhash_fast.py), right
-      for 1-4-partition inputs — streaming micro-batches and
-      incremental shards — where the interpreted fold runs serially
-      (measured: 38 s for a 5,000-row from-raw probe batch vs ~4 s
-      through the kernel, which is vectorized per core)."""
+    physics, re-measured in round 14 after the kernel moved from
+    mapInPandas to mapInArrow (no pandas materialization, no per-row
+    Python objects — functions/minhash_fast.py):
+    - "arrow" (default since round 14): the numpy kernel. The round-10
+      rejection of the kernel for corpus scans (100x probe: 10.3 s JVM
+      vs 13.6 s then-mapInPandas) was the pandas boundary, not the
+      math — the mapInArrow form wins the r14 100x signature probe
+      7.5x (20.2 s vs 152.7 s JVM, scripts/mh_100x_probe_r14.py) and
+      ties the full sf0.1 pipeline (2.53 vs 2.58 s,
+      scripts/mh_engine_ab_r13.py re-run, 256-row parity), and was
+      already the streaming/incremental default (a 5,000-row probe
+      batch: ~4 s kernel vs 38 s serial fold).
+    - "jvm": the interpreted HOF fold — kept reachable for A/B and for
+      Python-worker-free deployments."""
     hashed = shingled.select(
         "doc_id",
         "shingles",

@@ -234,8 +234,16 @@ def _write_ensemble_batch(corpus: DataFrame, batch: DataFrame,
 
     # exact-duplicate arrivals cannot change the distinct flag set —
     # drop them before the signature/fingerprint kernels (see
-    # _write_probe_batch's contract note).
-    batch = batch.dropDuplicates()
+    # _write_probe_batch's contract note). localCheckpoint (round 14,
+    # guide §2.4/§5): the probe tail references the batch in THREE
+    # broadcast builds (band keys, shingle verify side, fingerprint
+    # rows), and Spark shares no subtrees across broadcast jobs — so
+    # the batch scan AND the dropDuplicates shuffle re-ran once per
+    # build. One eager micro-job materializes the deduped batch
+    # (shard-sized by construction); every build then reads it from
+    # executor memory. The checkpointed blocks are released when the
+    # batch frame is GC'd at foreachBatch exit.
+    batch = batch.dropDuplicates().localCheckpoint()
     if state is not None:
         flags = ensemble_near_dups_from_state(
             state, batch, threshold=threshold

@@ -26,15 +26,23 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 TWO_LEVEL = {"ann_ivf_kmeans", "ann_index_maintenance_ivf",
              "ann_ivf_pq_lazy"}
+# queries whose r13 'before' form is the JVM minhash signature fold
+MH_ENGINE = {"dedup_minhash_lsh", "dedup_minhash_clusters"}
 
 
 def dump(name: str, suffix: str, fold: bool | None) -> None:
+    from logsdb_spark.operators import dedup as _dedup
+
     spark = get_spark("dump-plans-r14")
     spark.sparkContext.setLogLevel("ERROR")
     orig = similarity.ivf_assign_with_model
+    orig_mh = _dedup.minhash_signatures
     if fold is not None:
         similarity.ivf_assign_with_model = functools.partial(
             orig, fold_blocks=fold)
+    if name in MH_ENGINE and suffix == "before":
+        _dedup.minhash_signatures = functools.partial(
+            orig_mh, engine="jvm")
     try:
         df = all_queries()[name](spark, SF_DIR)
         buf = io.StringIO()
@@ -47,6 +55,7 @@ def dump(name: str, suffix: str, fold: bool | None) -> None:
               f"({buf.getvalue().count('Exchange')} Exchange mentions)")
     finally:
         similarity.ivf_assign_with_model = orig
+        _dedup.minhash_signatures = orig_mh
 
 
 if __name__ == "__main__":
