@@ -1199,7 +1199,7 @@ def _bucketed_state_layout(spark: SparkSession, sf_dir: str, prefix: str,
 def minhash_emission_count_layout(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """The STORED MinHash candidate-emission state for the round-12
-    edge-maintenance demonstration (prefix ``mhedge90``): per-pair
+    edge-maintenance demonstration (prefix ``mhedge90k32``): per-pair
     (n_pair, n_star) emission counts over banded LSH buckets
     (operators/dedup.lsh_emission_counts — the delta-able form of the
     edge layout's ``mh`` candidates) for the 90% existing-corpus
@@ -1259,7 +1259,7 @@ def winnow_star_state_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def winnow_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED winnow pair-count state for the edge-maintenance
-    demonstration (prefix ``wnedge90``): per-pair shared-fingerprint
+    demonstration (prefix ``wnedge90k32``): per-pair shared-fingerprint
     counts (operators/dedup.winnow_edge_counts — the delta-able form
     of the edge layout's ``wn`` partition) over the 90% existing-
     corpus split the maintenance query's scenario fixes (doc_id % 10
@@ -1354,7 +1354,7 @@ def media_rep90_layout(spark: SparkSession, sf_dir: str,
 
 def vframe_edge_count_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED video-frame pair-count state for the round-12
-    vframe edge-maintenance demonstration (prefix ``vfredge90``):
+    vframe edge-maintenance demonstration (prefix ``vfredge90k32``):
     winnow_edge_counts over the 90% split of the evidence index's
     ``vframe`` partition — the video signal shares the winnow
     bucket-evidence shape ((doc_id, fp) inverted index, hub-capped

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -435,6 +437,7 @@ _doc_words = st.sampled_from([f"w{i}" for i in range(12)])
 _doc_text = st.lists(_doc_words, min_size=1, max_size=30).map(" ".join)
 
 
+@pytest.mark.slow
 @given(st.lists(_doc_text, min_size=2, max_size=10))
 @settings(**SETTINGS)
 def test_containment_prefix_blocking_is_lossless(spark, texts):

@@ -40,6 +40,7 @@ def test_a1_under_vanilla_session(vanilla):
     assert len(rows) > 0
 
 
+@pytest.mark.slow
 def test_every_query_analyzes_under_vanilla_session(vanilla):
     """Generalize the round-1 failure class: EVERY registered query
     must at least pass analysis (schema resolution, parquet type
